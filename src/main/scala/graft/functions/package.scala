@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared by graft operators.
+  *
+  * All helpers compose codegen-friendly Catalyst expressions — no Scala UDFs —
+  * so whole-stage codegen spans stay wide and the same logic is expressible
+  * as a DuckDB oracle for correctness checks.
+  */
+package object functions {
+
+  /** Strip accents/diacritics (native expression; reference etl/transform.py:49-51). */
+  def stripAccents(c: Column): Column =
+    GraftBridge.column(StripAccents(GraftBridge.expression(c)))
+
+  /** Deterministic UUIDv5 of `seed` under a URL-namespace string
+    * (reference etl/transform.py:367-370).
+    */
+  def uuid5(namespace: String, seed: Column): Column =
+    GraftBridge.column(
+      UuidV5(GraftBridge.expression(lit(namespace)), GraftBridge.expression(seed)))
+
+  /** Free-text normalization: trim → strip accents → lower → collapse runs of
+    * whitespace (reference etl/transform.py:61-68 `_norm_text`).
+    */
+  def normText(c: Column): Column =
+    regexp_replace(lower(stripAccents(trim(c))), "\\s+", " ")
+
+  /** Column-NAME normalization → snake_case ascii
+    * (reference etl/transform.py:53-59 `_normalize_colname`). Driver-side.
+    */
+  def normColname(name: String): String = {
+    val noAccents = java.text.Normalizer.normalize(name.trim, java.text.Normalizer.Form.NFKD)
+      .filterNot(ch => Character.getType(ch) == Character.NON_SPACING_MARK)
+    noAccents.toLowerCase
+      .replaceAll("[^a-z0-9_]+", "_")
+      .replaceAll("_+", "_")
+      .stripPrefix("_").stripSuffix("_")
+  }
+
+  /** Whitespace tokens of trimmed text. */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Token count (whitespace segmentation). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** 16-hex-char content fingerprint (sha256 prefix) — stable across engines. */
+  def fingerprint(c: Column): Column = substring(sha2(c, 256), 1, 16)
+}

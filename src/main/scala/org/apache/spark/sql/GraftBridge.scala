@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into Spark's `private[sql]` Expression↔Column conversion (the
+  * Spark 4 classic API removed the public `new Column(expr)` path). This is
+  * the standard extension-library technique for registering custom Catalyst
+  * expressions without going through the SQL function registry.
+  */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

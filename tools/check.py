@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Local pre-check mimicking the driver's DuckDB oracle compare.
+
+Usage: python3 tools/check.py <sfdir> <verify_out_dir>
+Reads each <name>/ parquet written by graft.Verify and compares
+row-count, sorted column names, and cell values against the oracle SQL
+run in DuckDB over the same parquet tables. NOT part of the library —
+driver-side test tooling only.
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        spark_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_fail += 1; continue
+        try:
+            sp = con.sql(f"SELECT * FROM read_parquet({files!r})").df()
+            du = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}"); n_fail += 1; continue
+        sp = sp.reindex(sorted(sp.columns), axis=1)
+        du = du.reindex(sorted(du.columns), axis=1)
+        if list(sp.columns) != list(du.columns):
+            print(f"FAIL {name}: cols spark={list(sp.columns)} duck={list(du.columns)}")
+            n_fail += 1; continue
+        if len(sp) != len(du):
+            print(f"FAIL {name}: rows spark={len(sp)} duck={len(du)}"); n_fail += 1; continue
+        sp2 = sp.sort_values(list(sp.columns)).reset_index(drop=True)
+        du2 = du.sort_values(list(du.columns)).reset_index(drop=True)
+        bad = None
+        for c in sp.columns:
+            a, b = sp2[c], du2[c].astype(sp2[c].dtype, errors="ignore") \
+                if hasattr(du2[c], "astype") else du2[c]
+            try:
+                eq = (a.fillna("§") == b.fillna("§")) if a.dtype == object else \
+                     ((a.isna() & b.isna()) | (a == b))
+            except Exception:
+                eq = a.astype(str) == b.astype(str)
+            if not eq.all():
+                i = (~eq).idxmax()
+                bad = (c, a[i], b[i]); break
+        if bad:
+            print(f"FAIL {name}: col {bad[0]} spark={bad[1]!r} duck={bad[2]!r}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(sp)} rows)"); n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
