@@ -1,0 +1,317 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, TimestampType}
+
+import graft.config._
+import graft.functions._
+
+/** Critical-rule violation (reference etl/transform.py:41-43 TransformHardFail). */
+class TransformHardFail(msg: String) extends RuntimeException(msg)
+
+/** Schema drift result (reference etl/transform.py:233-237). */
+final case class SchemaDiff(missing: Seq[String], extra: Seq[String]) {
+  def diffs: Int = missing.size + extra.size
+}
+
+/** The reference's transform stage re-expressed as composable DataFrame
+  * operators. Every operator is a narrow projection/filter (no shuffle)
+  * except dedup/upsert (one shuffle on the key) — at 100 TB the whole
+  * cleanup chain fuses into a single whole-stage-codegen'd scan.
+  *
+  * Reference: etl/transform.py (per-function citations below).
+  */
+object Transform {
+
+  // ------------------------------------------------------------------
+  // Column-name handling (reference etl/transform.py:53-74,124-129)
+  // ------------------------------------------------------------------
+
+  /** snake_case/ascii-normalize all column names (metadata-only, no job). */
+  def normalizeColumnNames(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(normColname).toIndexedSeq: _*)
+
+  /** Apply declared renames (both sides name-normalized, like the reference). */
+  def applyRename(df: DataFrame, rename: Map[String, String]): DataFrame = {
+    if (rename.isEmpty) return df
+    val m = rename.map { case (k, v) => normColname(k) -> normColname(v) }
+    df.columns.foldLeft(df)((d, c) => m.get(c).fold(d)(d.withColumnRenamed(c, _)))
+  }
+
+  // ------------------------------------------------------------------
+  // Base normalization (reference etl/transform.py:131-154)
+  // ------------------------------------------------------------------
+
+  /** Trim string columns and null out declared NA tokens. */
+  def applyNaTokens(df: DataFrame, naValues: Seq[String], cols: Seq[String] = Nil): DataFrame = {
+    val targets = (if (cols.nonEmpty) cols else df.columns.toSeq)
+      .filter(c => df.schema(c).dataType == StringType)
+    targets.foldLeft(df) { (d, c) =>
+      val t = trim(col(c))
+      d.withColumn(c, if (naValues.isEmpty) t else when(t.isin(naValues: _*), lit(null)).otherwise(t))
+    }
+  }
+
+  /** Drop rows where every listed column is null (reference drop_all_null_rows). */
+  def dropAllNullRows(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.nonEmpty) cols else df.columns.toSeq
+    df.filter(cs.map(col(_).isNotNull).reduce(_ || _))
+  }
+
+  /** Drop columns that are entirely null. Requires one aggregation pass —
+    * the reference does this in-memory; here it is one map-side-combined agg.
+    */
+  def dropAllNullCols(df: DataFrame): DataFrame = {
+    val counts = df.select(df.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val keep = df.columns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
+    df.select(keep.map(col).toIndexedSeq: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Defensive typing (reference etl/transform.py:160-182)
+  // ------------------------------------------------------------------
+
+  /** Tolerant casts: failures become NULL, never errors (pandas
+    * `errors="coerce"` ≙ Spark `try_cast`).
+    */
+  def coerceTypes(df: DataFrame, t: TypesCfg): DataFrame = {
+    def cast(d: DataFrame, cols: Seq[String], to: String): DataFrame =
+      cols.filter(d.columns.contains).foldLeft(d)((dd, c) =>
+        dd.withColumn(c, expr(s"try_cast(`$c` as $to)")))
+    var out = df
+    out = cast(out, t.datetime, "timestamp")
+    out = cast(out, t.numeric, "double")
+    out = cast(out, t.category, "string")
+    out = cast(out, t.stringCodes, "string")
+    out
+  }
+
+  /** Derive a year column from a date column when absent or all-null
+    * (reference etl/transform.py:444-453).
+    */
+  def deriveYear(df: DataFrame, dateCol: String, yearCol: String): DataFrame = {
+    if (!df.columns.contains(dateCol)) return df
+    if (!df.columns.contains(yearCol))
+      df.withColumn(yearCol, year(col(dateCol)))
+    else {
+      // Only overwrite when the existing column is entirely null (one agg).
+      val nonNull = df.select(count(col(yearCol))).head().getLong(0)
+      if (nonNull == 0L) df.withColumn(yearCol, year(col(dateCol))) else df
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Category / numeric rules (reference etl/transform.py:284-350)
+  // ------------------------------------------------------------------
+
+  /** Map text-normalized values through the rule map; unmapped values keep
+    * their ORIGINAL form; out-of-domain values coerce to `coerceTo` when set
+    * (reference semantics exactly — including "only rewrite the column when
+    * a map or coerce_to is configured").
+    */
+  def applyCategoryRules(df: DataFrame, rules: Map[String, CategoryRule]): DataFrame =
+    rules.foldLeft(df) { case (d, (c, r)) =>
+      if (!d.columns.contains(c) || (r.map.isEmpty && r.coerceTo.isEmpty)) d
+      else {
+        val normMap = r.map.map { case (k, v) => normTextScala(k) -> v }
+        val mapped = normMap.foldLeft(lit(null).cast(StringType)) { case (acc, (k, v)) =>
+          when(normText(col(c)) === k, lit(v)).otherwise(acc)
+        }
+        val withMap = coalesce(mapped, col(c))
+        val out =
+          if (r.allowed.nonEmpty && r.coerceTo.isDefined)
+            when(withMap.isNotNull && !withMap.isin(r.allowed: _*),
+              r.coerceTo.map(lit(_): Column).getOrElse(lit(null).cast(StringType)))
+              .otherwise(withMap)
+          else withMap
+        d.withColumn(c, out)
+      }
+    }
+
+  /** Driver-side normText for map keys (same chain as the Column version). */
+  private[graft] def normTextScala(s: String): String = {
+    val noAcc = java.text.Normalizer.normalize(s.trim, java.text.Normalizer.Form.NFKD)
+      .filterNot(ch => Character.getType(ch) == Character.NON_SPACING_MARK)
+    noAcc.toLowerCase.split("\\s+").mkString(" ")
+  }
+
+  /** Out-of-bounds numeric values → NULL (reference numeric_rules). */
+  def applyNumericRules(df: DataFrame, rules: Map[String, NumericRule]): DataFrame =
+    rules.foldLeft(df) { case (d, (c, r)) =>
+      if (!d.columns.contains(c)) d
+      else {
+        val v = expr(s"try_cast(`$c` as double)")
+        val oob = Seq(
+          r.min.map(m => v < lit(m)),
+          r.max.map(m => v > lit(m))).flatten
+            .reduceOption(_ || _).getOrElse(lit(false))
+        d.withColumn(c, when(oob, lit(null)).otherwise(v))
+      }
+    }
+
+  // ------------------------------------------------------------------
+  // Keys (reference etl/transform.py:356-370,461-493)
+  // ------------------------------------------------------------------
+
+  /** Pipe-joined composite business key; null/absent parts become ''. */
+  def businessKeyCol(df: DataFrame, fields: Seq[String]): Column = {
+    val parts = fields.map { f =>
+      if (df.columns.contains(f)) coalesce(col(f).cast(StringType), lit("")) else lit("")
+    }
+    if (parts.isEmpty) lit("") else concat_ws("|", parts: _*)
+  }
+
+  def withBusinessKey(df: DataFrame, ids: IdStrategy): DataFrame = {
+    val fields =
+      if (ids.mode == "composite_first" && ids.compositeKey.nonEmpty) ids.compositeKey
+      else if (ids.singleKey.nonEmpty) ids.singleKey
+      else ids.compositeKey
+    df.withColumn("business_key", businessKeyCol(df, fields))
+  }
+
+  /** Deterministic surrogate id: uuid5 (reference default) or sha256 hex. */
+  def withSurrogate(df: DataFrame, s: SurrogateCfg): DataFrame = {
+    if (!s.enabled) return df
+    val seed = if (s.fields.nonEmpty) businessKeyCol(df, s.fields) else col("business_key")
+    val id = s.method.toLowerCase match {
+      case "sha256" => sha2(seed, 256)
+      case _ => uuid5(s.namespace, seed)
+    }
+    df.withColumn("surrogate_id", id)
+  }
+
+  // ------------------------------------------------------------------
+  // Dedup / upsert (reference etl/transform.py:495-507, etl/load.py upsert)
+  // ------------------------------------------------------------------
+
+  /** Keep exactly one row per key. `latestBy` descending picks "latest";
+    * `tieBreakers` make the pick total and deterministic (the pandas
+    * reference depended on input order — unusable distributed).
+    * One shuffle on the key columns; window + filter, no driver collect.
+    */
+  def dedupByKey(
+      df: DataFrame,
+      keys: Seq[String],
+      latestBy: Option[String] = None,
+      tieBreakers: Seq[String] = Nil): DataFrame = {
+    val ordering =
+      latestBy.map(col(_).desc_nulls_last).toSeq ++ tieBreakers.map(col(_).asc)
+    val ord = if (ordering.nonEmpty) ordering else Seq(monotonically_increasing_id().asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Idempotent merge-by-key: rows from `updates` replace same-key rows in
+    * `current` (the LOAD upsert, reference etl/load.py:388-460, re-expressed
+    * as a distributed last-writer-wins merge — one shuffle on the key).
+    */
+  def upsert(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      tieBreakers: Seq[String] = Nil): DataFrame = {
+    val tagged = current.withColumn("__src", lit(0))
+      .unionByName(updates.withColumn("__src", lit(1)))
+    dedupByKey(tagged, keys, latestBy = Some("__src"), tieBreakers = tieBreakers)
+      .drop("__src")
+  }
+
+  // ------------------------------------------------------------------
+  // Schema rules (reference etl/transform.py:188-237,509-571)
+  // ------------------------------------------------------------------
+
+  private val AutoCols = Set("surrogate_id", "business_key")
+
+  def schemaDiff(df: DataFrame, expected: Set[String]): SchemaDiff = {
+    val cols = df.columns.toSet -- AutoCols
+    SchemaDiff((expected -- cols).toSeq.sorted, (cols -- expected).toSeq.sorted)
+  }
+
+  /** Add NULL string columns for expected-but-absent names (pad_missing). */
+  def padMissing(df: DataFrame, expected: Set[String]): DataFrame = {
+    val missing = (expected -- df.columns.toSet).toSeq.sorted
+    missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast(StringType)))
+  }
+
+  /** IDs first, then declared order, then the rest in current order
+    * (reference etl/transform.py:272-278,573-579).
+    */
+  def reorder(df: DataFrame, order: Seq[String]): DataFrame = {
+    val front = (Seq("surrogate_id", "business_key").filter(df.columns.contains) ++
+      order.filter(df.columns.contains)).distinct
+    val rest = df.columns.filterNot(front.contains)
+    df.select((front ++ rest).map(col).toIndexedSeq: _*)
+  }
+
+  /** Critical-columns check: `all` must each have ≥1 non-null value; each
+    * `anyOf` group needs ≥1 column with ≥1 non-null value. Single agg pass.
+    */
+  def criticalIssues(df: DataFrame, cc: CriticalCfg): (Seq[String], Seq[Seq[String]]) = {
+    val probeCols = (cc.all ++ cc.anyOf.flatten).distinct.filter(df.columns.contains)
+    if (cc.all.isEmpty && cc.anyOf.isEmpty) return (Nil, Nil)
+    val counts: Map[String, Long] =
+      if (probeCols.isEmpty) Map.empty
+      else {
+        val row = df.select(probeCols.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+        probeCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+      }
+    val missingAll = cc.all.filter(c => counts.getOrElse(c, 0L) == 0L)
+    val missingAny = cc.anyOf.filter(g => !g.exists(c => counts.getOrElse(c, 0L) > 0L))
+    (missingAll, missingAny)
+  }
+
+  // ------------------------------------------------------------------
+  // Extras packing (reference etl/load.py:318-378)
+  // ------------------------------------------------------------------
+
+  /** Pack non-canonical columns into a JSON column and drop them. */
+  def packExtras(df: DataFrame, canonical: Set[String], extrasCol: String): DataFrame = {
+    val extras = df.columns.filterNot(c => canonical.contains(c) || AutoCols.contains(c)).sorted
+    if (extras.isEmpty) df.withColumn(extrasCol, lit(null).cast(StringType))
+    else df.withColumn(extrasCol, to_json(struct(extras.map(col).toIndexedSeq: _*)))
+      .drop(extras.toIndexedSeq: _*)
+  }
+
+  /** Destination timestamp rendering (reference etl/load.py:62-76). */
+  def toIsoLocal(c: Column): Column = date_format(c.cast(TimestampType), "yyyy-MM-dd HH:mm:ss")
+
+  // ------------------------------------------------------------------
+  // Full pipeline (reference run_transform, etl/transform.py:376-608)
+  // ------------------------------------------------------------------
+
+  /** Compose the reference's transform stage 1:1 over one DataFrame.
+    * Throws TransformHardFail per promote_policy, like the reference.
+    */
+  def pipeline(df0: DataFrame, cfg: DatasetConfig): DataFrame = {
+    var df = normalizeColumnNames(df0)
+    df = applyRename(df, cfg.rename)
+    df = applyNaTokens(df, cfg.normalize.naValues)
+    if (cfg.normalize.dropAllNullRows) df = dropAllNullRows(df)
+    if (cfg.normalize.dropAllNullCols) df = dropAllNullCols(df)
+    df = coerceTypes(df, cfg.types)
+    cfg.deriveYear.foreach { case (src, tgt) => df = deriveYear(df, src, tgt) }
+    df = applyCategoryRules(df, cfg.categories)
+    df = applyNumericRules(df, cfg.numericRules)
+    df = withBusinessKey(df, cfg.ids)
+    df = withSurrogate(df, cfg.ids.surrogate)
+    if (cfg.integrity.enforceUniqueBusinessKey)
+      df = dedupByKey(df, Seq("business_key"),
+        latestBy = cfg.integrity.latestBy, tieBreakers = cfg.integrity.tieBreakers)
+    val expected = cfg.expectedColumns
+    if (cfg.padMissing) df = padMissing(df, expected)
+    val diff = schemaDiff(df, expected)
+    val (missAll, missAny) = criticalIssues(df, cfg.critical)
+    if (cfg.promote.onCriticalFail == "error" && (missAll.nonEmpty || missAny.nonEmpty))
+      throw new TransformHardFail(
+        s"[${cfg.dataset}] critical failure: missing_all=$missAll missing_any_of=${missAny.size}")
+    if (cfg.promote.failOnMissingExpected && diff.missing.nonEmpty)
+      throw new TransformHardFail(s"[${cfg.dataset}] missing expected cols: ${diff.missing.take(10)}")
+    if (cfg.promote.failOnExtraColumns && diff.extra.nonEmpty)
+      throw new TransformHardFail(s"[${cfg.dataset}] extra cols present: ${diff.extra.take(10)}")
+    if (cfg.promote.failOnSchemaDrift && diff.diffs > cfg.allowedSchemaDiffs)
+      throw new TransformHardFail(s"[${cfg.dataset}] schema drift ${diff.diffs} > ${cfg.allowedSchemaDiffs}")
+    reorder(df, cfg.order)
+  }
+}

@@ -1,0 +1,399 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.config._
+import graft.functions.{normText, uuid5}
+import graft.operators.Transform
+import graft.sources.Tables
+
+/** The reference's transform/load operators (SURVEY.md §2.1), each applied
+  * to a driver test table with a semantically identical DuckDB oracle.
+  * Reference citations in graft.operators.Transform.
+  */
+object TransformQueries {
+
+  /** NA token list from the reference config (normalize.na_values) plus the
+    * demo tokens used to exercise the path on clean synthetic data.
+    */
+  private val NaTokens = Seq("", "NA", "N/A", "na", "null", "None", "none", "Nan", "NaN", "src0")
+  private def sqlList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // 2: free-text normalization (trim→strip accents→lower→collapse ws)
+    Q("t_norm_text",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), normText(col("text")).as("norm"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               regexp_replace(lower(strip_accents(trim(text))), '\s+', ' ', 'g') AS norm
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 1: column-name normalization (snake_case/ascii) — exercised by feeding
+    // messy aliases through normalizeColumnNames.
+    Q("t_norm_colnames",
+      (s, dir) => {
+        val messy = Tables.nation(s, dir)
+          .select(col("n_nationkey").as("N NationKey "), col("n_name").as("Ñombre-Nación"))
+        Transform.normalizeColumnNames(messy).orderBy(col("n_nationkey"))
+      },
+      Some("""
+        SELECT n_nationkey AS n_nationkey, n_name AS nombre_nacion
+        FROM nation ORDER BY n_nationkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 3: declared NA tokens → NULL (strings trimmed first)
+    Q("t_na_tokens",
+      (s, dir) => Transform.applyNaTokens(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+          NaTokens)
+        .orderBy(col("doc_id")),
+      Some(s"""
+        SELECT doc_id,
+               CASE WHEN trim(lang)   IN (${sqlList(NaTokens)}) THEN NULL ELSE trim(lang)   END AS lang,
+               CASE WHEN trim(source) IN (${sqlList(NaTokens)}) THEN NULL ELSE trim(source) END AS source
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 4: drop rows where all (listed) columns are null
+    Q("t_drop_null_rows",
+      (s, dir) => {
+        val d = Transform.applyNaTokens(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source")),
+          Seq("es", "src0"), cols = Seq("lang", "source"))
+        Transform.dropAllNullRows(d, Seq("lang", "source")).orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN trim(lang) = 'es' THEN NULL ELSE trim(lang) END AS lang,
+               CASE WHEN trim(source) = 'src0' THEN NULL ELSE trim(source) END AS source
+        FROM documents
+        WHERE NOT (trim(lang) = 'es' AND trim(source) = 'src0')
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 5: defensive type coercion (errors → NULL, pandas errors='coerce')
+    Q("t_coerce_types",
+      (s, dir) => Transform.coerceTypes(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+          TypesCfg(datetime = Seq("source"), numeric = Seq("lang"), stringCodes = Seq("n_chars")))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               TRY_CAST(lang AS DOUBLE) AS lang,
+               TRY_CAST(source AS TIMESTAMP) AS source,
+               CAST(n_chars AS VARCHAR) AS n_chars
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 6: derive year from a date column (derive.ano_from_fecha)
+    Q("t_derive_year",
+      (s, dir) => Transform.deriveYear(
+          Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          "o_orderdate", "ano")
+        .orderBy(col("o_orderkey")),
+      Some("""
+        SELECT o_orderkey, o_orderdate, CAST(year(o_orderdate) AS INT) AS ano
+        FROM orders ORDER BY o_orderkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 7: category mapping + allowed-domain coercion
+    Q("t_category_map",
+      (s, dir) => Transform.applyCategoryRules(
+          Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+          Map("lang" -> CategoryRule(
+            map = Map("EN " -> "English", "Es" -> "Español", "fr" -> "Français"),
+            allowed = Seq("English", "Español", "Français"),
+            coerceTo = Some("Other"))))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+          CASE WHEN mapped IS NOT NULL AND mapped NOT IN ('English','Español','Français')
+               THEN 'Other' ELSE mapped END AS lang
+        FROM (
+          SELECT doc_id,
+            COALESCE(CASE regexp_replace(lower(strip_accents(trim(lang))), '\s+', ' ', 'g')
+                     WHEN 'en' THEN 'English'
+                     WHEN 'es' THEN 'Español'
+                     WHEN 'fr' THEN 'Français' END,
+                     lang) AS mapped
+          FROM documents)
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 8: numeric bounds → out-of-range to NULL
+    Q("t_numeric_bounds",
+      (s, dir) => Transform.applyNumericRules(
+          Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+          Map("c_acctbal" -> NumericRule(min = Some(0.0), max = Some(9000.0))))
+        .orderBy(col("c_custkey")),
+      Some("""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0.0 OR c_acctbal > 9000.0 THEN NULL
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer ORDER BY c_custkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 9: composite business key (pipe-joined, null→'')
+    Q("t_business_key",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select(col("o_orderkey"),
+            Transform.businessKeyCol(o, Seq("o_orderkey", "o_custkey", "o_orderdate"))
+              .as("business_key"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                              COALESCE(CAST(o_custkey AS VARCHAR), ''),
+                              COALESCE(CAST(o_orderdate AS VARCHAR), '')) AS business_key
+        FROM orders ORDER BY o_orderkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 10: sha256 surrogate id over the key seed
+    Q("t_surrogate_sha256",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select(col("o_orderkey"),
+            sha2(Transform.businessKeyCol(o, Seq("o_orderkey", "o_custkey")), 256)
+              .as("surrogate_id"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey,
+               sha256(concat_ws('|', COALESCE(CAST(o_orderkey AS VARCHAR), ''),
+                                     COALESCE(CAST(o_custkey AS VARCHAR), ''))) AS surrogate_id
+        FROM orders ORDER BY o_orderkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 11: uuid5 surrogate (no SHA-1 in DuckDB → rows-only here; exact
+    // byte-level parity with Python uuid.uuid5 is covered in TransformSpec)
+    Q("t_surrogate_uuid5",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        o.select(col("o_orderkey"),
+            uuid5("https://graft.dev/orders",
+              Transform.businessKeyCol(o, Seq("o_orderkey", "o_custkey")))
+              .as("surrogate_id"))
+          .orderBy(col("o_orderkey"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // 12: enforce unique business key, keep latest by date
+    Q("t_dedup_keep_latest",
+      (s, dir) => Transform.dedupByKey(
+          Tables.events(s, dir).select(col("event_id"), col("user_id"), col("event_type"), col("ts")),
+          keys = Seq("user_id", "event_type"),
+          latestBy = Some("ts"), tieBreakers = Seq("event_id"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT event_id, user_id, event_type, ts FROM (
+          SELECT event_id, user_id, event_type, ts,
+                 ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id) AS rn
+          FROM events) WHERE rn = 1
+        ORDER BY user_id, event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // 14: pad missing expected columns + canonical reorder
+    Q("t_reorder_pad",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"))
+        val padded = Transform.padMissing(d, Set("doc_id", "lang", "source", "quality_tier", "region"))
+        Transform.reorder(padded, Seq("doc_id", "quality_tier", "region", "lang", "source"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, CAST(NULL AS VARCHAR) AS quality_tier,
+               CAST(NULL AS VARCHAR) AS region, lang, source
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 15: pack non-canonical columns into a JSON extras column
+    Q("t_extras_json",
+      (s, dir) => Transform.packExtras(
+          Tables.documents(s, dir).select(col("doc_id"), col("n_chars"), col("lang"), col("source")),
+          canonical = Set("doc_id", "n_chars"), extrasCol = "extras")
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, n_chars,
+               to_json(struct_pack(lang := lang, source := source)) AS extras
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 19: destination timestamp rendering 'YYYY-MM-DD HH:MM:SS'
+    Q("t_to_iso_local",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"), Transform.toIsoLocal(col("ts")).as("ts_iso"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_iso
+        FROM events ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 18: idempotent merge-by-key (LOAD upsert): updates win over current
+    Q("t_upsert",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val current = o.filter(col("o_orderkey") % 3 =!= 0)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val updates = o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        Transform.upsert(current, updates, keys = Seq("o_orderkey"))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+          FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice, 0 AS src
+            FROM orders WHERE o_orderkey % 3 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 1 AS src
+            FROM orders WHERE o_orderkey % 2 = 0))
+        WHERE rn = 1
+        ORDER BY o_orderkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 17: incremental-state extract analog: only rows past the stored
+    // watermark, plus the new per-partition watermark for the next run
+    Q("t_incremental_state",
+      (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_new"), max(col("ts")).as("new_watermark"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type, COUNT(*) AS n_new, MAX(ts) AS new_watermark
+        FROM events
+        WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // 16: per-resource audit metrics (rows, distinct keys, dup keys —
+    // reference transform report + etl_run_resources)
+    Q("t_audit_report",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(concat_ws("|", col("user_id").cast(StringType), col("event_type")).as("business_key"))
+        e.groupBy(col("business_key")).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("rows_in"),
+            count(lit(1)).as("distinct_keys"),
+            sum(when(col("cnt") > 1, 1).otherwise(0)).as("dup_keys"),
+            sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0)).as("dedup_rows_would_drop"))
+      },
+      Some("""
+        SELECT SUM(cnt) AS rows_in, COUNT(*) AS distinct_keys,
+               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_keys,
+               SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS dedup_rows_would_drop
+        FROM (SELECT concat_ws('|', CAST(user_id AS VARCHAR), event_type) AS business_key,
+                     COUNT(*) AS cnt
+              FROM events GROUP BY 1)
+      """)),
+
+    // ------------------------------------------------------------------
+    // 13: schema validation report (rows-only: list-typed metadata output)
+    Q("t_schema_validate",
+      (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        val cfg = DatasetConfig(
+          dataset = "documents_demo",
+          types = TypesCfg(numeric = Seq("n_chars"), category = Seq("lang", "quality_tier")),
+          order = Seq("doc_id", "lang", "source"),
+          critical = CriticalCfg(all = Seq("doc_id"), anyOf = Seq(Seq("lang", "source"))))
+        val diff = Transform.schemaDiff(d, cfg.expectedColumns)
+        val (missAll, missAny) = Transform.criticalIssues(d, cfg.critical)
+        val spark = s
+        import spark.implicits._
+        Seq((cfg.dataset, diff.missing.mkString(","), diff.extra.mkString(","),
+          diff.diffs, missAll.mkString(","), missAny.size))
+          .toDF("dataset", "missing_cols", "extra_cols", "n_diffs", "critical_missing_all", "critical_missing_any_groups")
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // 20: the full reference transform pipeline composed end-to-end
+    // (na tokens → coerce → category map → numeric bounds → keys →
+    //  surrogate sha256 → dedup keep-latest → pad → reorder)
+    Q("t_pipeline_e2e",
+      (s, dir) => {
+        val cfg = DatasetConfig(
+          dataset = "events_canonical",
+          padMissing = true,
+          normalize = NormalizeCfg(naValues = Seq("", "NA", "null")),
+          types = TypesCfg(datetime = Seq("ts"), numeric = Seq("value"),
+            category = Seq("event_type"), stringCodes = Seq("props")),
+          order = Seq("event_id", "ts", "user_id", "event_type", "value", "props", "channel"),
+          critical = CriticalCfg(all = Seq("ts"), anyOf = Seq(Seq("event_type", "props"))),
+          categories = Map("event_type" -> CategoryRule(
+            map = Map("click" -> "Click", "view" -> "View", "purchase" -> "Purchase"),
+            allowed = Seq("Click", "View", "Purchase"),
+            coerceTo = Some("Other"))),
+          numericRules = Map("value" -> NumericRule(min = Some(0.0), max = Some(150.0))),
+          ids = IdStrategy(
+            compositeKey = Seq("user_id", "event_type", "ts"),
+            surrogate = SurrogateCfg(enabled = true, method = "sha256")),
+          integrity = IntegrityCfg(enforceUniqueBusinessKey = true,
+            onDuplicate = "keep_latest", latestBy = Some("ts"), tieBreakers = Seq("event_id")),
+          deriveYear = Some(("ts", "ano")))
+        Transform.pipeline(Tables.events(s, dir), cfg).orderBy(col("event_id"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT event_id, ts, user_id,
+                 CASE WHEN m_et IS NOT NULL AND m_et NOT IN ('Click','View','Purchase')
+                      THEN 'Other' ELSE m_et END AS event_type,
+                 CASE WHEN value < 0.0 OR value > 150.0 THEN NULL ELSE value END AS value,
+                 props, CAST(year(ts) AS INT) AS ano
+          FROM (
+            SELECT event_id, ts, user_id, value, trim(props) AS props,
+                   COALESCE(CASE regexp_replace(lower(strip_accents(trim(event_type))), '\s+', ' ', 'g')
+                            WHEN 'click' THEN 'Click'
+                            WHEN 'view' THEN 'View'
+                            WHEN 'purchase' THEN 'Purchase' END,
+                            trim(event_type)) AS m_et
+            FROM events)),
+        keyed AS (
+          SELECT *,
+                 concat_ws('|', COALESCE(CAST(user_id AS VARCHAR), ''),
+                                COALESCE(event_type, ''),
+                                COALESCE(CAST(ts AS VARCHAR), '')) AS business_key
+          FROM base),
+        deduped AS (
+          SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY business_key
+                                         ORDER BY ts DESC, event_id) AS rn
+            FROM keyed) WHERE rn = 1)
+        SELECT sha256(business_key) AS surrogate_id, business_key,
+               event_id, ts, user_id, event_type, value, props,
+               CAST(NULL AS VARCHAR) AS channel, ano
+        FROM deduped
+        ORDER BY event_id
+      """))
+  )
+}

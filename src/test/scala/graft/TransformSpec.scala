@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.functions.{normText, stripAccents, uuid5, normColname}
+import graft.operators.{Transform, TransformHardFail}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class TransformSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("stripAccents matches NFKD-minus-marks semantics") {
+    val out = Seq("canción", "Ñandú", "über", "plain", "café  olé")
+      .toDF("s").select(stripAccents(col("s")).as("x")).as[String].collect()
+    assert(out.toSeq == Seq("cancion", "Nandu", "uber", "plain", "cafe  ole"))
+  }
+
+  test("normText trims, lowers, strips accents, collapses whitespace") {
+    val out = Seq("  Canción   DE  Prueba ", "a\tb\nc")
+      .toDF("s").select(normText(col("s")).as("x")).as[String].collect()
+    assert(out.toSeq == Seq("cancion de prueba", "a b c"))
+  }
+
+  test("normColname matches the reference's snake_case normalization") {
+    assert(normColname("N NationKey ") == "n_nationkey")
+    assert(normColname("Ñombre-Nación") == "nombre_nacion")
+    assert(normColname("__Fecha Detención__") == "fecha_detencion")
+    assert(normColname("a!!b??c") == "a_b_c")
+  }
+
+  test("uuid5 is byte-identical with Python uuid.uuid5 over the URL namespace") {
+    // Expected values computed with CPython:
+    //   ns = uuid.uuid5(uuid.NAMESPACE_URL, 'https://graft.dev/test')
+    //   uuid.uuid5(ns, seed)
+    val out = Seq("a|b", "", "canción|2024").toDF("s")
+      .select(uuid5("https://graft.dev/test", col("s")).as("u")).as[String].collect()
+    assert(out.toSeq == Seq(
+      "58b14cc9-7d40-5f55-bbd6-1f9bd52e547f",
+      "77c45a85-fc20-5848-92a9-65b034a9dd16",
+      "494e2302-bed6-5b71-942a-24c8c2139c46"))
+  }
+
+  test("dedupByKey keeps exactly one deterministic row per key") {
+    val df = Seq(
+      (1L, "a", "2024-01-02 00:00:00", 10),
+      (2L, "a", "2024-01-03 00:00:00", 20), // latest for key a
+      (3L, "a", "2024-01-01 00:00:00", 30),
+      (4L, "b", "2024-01-01 00:00:00", 40),
+      (5L, "b", "2024-01-01 00:00:00", 50) // same ts: tie-break on id asc → 4
+    ).toDF("id", "k", "ts", "v").withColumn("ts", col("ts").cast("timestamp"))
+    val out = Transform.dedupByKey(df, Seq("k"), Some("ts"), Seq("id"))
+      .orderBy("k").select("id").as[Long].collect()
+    assert(out.toSeq == Seq(2L, 4L))
+  }
+
+  test("upsert: updates replace current rows, new keys inserted, others kept") {
+    val current = Seq((1, "old1"), (2, "old2")).toDF("k", "v")
+    val updates = Seq((2, "new2"), (3, "new3")).toDF("k", "v")
+    val out = Transform.upsert(current, updates, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect()
+    assert(out.toSeq == Seq((1, "old1"), (2, "new2"), (3, "new3")))
+  }
+
+  test("pipeline hard-fails when a critical column is entirely null") {
+    val df = Seq((1, null: String), (2, null: String)).toDF("id", "crit")
+    val cfg = DatasetConfig(
+      dataset = "t",
+      order = Seq("id", "crit"),
+      critical = CriticalCfg(all = Seq("crit")))
+    val e = intercept[TransformHardFail](Transform.pipeline(df, cfg))
+    assert(e.getMessage.contains("critical failure"))
+  }
+
+  test("pipeline hard-fails on missing expected column without padding") {
+    val df = Seq((1, "x")).toDF("id", "a")
+    val cfg = DatasetConfig(dataset = "t", order = Seq("id", "a", "gone"))
+    val e = intercept[TransformHardFail](Transform.pipeline(df, cfg))
+    assert(e.getMessage.contains("missing expected cols"))
+  }
+
+  test("pipeline pads missing expected column when padMissing is set") {
+    val df = Seq((1, "x")).toDF("id", "a")
+    val cfg = DatasetConfig(dataset = "t", padMissing = true, order = Seq("id", "a", "gone"))
+    val out = Transform.pipeline(df, cfg)
+    assert(out.columns.toSeq == Seq("business_key", "id", "a", "gone"))
+    assert(out.select("gone").as[String].collect().toSeq == Seq(null))
+  }
+
+  test("category rules: unmapped keeps original, out-of-domain coerces") {
+    val df = Seq("M", "masculino", "x-other", "FEMENINO").toDF("sexo")
+    val out = Transform.applyCategoryRules(df, Map("sexo" -> CategoryRule(
+      map = Map("m" -> "Masculino", "masculino" -> "Masculino",
+        "f" -> "Femenino", "femenino" -> "Femenino"),
+      allowed = Seq("Masculino", "Femenino"),
+      coerceTo = Some("Desconocido"))))
+      .as[String].collect()
+    assert(out.toSeq == Seq("Masculino", "Masculino", "Desconocido", "Femenino"))
+  }
+
+  test("extras packing keeps canonical cols and serializes the rest") {
+    val df = Seq((1, "core", "e1", 7)).toDF("id", "keep", "x1", "x2")
+    val out = Transform.packExtras(df, Set("id", "keep"), "extras")
+    assert(out.columns.toSeq == Seq("id", "keep", "extras"))
+    assert(out.select("extras").as[String].head() == """{"x1":"e1","x2":7}""")
+  }
+}
