@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (SURVEY.md §2.3).
+  *
+  * Vectors are `array<float>` columns; all arithmetic is composed from
+  * codegen'd higher-order functions (zip_with/aggregate) — no UDFs, no
+  * MLlib dependency. Dot products accumulate in double.
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query set and
+  * scans the corpus once — the right plan when queries ≪ corpus. The LSH
+  * variants bucket by random-hyperplane signs so candidate generation is an
+  * equi-join on bucket key; at 100 TB that is the only shuffle and it moves
+  * (id, bucket) pairs, not vectors×vectors.
+  */
+object Similarity {
+
+  /** dot(a, b) accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplanes: `numPlanes` × `dim` values in
+    * [-1, 1), derived from a seeded splitmix-style integer mix (stable
+    * across runs/JVMs — no java.util.Random state).
+    */
+  private[graft] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    Array.tabulate(numPlanes, dim) { (p, d) =>
+      val h = mix(seed + p.toLong * 10007L + d.toLong)
+      (h.toDouble / Long.MaxValue.toDouble) // in [-1, 1)
+    }
+  }
+
+  /** Sign-bit bucket key of `vec` over `numPlanes` hyperplanes. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val planes = hyperplanes(numPlanes, dim, seed)
+    planes.zipWithIndex.map { case (plane, i) =>
+      val planeCol = typedlit(plane.toSeq)
+      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Brute-force cosine top-k: exact baseline. `queries` is broadcast; one
+    * corpus scan; per-query top-k via window over (query, cosine).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))),
+        col("id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "id", "cosine", "rk")
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share the full bucket key
+    * (all `numPlanes` sign bits). Exact cosine is recomputed only within
+    * buckets.
+    */
+  def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L): DataFrame = {
+    val withBucket = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim, seed))
+    val pairs = withBucket.as("a").join(withBucket.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine(col("a.vec"), col("b.vec")).as("cosine"))
+    pairs.orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(k)
+  }
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.GraftBridge
+import graft.functions.{MinhashSig, Shingles, SimHash, normText}
+
+/** Document-deduplication operators for training-data pipelines
+  * (SURVEY.md §2.3). Scale posture: every sketch (minhash signature,
+  * simhash, band keys) is computed in a single narrow projection — no
+  * shuffle until the candidate join, and the candidate join is an
+  * equi-join on band keys (never a cross join). At 100 TB the band join
+  * shuffles only (id, band_key) pairs, and skewed buckets are bounded by
+  * `maxBucket` (drop-degenerate-bucket guard, standard LSH practice).
+  */
+object TextDedup {
+
+  // ------------------------------------------------------------------
+  // Exact dedup (hash-groupBy) — reference-style enforce-unique, applied
+  // to document text (content hash, not key hash).
+  // ------------------------------------------------------------------
+
+  /** One row per distinct text: content hash, surviving (min) id, copy count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol), 256).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ------------------------------------------------------------------
+  // Shingling helpers (narrow, codegen'd — no UDFs)
+  // ------------------------------------------------------------------
+
+  /** Distinct word n-gram shingles of normalized text (native expression —
+    * the HOF (`transform`+`slice`) formulation re-evaluates the tokenizer
+    * per element in the interpreted lambda path, O(tokens²)).
+    */
+  def wordShingles(text: Column, n: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(normText(text)), n, word = true))
+
+  /** Distinct character n-gram shingles of normalized text. */
+  def charShingles(text: Column, n: Int): Column =
+    GraftBridge.column(Shingles(GraftBridge.expression(normText(text)), n, word = false))
+
+  /** MinHash signature column of a shingle-array column. */
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), numHashes))
+
+  // ------------------------------------------------------------------
+  // N-gram Jaccard set-similarity join
+  // ------------------------------------------------------------------
+
+  /** Top-k most similar pairs by exact Jaccard over char n-grams.
+    * Inverted-index equi-join on shingle (the classic set-similarity join):
+    * explode → join on shingle → count shared → |A∩B| / (|A|+|B|−|A∩B|).
+    * At scale you add prefix filtering; the join is already an equi-join,
+    * so it shuffles on shingle, never materializes the n² pair space.
+    */
+  def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 20, maxDf: Int = 500): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val inv0 = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    // Stop-shingle cut: shingles present in > maxDf docs carry no
+    // discrimination and quadratically blow up the self-join (the df-cut
+    // analog of PPJoin prefix filtering). Jaccard from the surviving
+    // shingles is a lower bound; exact when nothing is cut.
+    val inv = inv0.join(
+      inv0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+      Seq("shingle"))
+    val shared = inv.as("a").join(inv.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("shared"), first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    shared
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // MinHash + LSH
+  // ------------------------------------------------------------------
+
+  /** Add a minhash signature column `sig` (array<bigint>, `numHashes`
+    * long). Hash family: xxhash64(shingle, seed_i) via the native
+    * MinhashSig expression — one narrow projection, no shuffle.
+    */
+  def withMinhashSignature(df: DataFrame, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32): DataFrame =
+    df.withColumn("sig", minhashSig(wordShingles(col(textCol), shingleN), numHashes))
+
+  /** LSH band keys from a minhash signature: one 64-bit key per band of
+    * `rowsPerBand` signature positions.
+    */
+  def bandKeys(sig: Column, numHashes: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(numHashes / rowsPerBand - 1)),
+      b => xxhash64(concat_ws("_",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string"))), b))
+
+  /** Near-duplicate candidate pairs via MinHash-LSH, ranked by estimated
+    * Jaccard (fraction of matching signature positions). `maxBucket` caps
+    * degenerate buckets (skew guard for the self-join at scale).
+    */
+  def minhashLshTopK(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      k: Int = 20, maxBucket: Int = 100): DataFrame = {
+    val sigs = withMinhashSignature(
+        df.select(col(idCol).as("id"), col(textCol)), textCol, shingleN, numHashes)
+      .select(col("id"), col("sig"), bandKeys(col("sig"), numHashes, rowsPerBand).as("bands"))
+    val ex = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+    val bounded = ex.join(
+      ex.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket),
+      Seq("band", "key"))
+    val cands = bounded.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val est = cands
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+    est.select("id_a", "id_b", "est_jaccard")
+      .orderBy(col("est_jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+
+  // ------------------------------------------------------------------
+  // SimHash
+  // ------------------------------------------------------------------
+
+  /** 64-bit simhash of the token multiset: bit j is set when the sum over
+    * tokens of ±1 (by bit j of the token hash) is positive. Narrow
+    * projection, one pass.
+    */
+  def simhash(text: Column): Column =
+    GraftBridge.column(SimHash(GraftBridge.expression(split(normText(text), " "))))
+
+  /** Near-duplicate pairs by simhash hamming distance, candidates from
+    * 16-bit band collisions (4 bands over the 64-bit hash — guarantees
+    * recall for hamming ≤ 3, the standard Charikar banding).
+    */
+  def simhashTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 20,
+      maxBucket: Int = 500): DataFrame = {
+    val h = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+    val ex0 = h.select(col("id"), col("sh"), posexplode(
+      transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "key")))
+    // Same skew guard as MinHash-LSH: drop degenerate bands whose bucket
+    // would make the self-join quadratic.
+    val ex = ex0.join(
+      ex0.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket),
+      Seq("band", "key"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .distinct()
+    pairs.withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .select("id_a", "id_b", "hamming")
+      .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{normText, tokens}
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.3): token
+  * counting, quality scoring, language identification, fingerprinting.
+  * All narrow projections over codegen'd expressions — a single scan even
+  * when every operator is applied at once.
+  */
+object TextStats {
+
+  /** Small multilingual stopword profiles for the heuristic language ID.
+    * Deliberately tiny and public-knowledge (most frequent function words).
+    */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "los", "del", "las", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "ein"))
+
+  /** Count of tokens that appear in `words` (multiset count, not distinct). */
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Quality metrics in one projection:
+    * n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len, score.
+    * Score: heuristic in [0,1] rewarding stopword presence and moderate
+    * token length, penalizing punctuation soup.
+    */
+  def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
+    val hits = stopwordHits(split(normText(t), " "), stopwords("en")).cast("double")
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      round(punct / nChars, 6).as("punct_ratio"),
+      round(hits / nToks, 6).as("stopword_ratio"),
+      round((nChars - (nToks - 1)) / nToks, 6).as("mean_token_len"),
+      round(least(lit(1.0),
+        lit(0.25) + least(hits / nToks * 2, lit(0.5)) +
+          when(punct / nChars < 0.1, 0.25).otherwise(0.0)), 6).as("quality_score"))
+  }
+
+  /** Heuristic language ID: argmax of stopword-profile hit counts, with a
+    * fixed precedence order on ties; 'und' when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = split(normText(text), " ")
+    val langs = Seq("en", "es", "fr", "de")
+    val scores = langs.map(l => l -> stopwordHits(toks, stopwords(l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && s > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** 64-bit content fingerprint, hex (sha256 prefix — engine-stable). */
+  def fingerprintHex(text: Column): Column = substring(sha2(text, 256), 1, 16)
+
+  /** Rolling 64-bit fingerprint of the token sequence (xxhash64 chain) —
+    * order-sensitive, unlike the set-based sketches.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+}

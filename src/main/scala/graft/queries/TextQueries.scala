@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.sources.Tables
+
+/** LLM-training-data operators (SURVEY.md §2.3) wired to the driver tables.
+  * Sketch-based ops (minhash/simhash/LSH) are rows-only: their hash
+  * families aren't expressible in DuckDB SQL; determinism is covered by
+  * TextOpsSpec and the row counts recorded by the driver.
+  */
+object TextQueries {
+
+  private val EnStop = TextStats.stopwords("en")
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // 30: exact dedup by content hash
+    Q("d_dedup_exact",
+      (s, dir) => TextDedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("text_hash")),
+      Some("""
+        SELECT sha256(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY text_hash
+      """)),
+
+    // ------------------------------------------------------------------
+    // 31: char-4-gram Jaccard set-similarity join, top-20 pairs
+    Q("d_dedup_ngram_jaccard",
+      (s, dir) => TextDedup.ngramJaccardTopK(Tables.documents(s, dir), "doc_id", "text"),
+      None),
+
+    // ------------------------------------------------------------------
+    // 32: MinHash + LSH banding, top-20 candidates by estimated Jaccard
+    Q("d_dedup_minhash_lsh",
+      (s, dir) => TextDedup.minhashLshTopK(Tables.documents(s, dir), "doc_id", "text"),
+      None),
+
+    // ------------------------------------------------------------------
+    // 33: SimHash near-dup, top-20 pairs by hamming distance
+    Q("d_dedup_simhash",
+      (s, dir) => TextDedup.simhashTopK(Tables.documents(s, dir), "doc_id", "text"),
+      None),
+
+    // ------------------------------------------------------------------
+    // 34: embedding near-dup via hyperplane-LSH buckets, top-20 by cosine
+    Q("d_dedup_embedding",
+      (s, dir) => Similarity.annLshTopK(
+        Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 8, dim = 64),
+      None),
+
+    // ------------------------------------------------------------------
+    // 35: brute-force cosine top-5 neighbors for 10 query vectors
+    Q("s_cosine_topk",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // 36: ANN via wider LSH buckets (4 planes → coarser, higher recall)
+    Q("s_ann_lsh",
+      (s, dir) => Similarity.annLshTopK(
+          Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 4, dim = 64, k = 50)
+        .withColumn("cosine", round(col("cosine"), 6)),
+      None),
+
+    // ------------------------------------------------------------------
+    // 37: token counting
+    Q("x_token_count",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), graft.functions.tokenCount(col("text")).as("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 38: quality metrics (length/punct/stopword/mean-token-len + score)
+    Q("x_text_quality",
+      (s, dir) => TextStats.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(len(list_filter(
+                   string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' '),
+                   x -> list_contains([${EnStop.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) AS hits
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens,
+               round(punct / n_chars, 6) AS punct_ratio,
+               round(hits / n_tokens, 6) AS stopword_ratio,
+               round((n_chars - (n_tokens - 1)) / n_tokens, 6) AS mean_token_len,
+               round(least(1.0, 0.25 + least(hits / n_tokens * 2, 0.5) +
+                     CASE WHEN punct / n_chars < 0.1 THEN 0.25 ELSE 0.0 END), 6) AS quality_score
+        FROM t ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 39: heuristic language ID (stopword-profile argmax)
+    Q("x_lang_id",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))
+        .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_guess")),
+      None),
+
+    // ------------------------------------------------------------------
+    // 40: content fingerprint (sha256-prefix hex, engine-stable)
+    Q("x_fingerprint",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextStats.fingerprintHex(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, substr(sha256(text), 1, 16) AS fp
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 41: multimodal plumbing — binary column + mapPartitions feature
+    // extraction (decode stubbed; see Multimodal.decodeStub)
+    Q("m_multimodal_meta",
+      (s, dir) => {
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id"), col("text").cast("binary").as("media"),
+            lit("application/octet-stream").as("mime"))
+        Multimodal.extractFeatures(media, "doc_id", "media", "mime")
+          .orderBy(col("id"))
+      },
+      None)
+  )
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Multimodal, Similarity, TextDedup, TextStats}
+
+class TextOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("word shingles: distinct, ordered, whole-text when short") {
+    val out = Seq("a b c d", "x y").toDF("t")
+      .select(TextDedup.wordShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1) == Seq("x y"))
+  }
+
+  test("char shingles of repeated text are deduplicated") {
+    val out = Seq("ababab").toDF("t")
+      .select(TextDedup.charShingles(col("t"), 2).as("sh"))
+      .as[Seq[String]].collect()
+    assert(out(0) == Seq("ab", "ba"))
+  }
+
+  test("minhash signatures: identical texts agree, est jaccard 1.0 surfaces dupes") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different words occupy this unrelated document body here")
+    ).toDF("doc_id", "text")
+    val top = TextDedup.minhashLshTopK(docs, "doc_id", "text", maxBucket = 10)
+      .as[(Long, Long, Double)].collect()
+    assert(top.head == ((1L, 2L, 1.0)))
+  }
+
+  test("simhash: identical → hamming 0; sketch is deterministic") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "omega psi chi phi")).toDF("doc_id", "text")
+    val hs = df.select(TextDedup.simhash(col("text")).as("h")).as[Long].collect()
+    assert(hs(0) == hs(1))
+    val top = TextDedup.simhashTopK(df, "doc_id", "text", maxBucket = 10)
+      .as[(Long, Long, Int)].collect()
+    assert(top.head._3 == 0 && top.head._1 == 1L && top.head._2 == 2L)
+  }
+
+  test("exact dedup groups identical texts") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val out = TextDedup.exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id").select("keep_id", "n_copies").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("ngram jaccard: duplicate pair scores 1.0") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val out = TextDedup.ngramJaccardTopK(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.head == ((1L, 2L, 1.0)))
+  }
+
+  test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      Similarity.cosine(col("a"), col("b")).as("same"),
+      Similarity.cosine(col("a"), col("c")).as("orth")).as[(Double, Double)].head()
+    assert(math.abs(r._1 - 1.0) < 1e-12 && math.abs(r._2) < 1e-12)
+  }
+
+  test("lsh bucket key is deterministic and within range") {
+    val df = Seq(Tuple1(Seq.fill(8)(0.5f)), Tuple1(Seq.fill(8)(-0.5f))).toDF("v")
+    val b1 = df.select(Similarity.lshBucket(col("v"), 4, 8).as("b")).as[Long].collect()
+    val b2 = df.select(Similarity.lshBucket(col("v"), 4, 8).as("b")).as[Long].collect()
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 16))
+  }
+
+  test("langId picks the dominant stopword profile") {
+    val out = Seq(
+      "el perro y la casa de los vecinos en la calle",
+      "the cat and the dog of the house is in that corner",
+      "zzz qqq www").toDF("t")
+      .select(TextStats.langId(col("t")).as("l")).as[String].collect()
+    assert(out.toSeq == Seq("es", "en", "und"))
+  }
+
+  test("quality metrics formulas") {
+    val m = TextStats.qualityMetrics(Seq((1L, "the cat, the hat")).toDF("id", "t"), "id", "t")
+      .head()
+    assert(m.getDouble(1) == 16.0) // n_chars
+    assert(m.getDouble(2) == 4.0)  // n_tokens
+    assert(m.getDouble(3) == 0.0625) // 1 comma / 16
+    assert(m.getDouble(4) == 0.5)  // the,the of 4
+  }
+
+  test("rolling fingerprint is order-sensitive, hex fingerprint is not affected by id") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "t")
+    val rolled = df.select(TextStats.rollingFingerprint(col("t")).as("f")).as[Long].collect()
+    assert(rolled(0) != rolled(1))
+    val hexes = df.select(TextStats.fingerprintHex(col("t")).as("f")).as[String].collect()
+    assert(hexes.forall(_.length == 16))
+  }
+
+  test("multimodal feature extraction: schema, determinism, empty bytes") {
+    val df = Seq(
+      (1L, "some media bytes", "image/png"),
+      (2L, "", "image/png")
+    ).toDF("id", "payload", "mime")
+      .withColumn("media", col("payload").cast("binary"))
+    val out = Multimodal.extractFeatures(df, "id", "media", "mime")
+    assert(out.columns.toSeq == Seq(
+      "id", "byte_len", "content_hash", "width", "height", "format", "brightness"))
+    val rows = out.orderBy("id").collect()
+    assert(rows(0).getInt(1) == 16)
+    assert(rows(1).getInt(1) == 0 && rows(1).getDouble(6) == 0.0)
+    // Determinism across runs
+    val again = Multimodal.extractFeatures(df, "id", "media", "mime").orderBy("id").collect()
+    assert(rows.sameElements(again))
+  }
+}
