@@ -9,7 +9,7 @@ object SparkEntry {
 
   /** All verifiable operators/queries, grouped per SURVEY.md §2 sections. */
   def allQueries: Seq[Q] =
-    RelationalQueries.all ++ TransformQueries.all ++ TextQueries.all
+    RelationalQueries.all ++ TransformQueries.all ++ TextQueries.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.operators.Transform
+
+/** Structured Streaming analogs of the reference's incremental ETL
+  * (SURVEY.md §2.4).
+  *
+  * The reference polls CKAN and uses `state.json` watermarks to process
+  * only new/changed resources (reference etl/get_status.py + extract.py);
+  * Structured Streaming's file source + checkpoint IS that loop, with
+  * exactly-once bookkeeping instead of a hand-rolled state file. The LOAD
+  * upsert (reference etl/load.py:388-460) becomes a foreachBatch
+  * merge-by-key.
+  *
+  * All transforms here are plain DataFrame→DataFrame so the same logic runs
+  * in batch (tested against the DuckDB oracle via their batch twins) and in
+  * streams (tested with memory sinks in StreamingSpec).
+  */
+object StreamOps {
+
+  /** File-source stream over a directory of parquet drops with a known
+    * schema. `maxFilesPerTrigger=1` gives deterministic per-file
+    * micro-batches in tests; leave default for throughput in production.
+    */
+  def readParquetStream(
+      spark: SparkSession,
+      dir: String,
+      schemaFrom: DataFrame,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Canonicalize an event stream: trimmed strings, bounded values nulled,
+    * business key added — the streaming twin of the batch transform chain.
+    */
+  def canonicalizeEvents(df: DataFrame): DataFrame =
+    df.withColumn("event_type", trim(col("event_type")))
+      .withColumn("business_key",
+        concat_ws("|", col("user_id").cast("string"), col("event_type"),
+          col("ts").cast("string")))
+
+  /** Watermarked tumbling-window aggregation (counts + exact decimal sums,
+    * same discipline as the batch queries).
+    */
+  def windowedAgg(df: DataFrame, watermark: String = "30 minutes",
+      windowLen: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Streaming dedup on a business key, state bounded by the watermark
+    * (the streaming twin of Transform.dedupByKey / the reference's
+    * enforce_unique_business_key).
+    */
+  def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
+      watermark: String = "30 minutes"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
+  /** foreachBatch upsert sink: merge each micro-batch into a parquet
+    * target by key (last-writer-wins within the batch via tieBreakers).
+    * The swap is write-new → rename, via the Hadoop FileSystem API so it
+    * works on HDFS/object-store committers, not just local disk.
+    */
+  def upsertSink(
+      df: DataFrame,
+      targetDir: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      tieBreakers: Seq[String]): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertIntoParquet(batch, targetDir, keys, tieBreakers)
+      }
+      .start()
+
+  /** One merge step: read current target (if any), upsert the batch,
+    * atomically swap directories.
+    */
+  def upsertIntoParquet(batch: DataFrame, targetDir: String,
+      keys: Seq[String], tieBreakers: Seq[String]): Unit = {
+    val spark = batch.sparkSession
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(targetDir)
+    val fs = target.getFileSystem(hadoopConf)
+    val deduped = Transform.dedupByKey(batch, keys, latestBy = None, tieBreakers = tieBreakers)
+    val merged =
+      if (fs.exists(target)) Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers)
+      else deduped
+    val tmp = new Path(targetDir + ".staging")
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    fs.rename(tmp, target)
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Tables
+import graft.streaming.StreamOps
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** Stage the events table as N separate parquet drop files in a temp dir,
+    * simulating incremental arrivals (the CKAN-resource analog).
+    */
+  private def stageDrops(n: Int): String = {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val ev = Tables.events(spark, sfDir)
+    (0 until n).foreach { i =>
+      ev.filter(col("event_id") % n === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  test("incremental ingest: file-source stream sees all drops exactly once") {
+    val dir = stageDrops(3)
+    val stream = StreamOps.canonicalizeEvents(
+      StreamOps.readParquetStream(spark, dir, Tables.events(spark, sfDir)))
+    val q = stream.writeStream.format("memory").queryName("ingest")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("ingest")
+    assert(got.count() == Tables.events(spark, sfDir).count())
+    assert(got.select("business_key").distinct().count() == got.count())
+  }
+
+  test("windowed aggregation over the stream matches the batch twin") {
+    val dir = stageDrops(2)
+    val stream = StreamOps.windowedAgg(
+      StreamOps.readParquetStream(spark, dir, Tables.events(spark, sfDir)))
+    val q = stream.writeStream.format("memory").queryName("winagg")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val batch = Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+    // Append-mode emits only watermark-closed windows; every emitted row
+    // must equal its batch twin, and most windows must have closed.
+    val got = spark.table("winagg")
+    assert(got.count() > 0)
+    assert(got.except(batch).count() == 0)
+  }
+
+  test("streaming dedup within watermark drops same-key duplicates") {
+    val dir = Files.createTempDirectory("graft-dupes").toString
+    val ev = Tables.events(spark, sfDir).limit(100)
+    ev.coalesce(1).write.mode("append").parquet(dir)
+    ev.coalesce(1).write.mode("append").parquet(dir) // same rows again
+    val stream = StreamOps.dedupWithinWatermark(
+      StreamOps.readParquetStream(spark, dir, ev, maxFilesPerTrigger = 2),
+      keys = Seq("event_id"))
+    val q = stream.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup").count() == 100)
+  }
+
+  test("foreachBatch upsert sink merges drops into the parquet target by key") {
+    val dropDir = Files.createTempDirectory("graft-upsert-in").toString
+    val target = Files.createTempDirectory("graft-upsert-t").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-upsert-c").toString
+
+    // Drop 1: keys 0..49 v=1 | Drop 2: keys 25..74 v=2 (overlap updates)
+    Seq.tabulate(50)(i => (i.toLong, 1)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val q = StreamOps.upsertSink(
+      spark.readStream.schema("k LONG, v INT").option("maxFilesPerTrigger", 1).parquet(dropDir),
+      target, ckpt, keys = Seq("k"), tieBreakers = Seq("v"))
+    q.awaitTermination(); // AvailableNow terminates after draining
+
+    Seq.tabulate(50)(i => ((i + 25).toLong, 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    val q2 = StreamOps.upsertSink(
+      spark.readStream.schema("k LONG, v INT").option("maxFilesPerTrigger", 1).parquet(dropDir),
+      target, ckpt, keys = Seq("k"), tieBreakers = Seq("v"))
+    q2.awaitTermination()
+
+    val out = spark.read.parquet(target)
+    assert(out.count() == 75) // keys 0..74, no duplicates
+    assert(out.filter(col("k") < 25 && col("v") === 1).count() == 25)
+    assert(out.filter(col("k") >= 25 && col("v") === 2).count() == 50)
+  }
+}
