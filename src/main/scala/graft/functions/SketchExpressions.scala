@@ -19,9 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row cost is the hashing loop, not the dispatch.
   */
 
-/** Word or char n-gram shingles (distinct, order-preserved) of a
-  * pre-normalized text (single-space separated; compose with `normText`).
-  * Shorter-than-n inputs yield one shingle (the whole text).
+/** Word or char n-gram shingles (distinct, order-preserved) of RAW text.
+  * Normalization (trim/strip-accents/lower/collapse-ws) happens inside via
+  * SketchHash.tokenize — one char scan, not the interpreted regex chain.
+  * Shorter-than-n inputs yield one shingle (the whole normalized text).
   */
 case class Shingles(child: Expression, n: Int, word: Boolean)
     extends UnaryExpression with CodegenFallback {
@@ -29,11 +30,10 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String].toString)
     val out = new mutable.LinkedHashSet[UTF8String]
     if (word) {
-      val toks = s.split(' ')
-      if (toks.length <= n) out += UTF8String.fromString(s)
+      if (toks.length <= n) out += UTF8String.fromString(toks.mkString(" "))
       else {
         var i = 0
         while (i <= toks.length - n) {
@@ -48,6 +48,7 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
         }
       }
     } else {
+      val s = toks.mkString(" ")
       if (s.length <= n) out += UTF8String.fromString(s)
       else {
         var i = 0
@@ -65,6 +66,44 @@ private[functions] object SketchHash {
   /** xxhash64 of a UTF8String under `seed` (Spark's XXH64, zero-copy). */
   @inline def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** One-pass text normalization + whitespace tokenization: trim, strip
+    * accents (NFKD only when non-ASCII present), lowercase, split on
+    * whitespace runs. Same semantics as `normText` + split, but a single
+    * char scan instead of four interpreted regex/normalizer expressions —
+    * the regex chain measured ~1 ms per 3 KB document.
+    */
+  def tokenize(raw: String): Array[String] = {
+    var s = raw
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) >= 0x80) ascii = false; i += 1 }
+    if (!ascii) {
+      val norm = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKD)
+      val sb = new java.lang.StringBuilder(norm.length)
+      var j = 0
+      while (j < norm.length) {
+        val c = norm.charAt(j)
+        val t = Character.getType(c)
+        if (t != Character.NON_SPACING_MARK && t != Character.COMBINING_SPACING_MARK &&
+            t != Character.ENCLOSING_MARK) sb.append(c)
+        j += 1
+      }
+      s = sb.toString
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val tok = new java.lang.StringBuilder(32)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) {
+        if (tok.length > 0) { out += tok.toString; tok.setLength(0) }
+      } else tok.append(Character.toLowerCase(c))
+      i += 1
+    }
+    if (tok.length > 0) out += tok.toString
+    out.toArray
+  }
 }
 
 /** MinHash signature: element i is min over shingles of xxhash64(shingle,
@@ -100,20 +139,21 @@ case class MinhashSig(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
-/** 64-bit SimHash of a token array (Charikar): bit j set when the ±1 sum of
-  * token-hash bit j over all tokens is positive. Input: array<string>.
+/** 64-bit SimHash of RAW text (Charikar): bit j set when the ±1 sum of
+  * token-hash bit j over all tokens is positive. Tokenization happens
+  * inside (SketchHash.tokenize, one char scan).
   */
 case class SimHash(child: Expression) extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String].toString)
     val counts = new Array[Int](64)
     var i = 0
-    val n = arr.numElements()
+    val n = toks.length
     while (i < n) {
-      val h = SketchHash.hash(arr.getUTF8String(i), 42L)
+      val h = SketchHash.hash(UTF8String.fromString(toks(i)), 42L)
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -129,4 +169,39 @@ case class SimHash(child: Expression) extends UnaryExpression with CodegenFallba
 
   override protected def withNewChildInternal(newChild: Expression): SimHash =
     copy(child = newChild)
+}
+
+/** Dot product of two numeric arrays (float or double elements), accumulated
+  * in double. Native because the `zip_with`+`aggregate` formulation pays
+  * interpreted-lambda dispatch per element — ~10µs per 64-dim pair vs ~40ns
+  * here. Nulls propagate; mismatched lengths use the shorter prefix.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  private lazy val leftFloat =
+    left.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+  private lazy val rightFloat =
+    right.dataType.asInstanceOf[ArrayType].elementType == org.apache.spark.sql.types.FloatType
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
 }

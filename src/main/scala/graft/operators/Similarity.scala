@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VecDot
 
 /** Embedding similarity search (SURVEY.md §2.3).
   *
@@ -17,9 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) accumulated in double. */
+  /** dot(a, b) accumulated in double (native VecDot expression — the
+    * zip_with/aggregate formulation pays interpreted-lambda dispatch per
+    * element).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    GraftBridge.column(VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -73,8 +79,11 @@ object Similarity {
     */
   def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L): DataFrame = {
+    // Persisted: referenced on both sides of the self-join — without it the
+    // bucket signature (numPlanes dot products per row) is computed twice.
     val withBucket = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim, seed))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val pairs = withBucket.as("a").join(withBucket.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

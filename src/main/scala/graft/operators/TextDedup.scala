@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.GraftBridge
+import org.apache.spark.storage.StorageLevel
+
 import graft.functions.{MinhashSig, Shingles, SimHash, normText}
 
 /** Document-deduplication operators for training-data pipelines
@@ -35,11 +37,11 @@ object TextDedup {
     * per element in the interpreted lambda path, O(tokens²)).
     */
   def wordShingles(text: Column, n: Int): Column =
-    GraftBridge.column(Shingles(GraftBridge.expression(normText(text)), n, word = true))
+    GraftBridge.column(Shingles(GraftBridge.expression(text), n, word = true))
 
   /** Distinct character n-gram shingles of normalized text. */
   def charShingles(text: Column, n: Int): Column =
-    GraftBridge.column(Shingles(GraftBridge.expression(normText(text)), n, word = false))
+    GraftBridge.column(Shingles(GraftBridge.expression(text), n, word = false))
 
   /** MinHash signature column of a shingle-array column. */
   def minhashSig(shingles: Column, numHashes: Int): Column =
@@ -56,7 +58,7 @@ object TextDedup {
     * so it shuffles on shingle, never materializes the n² pair space.
     */
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 20, maxDf: Int = 500): DataFrame = {
+      n: Int = 3, k: Int = 20, maxDf: Int = 200): DataFrame = {
     val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
     val inv0 = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
@@ -64,8 +66,10 @@ object TextDedup {
     // discrimination and quadratically blow up the self-join (the df-cut
     // analog of PPJoin prefix filtering). Jaccard from the surviving
     // shingles is a lower bound; exact when nothing is cut.
-    val inv = inv0.join(
-      inv0.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
+    // Persisted: inv0 feeds the df-count, then both sides of the pair join.
+    val inv1 = inv0.persist(StorageLevel.MEMORY_AND_DISK)
+    val inv = inv1.join(
+      inv1.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
       Seq("shingle"))
     val shared = inv.as("a").join(inv.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -106,9 +110,12 @@ object TextDedup {
   def minhashLshTopK(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       k: Int = 20, maxBucket: Int = 100): DataFrame = {
+    // Persisted: signatures are re-read by the band explode and both sides
+    // of the candidate verification join (3 passes otherwise).
     val sigs = withMinhashSignature(
         df.select(col(idCol).as("id"), col(textCol)), textCol, shingleN, numHashes)
       .select(col("id"), col("sig"), bandKeys(col("sig"), numHashes, rowsPerBand).as("bands"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ex = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
     val bounded = ex.join(
       ex.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
@@ -138,15 +145,16 @@ object TextDedup {
     * projection, one pass.
     */
   def simhash(text: Column): Column =
-    GraftBridge.column(SimHash(GraftBridge.expression(split(normText(text), " "))))
+    GraftBridge.column(SimHash(GraftBridge.expression(text)))
 
   /** Near-duplicate pairs by simhash hamming distance, candidates from
     * 16-bit band collisions (4 bands over the 64-bit hash — guarantees
     * recall for hamming ≤ 3, the standard Charikar banding).
     */
   def simhashTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 20,
-      maxBucket: Int = 500): DataFrame = {
+      maxBucket: Int = 200): DataFrame = {
     val h = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val ex0 = h.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "key")))

@@ -302,6 +302,11 @@ object Transform {
     val expected = cfg.expectedColumns
     if (cfg.padMissing) df = padMissing(df, expected)
     val diff = schemaDiff(df, expected)
+    // The critical check is an eager aggregation over the transformed frame;
+    // persist so the final consumer does not recompute the whole chain
+    // (keys + dedup shuffle) a second time.
+    val needsCheck = cfg.critical.all.nonEmpty || cfg.critical.anyOf.nonEmpty
+    if (needsCheck) df = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val (missAll, missAny) = criticalIssues(df, cfg.critical)
     if (cfg.promote.onCriticalFail == "error" && (missAll.nonEmpty || missAny.nonEmpty))
       throw new TransformHardFail(
