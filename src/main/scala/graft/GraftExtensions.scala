@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+
+/** SQL-function surface of the graft engine.
+  *
+  * Two registration paths:
+  *  - config: `spark.sql.extensions=graft.GraftExtensions` (cluster-wide)
+  *  - runtime: `GraftExtensions.register(spark)` (per-session, used in tests)
+  *
+  * Exposes the custom Catalyst expressions to `spark.sql(...)` users:
+  * strip_accents, uuid5, shingles, minhash_sig, simhash, vec_dot.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[Expression]) => builder(exprs)))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression): Int =
+    e.eval(null).asInstanceOf[Number].intValue()
+
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "strip_accents" -> { exprs => StripAccents(exprs.head) },
+    "uuid5" -> { exprs => UuidV5(exprs(0), exprs(1)) },
+    // shingles(text, n, word): word=true → word n-grams, else char n-grams
+    "shingles" -> { exprs =>
+      Shingles(exprs(0), intLit(exprs(1)),
+        word = exprs.length < 3 || exprs(2).eval(null).asInstanceOf[Boolean])
+    },
+    "minhash_sig" -> { exprs => MinhashSig(exprs(0), intLit(exprs(1))) },
+    "simhash" -> { exprs => SimHash(exprs.head) },
+    "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) })
+
+  /** Runtime registration into an existing session's function registry. */
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (name, builder) =>
+      org.apache.spark.sql.GraftBridge.registerFunction(spark, name, builder)
+    }
+}

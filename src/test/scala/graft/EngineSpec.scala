@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Audit, SchemaDiff}
+import graft.sources.Ingest
+
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("SQL functions registered via GraftExtensions builders") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT strip_accents('canción') AS sa,
+                uuid5('https://graft.dev/test', 'a|b') AS u5,
+                simhash('a b c') AS sh,
+                shingles('a b c d', 3) AS sg,
+                minhash_sig(shingles('a b c d', 3), 4) AS ms,
+                vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd
+      """).head()
+    assert(r.getAs[String]("sa") == "cancion")
+    assert(r.getAs[String]("u5") == "58b14cc9-7d40-5f55-bbd6-1f9bd52e547f")
+    assert(r.getSeq[String](r.fieldIndex("sg")).toSeq == Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](r.fieldIndex("ms")).length == 4)
+    assert(r.getAs[Double]("vd") == 11.0)
+  }
+
+  test("incremental ingest: only new/modified files, state advances after save") {
+    val dir = Files.createTempDirectory("graft-ingest").toString
+    val statePath = dir + "/state.properties"
+    val cfg = Ingest.SourceCfg(format = "parquet", dir = dir, glob = "drop*")
+
+    Seq((1, "a"), (2, "b")).toDF("id", "v")
+      .coalesce(1).write.parquet(dir + "/drop1")
+    // parquet dirs are directories; ingest matches files → use the part files
+    val cfg2 = cfg.copy(glob = "drop*/part-*.parquet")
+
+    val first = Ingest.extractUpdated(spark, cfg2, statePath)
+    assert(first.isDefined)
+    val (df1, st1) = first.get
+    assert(df1.count() == 2)
+    Ingest.saveState(spark, statePath, st1)
+
+    // No new files → None
+    assert(Ingest.extractUpdated(spark, cfg2, statePath).isEmpty)
+
+    // New drop → only its rows
+    Seq((3, "c")).toDF("id", "v").coalesce(1).write.parquet(dir + "/drop2")
+    val second = Ingest.extractUpdated(spark, cfg2, statePath)
+    assert(second.isDefined)
+    assert(second.get._1.as[(Int, String)].collect().toSeq == Seq((3, "c")))
+  }
+
+  test("audit: run + resource rows append and read back") {
+    val dir = Files.createTempDirectory("graft-audit").toString
+    val now = new java.sql.Timestamp(1700000000000L)
+    val transformed = Seq((1L, "k1"), (2L, "k1"), (3L, "k2")).toDF("id", "business_key")
+    val res = Audit.resourceMetrics("r1", "resA", rowsIn = 4, transformed,
+      diff = SchemaDiff(missing = Seq("m1"), extra = Nil))
+    assert(res.rows_out == 3 && res.duplicates_key == 1 &&
+      res.dedup_rows_dropped == 1 && res.schema_missing == 1)
+    Audit.appendRun(spark, dir,
+      Audit.RunRow("r1", now, now, "ok", 1, 4, 3, null))
+    Audit.appendResources(spark, dir, Seq(res))
+    assert(Audit.readRuns(spark, dir).count() == 1)
+    assert(Audit.readResources(spark, dir).filter(col("run_id") === "r1").count() == 1)
+  }
+
+  test("plans: filter pushdown and column pruning reach the parquet scan") {
+    val sfDir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q1_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushdown in plan:\n$plan")
+    // Projection: only the 7 needed columns, not all 11.
+    assert(plan.contains("l_returnflag") && !plan.contains("l_partkey"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("plans: dimension joins are broadcast, not shuffled") {
+    val sfDir = "/root/testdata/sf0.001"
+    val p3 = SparkEntry.queries("q3_shipping")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), s"q3 lost its broadcast:\n$p3")
+    val p5 = SparkEntry.queries("q5_local_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), s"q5 lost its broadcast:\n$p5")
+    // The fact-side scan must not appear under a CartesianProduct anywhere.
+    assert(!p3.contains("CartesianProduct") && !p5.contains("CartesianProduct"))
+  }
+
+  test("plans: whole-stage codegen covers the transform pipeline projections") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("t_norm_text")(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // WholeStageCodegen stages render as "*(n)" prefixes in the plan tree.
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+  }
+}
