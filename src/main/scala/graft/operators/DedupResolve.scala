@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Turns near-duplicate candidate PAIRS into a dedup DECISION: connected
+  * components over the pair graph, then one survivor per component
+  * (min id — deterministic).
+  *
+  * Components run as iterative min-label propagation (the public
+  * large-star/small-star family): each vertex repeatedly adopts the
+  * smallest label among itself and its neighbors. Converges in
+  * O(log(diameter)) rounds; every round is one equi-join + one agg, both
+  * shuffling on vertex id. Iteration cap + convergence check keep it
+  * bounded; intermediate frames are persisted and freed per round
+  * (mandatory for any DataFrame loop — otherwise lineage grows without
+  * bound and replans every round).
+  */
+object DedupResolve {
+
+  /** labels(id → component) for every vertex present in `pairs`
+    * (columns id_a, id_b). Component id = min vertex id in the component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // Undirected edge list, both directions.
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize
+
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // Each vertex adopts min(own label, neighbors' labels).
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0L
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Resolve candidate pairs into per-document decisions:
+    * (id, component, keep) — keep=false means the row is a near-duplicate
+    * of the component's survivor (min id). Documents absent from `pairs`
+    * are implicit survivors.
+    */
+  def resolve(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .withColumn("keep", col("id") === col("label"))
+      .select(col("id"), col("label").as("component"), col("keep"))
+
+  /** Apply the decision: corpus minus non-survivors. One shuffle (the
+    * left-anti join on id).
+    */
+  def dropDuplicates(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val losers = resolve(pairs).filter(!col("keep")).select(col("id"))
+    corpus.join(losers, corpus(idCol) === losers("id"), "left_anti")
+  }
+}

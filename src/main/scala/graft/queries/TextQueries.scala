@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.operators.{DedupResolve, Multimodal, Similarity, TextDedup, TextStats}
 import graft.sources.Tables
 
 /** LLM-training-data operators (SURVEY.md §2.3) wired to the driver tables.
@@ -69,6 +69,36 @@ object TextQueries {
           Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 4, dim = 64, k = 50)
         .withColumn("cosine", round(col("cosine"), 6)),
       None),
+
+    // ------------------------------------------------------------------
+    // 31b: end-to-end dedup decision: minhash candidates → connected
+    // components → survivors (rows-only; component algebra tested in spec)
+    Q("d_dedup_resolve",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = TextDedup.minhashLshTopK(docs, "doc_id", "text", k = 200)
+          .filter(col("est_jaccard") >= 0.5)
+          .select("id_a", "id_b")
+        DedupResolve.resolve(pairs)
+          .groupBy(col("keep")).agg(count(lit(1)).as("n"))
+          .orderBy(col("keep"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // 37b: BPE-style pre-tokenizer count (GPT-2 pattern family, RE2-safe
+    // subset so the DuckDB oracle matches; real BPE merges happen
+    // downstream of pre-tokenization)
+    Q("x_token_count_bpe",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(regexp_extract_all(lower(col("text")),
+            lit("'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"), lit(0)))
+            .as("n_bpe_tokens"))
+        .orderBy(col("doc_id")),
+      Some("SELECT doc_id, len(regexp_extract_all(lower(text), " +
+        "'''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9[:space:]]+'" +
+        ")) AS n_bpe_tokens FROM documents ORDER BY doc_id")),
 
     // ------------------------------------------------------------------
     // 37: token counting

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Multimodal, Similarity, TextDedup, TextStats}
+import graft.operators.{DedupResolve, Multimodal, Similarity, TextDedup, TextStats}
 
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -101,6 +101,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rolled(0) != rolled(1))
     val hexes = df.select(TextStats.fingerprintHex(col("t")).as("f")).as[String].collect()
     assert(hexes.forall(_.length == 16))
+  }
+
+  test("connected components resolve chained near-dup pairs to one survivor") {
+    // Components: {1,2,3,9} via chain 1-2, 2-3, 3-9; {5,6}; singleton 8 implicit.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (5L, 6L)).toDF("id_a", "id_b")
+    val resolved = DedupResolve.resolve(pairs)
+      .orderBy("id").as[(Long, Long, Boolean)].collect().toSeq
+    assert(resolved == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (5L, 5L, true), (6L, 5L, false), (9L, 1L, false)))
+    val corpus = Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L).toDF("doc_id")
+    val kept = DedupResolve.dropDuplicates(corpus, "doc_id", pairs)
+      .orderBy("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 5L, 8L))
   }
 
   test("multimodal feature extraction: schema, determinism, empty bytes") {
