@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the k-means-partition
+  * scale path next to the hyperplane-LSH one (SURVEY.md §2.3).
+  *
+  * Build: k-means over (a sample of) the corpus → every vector assigned to
+  * its nearest centroid (one narrow pass; centroids broadcast as literals).
+  * Search: probe only the `nProbe` centroids nearest each query — the
+  * corpus scan is pruned to candidate cells by an equi-join on cell id,
+  * which at 100 TB is the difference between touching ~nProbe/k of the
+  * data and touching all of it.
+  *
+  * Uses MLlib's KMeans (ships with Spark) for training only; assignment
+  * and search are plain DataFrame ops over array<float> columns via the
+  * native VecDot expression.
+  */
+object IvfIndex {
+
+  final case class Model(centroids: Array[Array[Double]]) {
+    def k: Int = centroids.length
+  }
+
+  /** Train centroids. `sampleFraction` bounds driver/ML cost on huge
+    * corpora — k-means on a uniform sample converges to near-identical
+    * cells (standard IVF practice).
+    */
+  def train(corpus: DataFrame, vecCol: String, k: Int,
+      sampleFraction: Double = 1.0, seed: Long = 42L): Model = {
+    val base = if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feats = base.select(toVec(col(vecCol)).as("features"))
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val model = km.fit(feats)
+    Model(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Nearest-centroid cell id for a vector column (argmin of squared
+    * distance ≙ argmax of dot − ||c||²/2; centroids inlined as literals so
+    * the pass is narrow and codegen-friendly).
+    */
+  def cellId(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((Similarity.dot(vec, typedlit(c.toSeq)) - half).as("score"), lit(i).as("cell"))
+    }
+    greatest(scored.toIndexedSeq: _*).getField("cell")
+  }
+
+  /** Assign every corpus row to its cell (the "inverted file"). */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", cellId(model, col("vec")))
+
+  /** Approximate top-k: each query probes its `nProbe` nearest cells; exact
+    * cosine only within those cells.
+    */
+  def search(assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+      model: Model, k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+      .withColumn("cells",
+        slice(sortCells(model, col("qvec")), 1, nProbe))
+      .withColumn("cell", explode(col("cells"))).drop("cells")
+    val cands = assigned.join(broadcast(q), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("qvec")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("id"))
+    cands.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "id", "cosine", "rk")
+  }
+
+  /** Cell ids sorted by descending affinity to `vec`. */
+  private def sortCells(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+      val half = c.map(x => x * x).sum / 2.0
+      struct((Similarity.dot(vec, typedlit(c.toSeq)) - half).as("score"), lit(i).as("cell"))
+    }
+    transform(
+      reverse(array_sort(array(scored.toIndexedSeq: _*))),
+      s => s.getField("cell"))
+  }
+}

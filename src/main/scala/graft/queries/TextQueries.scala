@@ -86,6 +86,21 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 36b: IVF (k-means cells) ANN — the partition-pruned scale path
+    Q("s_ann_ivf",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+        val assigned = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
+        graft.operators.IvfIndex.search(
+            assigned, emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
+            k = 5, nProbe = 4)
+          .withColumn("cosine", round(col("cosine"), 6))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // 37b: BPE-style pre-tokenizer count (GPT-2 pattern family, RE2-safe
     // subset so the DuckDB oracle matches; real BPE merges happen
     // downstream of pre-tokenization)

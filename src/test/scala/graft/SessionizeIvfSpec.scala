@@ -1,0 +1,72 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.IvfIndex
+import graft.sources.Tables
+import graft.streaming.Sessionize
+
+class SessionizeIvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("flatMapGroupsWithState sessionization closes sessions on idle gaps") {
+    val gap = 1800000L // 30 min
+    val t0 = 1700000000000L
+    val events = Seq(
+      // user 1: two sessions (events 3h apart), second stays open
+      Sessionize.Event(1L, new java.sql.Timestamp(t0), "a"),
+      Sessionize.Event(1L, new java.sql.Timestamp(t0 + 600000L), "b"),
+      Sessionize.Event(1L, new java.sql.Timestamp(t0 + 3600000L * 3), "c"),
+      // user 2: one session, then a much later event advances the
+      // watermark far enough to time the first session out
+      Sessionize.Event(2L, new java.sql.Timestamp(t0 + 300000L), "a"),
+      Sessionize.Event(2L, new java.sql.Timestamp(t0 + 3600000L * 9), "z"))
+
+    val dir = Files.createTempDirectory("graft-sess").toString
+    // Two drops so the stream sees the late events in a second micro-batch.
+    events.take(4).toDF().coalesce(1).write.mode("append").parquet(dir)
+    events.drop(4).toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val stream = Sessionize.sessions(
+      spark.readStream.schema(events.toDF().schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir).as[Sessionize.Event],
+      gapMillis = gap, watermark = "1 hour")
+    val q = stream.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("sessions")
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    // User 1's first session (2 events) closed by the gap; user 2's first
+    // (1 event) closed by event-time timeout once the watermark passed.
+    assert(got.contains((1L, 2L)))
+    assert(got.contains((2L, 1L)))
+  }
+
+  test("IVF search: perfect recall when probing all cells, sane recall at nProbe=4") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < 5)
+    val model = IvfIndex.train(emb, "embedding", k = 8)
+    assert(model.k == 8)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", model)
+    // Every vector lands in exactly one cell.
+    assert(assigned.count() == emb.count())
+    assert(assigned.agg(min(col("cell")), max(col("cell"))).as[(Int, Int)].head()._2 < 8)
+
+    val brute = graft.operators.Similarity
+      .cosineTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val full = IvfIndex.search(assigned, queries, "vec_id", "embedding", model,
+      k = 5, nProbe = 8).select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(full == brute) // probing every cell == exact
+    val probed = IvfIndex.search(assigned, queries, "vec_id", "embedding", model,
+      k = 5, nProbe = 4).select("query_id", "id").as[(Long, Long)].collect().toSet
+    val recall = probed.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall too low")
+  }
+}
