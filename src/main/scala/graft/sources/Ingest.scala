@@ -29,6 +29,8 @@ object Ingest {
       dir: String,
       glob: String = "*",
       prefix: String = "",
+      /** Resource-name substrings to skip (the reference's SHEET_BLACKLIST). */
+      blacklist: Seq[String] = Nil,
       options: Map[String, String] = Map.empty)
 
   /** resource path → last-seen modification time (epoch millis). */
@@ -78,7 +80,8 @@ object Ingest {
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) return (Nil, state)
     val all = fs.globStatus(new Path(dir, cfg.glob)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith(cfg.prefix))
+      .filter(st => st.isFile && st.getPath.getName.startsWith(cfg.prefix) &&
+        !cfg.blacklist.exists(st.getPath.getName.contains))
     val fresh = all.filter { st =>
       state.get(st.getPath.toString).forall(_ < st.getModificationTime)
     }
