@@ -191,7 +191,7 @@ object RelationalQueries {
           .orderBy(col("user_id"))
       },
       Some("""
-        SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events FROM (
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events FROM (
           SELECT user_id,
                  CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
                       THEN 1 ELSE 0 END AS new_session

@@ -308,9 +308,9 @@ object TransformQueries {
             sum(when(col("cnt") > 1, col("cnt") - 1).otherwise(0)).as("dedup_rows_would_drop"))
       },
       Some("""
-        SELECT SUM(cnt) AS rows_in, COUNT(*) AS distinct_keys,
-               SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS dup_keys,
-               SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS dedup_rows_would_drop
+        SELECT CAST(SUM(cnt) AS BIGINT) AS rows_in, COUNT(*) AS distinct_keys,
+               CAST(SUM(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt - 1 ELSE 0 END) AS BIGINT) AS dedup_rows_would_drop
         FROM (SELECT concat_ws('|', CAST(user_id AS VARCHAR), event_type) AS business_key,
                      COUNT(*) AS cnt
               FROM events GROUP BY 1)
