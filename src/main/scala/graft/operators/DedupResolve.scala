@@ -21,8 +21,40 @@ object DedupResolve {
 
   /** labels(id → component) for every vertex present in `pairs`
     * (columns id_a, id_b). Component id = min vertex id in the component.
+    *
+    * Adaptive: candidate-pair graphs are usually tiny relative to the
+    * corpus (that is the point of LSH); below `driverThreshold` edges the
+    * graph is solved with driver-side union-find in one collect instead of
+    * O(log n) distributed rounds of join+agg jobs (measured ~0.5 s of
+    * scheduler overhead per round). Above it, min-label propagation runs
+    * distributed.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val edgeCount = pairs.limit((driverThreshold + 1).toInt).count()
+    if (edgeCount <= driverThreshold) {
+      val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+      }
+      parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "label")
+    } else distributedComponents(pairs, maxIter)
+  }
+
+  private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
     // Undirected edge list, both directions.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))

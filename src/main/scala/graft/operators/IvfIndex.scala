@@ -35,7 +35,7 @@ object IvfIndex {
     val base = if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
     val feats = base.select(toVec(col(vecCol)).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(20)
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).setTol(1e-3)
     val model = km.fit(feats)
     Model(model.clusterCenters.map(_.toArray))
   }
