@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.functions.TopKAgg
 
 /** Shuffle-strategy helpers for the 100 TB posture (SURVEY.md §6).
   *
@@ -44,6 +46,26 @@ object ScaleJoins {
     val replicated = other.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Top-k rows per group WITHOUT a window sort: custom TopKAgg
+    * aggregate (bounded map-side heaps; only k rows per group per
+    * partition shuffle). Returns (groupCols..., payload, score, rk).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      payloadCol: String, k: Int): DataFrame = {
+    val agg = GraftBridge.column(
+      TopKAgg(
+        GraftBridge.expression(col(scoreCol).cast("double")),
+        GraftBridge.expression(col(payloadCol).cast("long")),
+        k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg.as("topk"))
+      .select(groupCols.map(col) :+ posexplode(col("topk")).as(Seq("pos", "entry")): _*)
+      .select(groupCols.map(col) :+
+        col("entry.payload").as(payloadCol) :+
+        col("entry.score").as(scoreCol) :+
+        (col("pos") + 1).as("rk"): _*)
   }
 
   /** Salted two-phase aggregation: partial agg on (key, salt), then final

@@ -101,6 +101,25 @@ object ExtendedQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Top-k per group via the custom TopKAgg aggregate (map-side bounded
+    // heaps — only k rows per group per partition shuffle, vs. the window
+    // form shuffling every row). Oracle proves equivalence to row_number.
+    Q("q_topk_agg",
+      (s, dir) => graft.operators.ScaleJoins.topKPerGroup(
+          Tables.orders(s, dir), Seq("o_custkey"), "o_totalprice", "o_orderkey", k = 3)
+        .orderBy(col("o_custkey"), col("rk")),
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+          SELECT o_custkey, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                 CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+          FROM orders)
+        WHERE rk <= 3
+        ORDER BY o_custkey, rk
+      """)),
+
+    // ------------------------------------------------------------------
     // JSON extraction from the props payload (the inverse of extras-JSON).
     Q("t_json_extract",
       (s, dir) => Tables.events(s, dir)

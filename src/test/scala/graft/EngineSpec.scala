@@ -93,6 +93,15 @@ class EngineSpec extends AnyFunSuite {
     assert(!p3.contains("CartesianProduct") && !p5.contains("CartesianProduct"))
   }
 
+  test("plans: TopKAgg runs as partial ObjectHashAggregate (map-side combine)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val plan = SparkEntry.queries("q_topk_agg")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"no object hash agg:\n$plan")
+    // partial_topkagg before the exchange = only k rows/group/partition shuffle
+    assert(plan.contains("partial_topkagg"), s"no partial aggregation:\n$plan")
+  }
+
   test("plans: whole-stage codegen covers the transform pipeline projections") {
     val sfDir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("t_norm_text")(spark, sfDir)
