@@ -83,6 +83,47 @@ object TextDedup {
       .limit(k)
   }
 
+  /** EXACT thresholded Jaccard self-join with PPJoin-style prefix
+    * filtering: under a global rarest-first shingle order, two sets with
+    * Jaccard ≥ t must share a shingle inside each other's first
+    * |s| − ⌈t·|s|⌉ + 1 shingles — so only prefix shingles are exploded
+    * into the inverted index, and rare shingles (tiny postings lists)
+    * anchor the candidates. Exact Jaccard is recomputed per candidate from
+    * the full sets. Unlike the df-cut top-k variant this is exact at any
+    * scale; the prefix bound is what PPJoin/AllPairs use.
+    */
+  def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    // Global rarest-first total order: (document frequency, shingle).
+    val ranked = exploded.join(
+        exploded.groupBy("shingle").agg(count(lit(1)).as("df_")), "shingle")
+    // Per-doc prefix of the df-sorted shingle list.
+    val prefixes = ranked
+      .withColumn("ord", struct(col("df_"), col("shingle")))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("ord"), col("shingle")))).as("sorted"),
+        count(lit(1)).as("sz"))
+      .select(col("id"),
+        explode(slice(transform(col("sorted"), _.getField("shingle")),
+          lit(1), (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          .as("shingle"))
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   // ------------------------------------------------------------------
   // MinHash + LSH
   // ------------------------------------------------------------------

@@ -67,6 +67,20 @@ object StreamOps {
     df.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Watermarked stream-stream interval join: each left event pairs with
+    * right events of the same key within `[l.ts, l.ts + window]`. Both
+    * sides carry watermarks so join state is evicted once event time
+    * passes; state is bounded by (watermark + window) per key.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame, key: String,
+      watermark: String = "1 hour", windowExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+    val l = left.withWatermark("ts", watermark).alias("l")
+    val r = right.withWatermark("ts", watermark).alias("r")
+    l.join(r,
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + $windowExpr"))
+  }
+
   /** foreachBatch upsert sink: merge each micro-batch into a parquet
     * target by key (last-writer-wins within the batch via tieBreakers).
     * The swap is write-new → rename, via the Hadoop FileSystem API so it

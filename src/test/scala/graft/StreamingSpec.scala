@@ -72,6 +72,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 100)
   }
 
+  test("stream-stream interval join pairs signups with same-user follow-up clicks") {
+    val dir = stageDrops(2)
+    val ev = Tables.events(spark, sfDir)
+    def side(t: String) = StreamOps.readParquetStream(spark, dir, ev, maxFilesPerTrigger = 2)
+      .filter(col("event_type") === t)
+      .select(col("event_id").as(s"${t}_id"), col("user_id"), col("ts"))
+    val joined = StreamOps.intervalJoin(
+      side("signup").withColumnRenamed("signup_id", "l_id"),
+      side("click").withColumnRenamed("click_id", "r_id"),
+      key = "user_id")
+      .select(col("l.l_id"), col("r.r_id"))
+    val q = joined.writeStream.format("memory").queryName("ssjoin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    // Batch twin over the same semantics.
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("l_id"), col("user_id").as("u"), col("ts").as("lts"))
+    val ck = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("r_id"), col("user_id").as("u2"), col("ts").as("rts"))
+    val batch = sg.join(ck, col("u") === col("u2") &&
+      col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 1 HOUR"))
+      .select("l_id", "r_id")
+    val got = spark.table("ssjoin")
+    assert(got.count() > 0)
+    assert(got.except(batch).count() == 0, "stream emitted a pair the batch twin lacks")
+  }
+
   test("foreachBatch upsert sink merges drops into the parquet target by key") {
     val dropDir = Files.createTempDirectory("graft-upsert-in").toString
     val target = Files.createTempDirectory("graft-upsert-t").toString + "/table"

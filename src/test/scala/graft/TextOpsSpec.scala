@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.{DedupResolve, Multimodal, Similarity, TextDedup, TextStats}
+import graft.sources.Tables
 
 class TextOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -101,6 +102,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rolled(0) != rolled(1))
     val hexes = df.select(TextStats.fingerprintHex(col("t")).as("f")).as[String].collect()
     assert(hexes.forall(_.length == 16))
+  }
+
+  test("ppjoin exact jaccard join equals brute force on real documents") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(150)
+      .select(col("doc_id"), col("text"))
+    val t = 0.35
+    val pp = TextDedup.ngramJaccardJoin(docs, "doc_id", "text", n = 2, threshold = t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // Brute force: all pairs, exact jaccard over the same shingles.
+    val sets = docs.select(col("doc_id").as("id"),
+      TextDedup.wordShingles(col("text"), 2).as("sh"))
+    val brute = sets.as("a").crossJoin(sets.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .withColumn("inter", size(array_intersect(col("a.sh"), col("b.sh"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("a.sh")) + size(col("b.sh")) - col("inter")))
+      .filter(col("j") >= t)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    assert(pp == brute, s"ppjoin=${pp.size} brute=${brute.size}")
+    assert(brute.nonEmpty)
   }
 
   test("connected components resolve chained near-dup pairs to one survivor") {
