@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.config.DatasetConfig
+import graft.operators.{Audit, Transform, TransformHardFail}
+
+/** The pipeline orchestrator — the analog of the reference's
+  * `pipeline.py::etl_process` (EXTRACT → TRANSFORM → LOAD → AUDIT), with
+  * Spark-native pieces: per-resource transform via `Transform.pipeline`,
+  * idempotent merge into a parquet target via `Transform.upsert`, and
+  * `etl_runs`/`etl_run_resources` audit appended on success AND failure
+  * (the reference records failed runs too).
+  *
+  * State promotion contract mirrors the reference (etl/load.py): callers
+  * using `Ingest.extractUpdated` save the advanced state ONLY after this
+  * returns successfully.
+  */
+object Runner {
+
+  final case class RunResult(
+      runId: String,
+      status: String,
+      resources: Seq[Audit.ResourceRow],
+      rowsInTotal: Long,
+      rowsOutTotal: Long)
+
+  def run(
+      spark: SparkSession,
+      resources: Map[String, DataFrame],
+      cfg: DatasetConfig,
+      targetDir: String,
+      auditDir: String,
+      runId: String): RunResult = {
+    val started = new java.sql.Timestamp(System.currentTimeMillis())
+    val resourceRows = Seq.newBuilder[Audit.ResourceRow]
+    var status = "ok"
+    var error: String = null
+    try {
+      resources.toSeq.sortBy(_._1).foreach { case (rid, raw) =>
+        val rowsIn = raw.count()
+        val transformed = Transform.pipeline(raw, cfg)
+        val keyCol =
+          if (transformed.columns.contains("surrogate_id")) "surrogate_id" else "business_key"
+        // Merge into the target (last-writer-wins on the upsert key).
+        graft.streaming.StreamOps.upsertIntoParquet(
+          transformed, targetDir, keys = Seq(keyCol),
+          tieBreakers = cfg.integrity.latestBy.toSeq)
+        val diff = Transform.schemaDiff(transformed, cfg.expectedColumns)
+        resourceRows += Audit.resourceMetrics(runId, rid, rowsIn, transformed, keyCol, diff)
+      }
+    } catch {
+      case e: TransformHardFail => status = "failed"; error = e.getMessage
+    }
+    val rows = resourceRows.result()
+    val ended = new java.sql.Timestamp(System.currentTimeMillis())
+    Audit.appendRun(spark, auditDir, Audit.RunRow(
+      runId, started, ended, status, rows.size,
+      rows.map(_.rows_in).sum, rows.map(_.rows_out).sum, error))
+    if (rows.nonEmpty) Audit.appendResources(spark, auditDir, rows)
+    if (status != "ok") throw new TransformHardFail(error)
+    RunResult(runId, status, rows, rows.map(_.rows_in).sum, rows.map(_.rows_out).sum)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.config._
+import graft.operators.{Audit, TransformHardFail}
+
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cfg = DatasetConfig(
+    dataset = "people",
+    padMissing = true,
+    types = TypesCfg(numeric = Seq("edad")),
+    order = Seq("codigo", "edad"),
+    critical = CriticalCfg(all = Seq("codigo")),
+    ids = IdStrategy(compositeKey = Seq("codigo"),
+      surrogate = SurrogateCfg(enabled = true, method = "sha256")),
+    integrity = IntegrityCfg(enforceUniqueBusinessKey = true))
+
+  test("runner: multi-resource transform → upsert target → audit trail") {
+    val base = Files.createTempDirectory("graft-run").toString
+    val target = base + "/table"
+    val audit = base + "/audit"
+
+    val r1 = Seq(("A1", "30"), ("A2", "40")).toDF("Código", "Edad")
+    val r2 = Seq(("A2", "41"), ("A3", "50")).toDF("Código", "Edad") // A2 updated
+    val res = Runner.run(spark, Map("res1" -> r1, "res2" -> r2), cfg,
+      target, audit, runId = "run_1")
+    assert(res.status == "ok" && res.rowsInTotal == 4)
+
+    val table = spark.read.parquet(target)
+    assert(table.count() == 3) // A1, A2 (updated), A3
+    assert(table.filter(col("codigo") === "A2").select("edad").as[Double].head() == 41.0)
+
+    val runs = Audit.readRuns(spark, audit)
+    assert(runs.count() == 1 && runs.select("status").as[String].head() == "ok")
+    assert(Audit.readResources(spark, audit).count() == 2)
+
+    // Second run is idempotent: same inputs → same target state.
+    Runner.run(spark, Map("res1" -> r1, "res2" -> r2), cfg, target, audit, "run_2")
+    assert(spark.read.parquet(target).count() == 3)
+    assert(Audit.readRuns(spark, audit).count() == 2)
+  }
+
+  test("runner: hard failure still writes the failed-run audit row") {
+    val base = Files.createTempDirectory("graft-runfail").toString
+    val bad = Seq(("x": String, "y": String)).toDF("otra", "cosa") // no 'codigo'
+    intercept[TransformHardFail] {
+      Runner.run(spark, Map("res" -> bad), cfg, base + "/t", base + "/a", "run_f")
+    }
+    val runs = Audit.readRuns(spark, base + "/a")
+    assert(runs.select("status").as[String].head() == "failed")
+  }
+}
