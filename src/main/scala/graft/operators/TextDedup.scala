@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{MinhashSig, Shingles, SimHash, normText}
+import graft.functions.{MinhashSig, Shingles, SimHash}
 
 /** Document-deduplication operators for training-data pipelines
   * (SURVEY.md §2.3). Scale posture: every sketch (minhash signature,
