@@ -132,6 +132,33 @@ object ExtendedQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // NATIVE as-of join: custom LogicalPlan + SparkStrategy + sort-merge
+    // SparkPlan (graft.plans.AsOfJoin) — one co-partitioned merge pass,
+    // O(1) state. Same semantics and oracle as the window-composed
+    // q_asof_join.
+    Q("q_asof_native",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val purchases = e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = e.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts"))
+        graft.operators.AsOf.join(purchases, signups,
+            leftKey = "user_id", rightKey = "user_id",
+            leftTs = "ts", rightTs = "ts")
+          .filter(col("ts_r").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"), col("ts_r").as("signup_ts"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND s.ts <= p.ts
+        ORDER BY p.event_id
+      """)),
+
+    // ------------------------------------------------------------------
     // Range join via time-bucketing: clicks inside each signup's 1-hour
     // window, counted per window. Oracle = DuckDB's native inequality join.
     Q("q_range_join",
