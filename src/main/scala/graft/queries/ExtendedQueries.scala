@@ -120,6 +120,44 @@ object ExtendedQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Correlated scalar subquery: each customer with their max order price.
+    Q("q_scalar_subquery",
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+        Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+        s.sql("""
+          SELECT c_custkey,
+                 (SELECT MAX(o_totalprice) FROM g_orders
+                  WHERE o_custkey = c_custkey) AS max_price
+          FROM g_customer ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c_custkey,
+               (SELECT MAX(o_totalprice) FROM orders
+                WHERE o_custkey = c_custkey) AS max_price
+        FROM customer ORDER BY c_custkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // Set operations: custkeys with orders in 1996 but none in 1997.
+    Q("q_set_ops",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+        def yr(y: Int) = o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_custkey"))
+        yr(1996).intersect(yr(1996)).except(yr(1997))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+        ORDER BY o_custkey
+      """)),
+
+    // ------------------------------------------------------------------
     // JSON extraction from the props payload (the inverse of extras-JSON).
     Q("t_json_extract",
       (s, dir) => Tables.events(s, dir)
