@@ -35,30 +35,36 @@ object Runner {
     val started = new java.sql.Timestamp(System.currentTimeMillis())
     val resourceRows = Seq.newBuilder[Audit.ResourceRow]
     var status = "ok"
-    var error: String = null
+    var failure: Throwable = null
     try {
       resources.toSeq.sortBy(_._1).foreach { case (rid, raw) =>
         val rowsIn = raw.count()
         val transformed = Transform.pipeline(raw, cfg)
-        val keyCol =
-          if (transformed.columns.contains("surrogate_id")) "surrogate_id" else "business_key"
-        // Merge into the target (last-writer-wins on the upsert key).
-        graft.streaming.StreamOps.upsertIntoParquet(
-          transformed, targetDir, keys = Seq(keyCol),
-          tieBreakers = cfg.integrity.latestBy.toSeq)
-        val diff = Transform.schemaDiff(transformed, cfg.expectedColumns)
-        resourceRows += Audit.resourceMetrics(runId, rid, rowsIn, transformed, keyCol, diff)
+        try {
+          val keyCol =
+            if (transformed.columns.contains("surrogate_id")) "surrogate_id" else "business_key"
+          // Merge into the target: latest row wins by the configured
+          // latestBy column, both within the batch and against the target.
+          graft.streaming.StreamOps.upsertIntoParquet(
+            transformed, targetDir, keys = Seq(keyCol),
+            latestBy = cfg.integrity.latestBy)
+          val diff = Transform.schemaDiff(transformed, cfg.expectedColumns)
+          resourceRows += Audit.resourceMetrics(runId, rid, rowsIn, transformed, keyCol, diff)
+        } finally transformed.unpersist() // pipeline persists at its check barrier
       }
     } catch {
-      case e: TransformHardFail => status = "failed"; error = e.getMessage
+      // Record ANY failure in the audit trail (the reference logs failed
+      // runs too), then rethrow the original exception.
+      case scala.util.control.NonFatal(e) => status = "failed"; failure = e
     }
     val rows = resourceRows.result()
     val ended = new java.sql.Timestamp(System.currentTimeMillis())
     Audit.appendRun(spark, auditDir, Audit.RunRow(
       runId, started, ended, status, rows.size,
-      rows.map(_.rows_in).sum, rows.map(_.rows_out).sum, error))
+      rows.map(_.rows_in).sum, rows.map(_.rows_out).sum,
+      if (failure == null) null else failure.getMessage))
     if (rows.nonEmpty) Audit.appendResources(spark, auditDir, rows)
-    if (status != "ok") throw new TransformHardFail(error)
+    if (failure != null) throw failure
     RunResult(runId, status, rows, rows.map(_.rows_in).sum, rows.map(_.rows_out).sum)
   }
 }

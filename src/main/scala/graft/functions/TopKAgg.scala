@@ -37,9 +37,14 @@ case class TopKAgg(
       StructField("payload", LongType, nullable = false))),
     containsNull = false)
 
-  /** Min-heap: head is the WORST retained pair, evicted first. */
+  /** Heap priority: head (the max per this ordering) is the WORST retained
+    * pair — lowest score, and among score ties the LARGEST payload (rank
+    * order is payload ascending, so larger payload = lower rank). Payload
+    * must use the natural ordering here; reversing it would retain the
+    * wrong side of a tie crossing the k boundary.
+    */
   private def ord: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long.reverse)
+    Ordering.Tuple2(Ordering.Double.TotalOrdering.reverse, Ordering.Long)
 
   override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty[(Double, Long)](ord)

@@ -8,14 +8,16 @@ import org.apache.spark.storage.StorageLevel
   * components over the pair graph, then one survivor per component
   * (min id — deterministic).
   *
-  * Components run as iterative min-label propagation (the public
-  * large-star/small-star family): each vertex repeatedly adopts the
-  * smallest label among itself and its neighbors. Converges in
-  * O(log(diameter)) rounds; every round is one equi-join + one agg, both
-  * shuffling on vertex id. Iteration cap + convergence check keep it
-  * bounded; intermediate frames are persisted and freed per round
-  * (mandatory for any DataFrame loop — otherwise lineage grows without
-  * bound and replans every round).
+  * Components run as iterative min-label propagation: each vertex
+  * repeatedly adopts the smallest label among itself and its neighbors —
+  * one hop per round, so convergence takes O(graph diameter) rounds (the
+  * large-star/small-star variants get O(log n); this implementation
+  * favors simplicity since LSH candidate graphs have tiny diameters).
+  * Every round is one equi-join + one agg, both shuffling on vertex id.
+  * Hitting the iteration cap without convergence THROWS rather than
+  * silently splitting components; intermediate frames are persisted and
+  * freed per round (mandatory for any DataFrame loop — otherwise lineage
+  * grows without bound and replans every round).
   */
 object DedupResolve {
 
@@ -85,6 +87,10 @@ object DedupResolve {
       iter += 1
     }
     edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds " +
+          "(graph diameter exceeds the cap); raise maxIter")
     labels
   }
 

@@ -130,10 +130,18 @@ object Transform {
       }
     }
 
-  /** Driver-side normText for map keys (same chain as the Column version). */
+  /** Driver-side normText for map keys — must strip the SAME mark classes
+    * as the executor-side StripAccents (Mn, Mc, Me), or keys containing
+    * e.g. Indic combining spacing marks would never match the normalized
+    * column value.
+    */
   private[graft] def normTextScala(s: String): String = {
     val noAcc = java.text.Normalizer.normalize(s.trim, java.text.Normalizer.Form.NFKD)
-      .filterNot(ch => Character.getType(ch) == Character.NON_SPACING_MARK)
+      .filterNot { ch =>
+        val t = Character.getType(ch)
+        t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+          t == Character.ENCLOSING_MARK
+      }
     noAcc.toLowerCase.split("\\s+").mkString(" ")
   }
 

@@ -93,10 +93,17 @@ final case class AsOfJoinExec(
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
 
-      // Buffered right iterator with one-row lookahead.
+      // Buffered right iterator with one-row lookahead. Rows with a null
+      // key or null ts can never match (SQL join semantics) and are
+      // skipped on every advance — null ts sorts at the head of its KEY
+      // group, not the partition, so a one-time initial drain is not
+      // enough.
       var rHead: InternalRow = null
-      def advanceRight(): Unit =
+      def advanceRight(): Unit = {
         rHead = if (rIter.hasNext) rIter.next() else null
+        while (rHead != null && (rKey.eval(rHead) == null || rTs.eval(rHead) == null))
+          rHead = if (rIter.hasNext) rIter.next() else null
+      }
       advanceRight()
 
       // Last right row consumed whose key matches `lastKey`.
@@ -106,25 +113,34 @@ final case class AsOfJoinExec(
       lIter.map { lRow =>
         val lk = lKey.eval(lRow)
         val lt = lTs.eval(lRow)
-        // Consume right rows that are usable for this (or an earlier) left
-        // row: key strictly before, or same key with ts <= left ts.
-        var continue = rHead != null
-        while (continue) {
-          val rk = rKey.eval(rHead)
-          val c = keyOrdering.compare(rk, lk)
-          if (c < 0) {
-            advanceRight()
-          } else if (c == 0 && tsOrdering.compare(rTs.eval(rHead), lt) <= 0) {
-            lastMatch = rHead.copy()
-            lastMatchKey = rk
-            advanceRight()
-          } else {
-            continue = false
+        if (lk == null || lt == null) {
+          // Null left key/ts matches nothing; keep the row, null-padded.
+          proj(joined(lRow, nullRight))
+        } else {
+          // Consume right rows that are usable for this (or an earlier)
+          // left row: key strictly before, or same key with ts <= left ts.
+          var continue = rHead != null
+          while (continue) {
+            val rk = rKey.eval(rHead)
+            val c = keyOrdering.compare(rk, lk)
+            if (c < 0) {
+              advanceRight()
+            } else if (c == 0 && tsOrdering.compare(rTs.eval(rHead), lt) <= 0) {
+              lastMatch = rHead.copy()
+              // Re-evaluate the key from the COPIED row: rHead's backing
+              // memory is owned by the upstream sorter and is reused after
+              // advanceRight() — retaining rk (e.g. a UTF8String view)
+              // would compare against garbage later.
+              lastMatchKey = rKey.eval(lastMatch)
+              advanceRight()
+            } else {
+              continue = false
+            }
+            if (rHead == null) continue = false
           }
-          if (rHead == null) continue = false
+          val matches = lastMatch != null && keyOrdering.compare(lastMatchKey, lk) == 0
+          proj(joined(lRow, if (matches) lastMatch else nullRight))
         }
-        val matches = lastMatch != null && keyOrdering.compare(lastMatchKey, lk) == 0
-        proj(joined(lRow, if (matches) lastMatch else nullRight))
       }
     }
   }

@@ -46,8 +46,15 @@ object Sessionize {
       sorted.foreach { e =>
         val t = e.ts.getTime
         cur match {
-          case Some(s) if t - s.lastTs <= gapMillis =>
-            cur = Some(s.copy(lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
+          // Within gap of the session's span (a late cross-batch event may
+          // precede the stored start — extend backwards, don't just absorb).
+          case Some(s) if t >= s.start - gapMillis && t - s.lastTs <= gapMillis =>
+            cur = Some(s.copy(start = math.min(s.start, t),
+              lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
+          // More than a gap BEFORE the session: its own earlier session,
+          // closed immediately (the watermark has long passed it).
+          case Some(s) if t < s.start - gapMillis =>
+            closed += Session(userId, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
           case Some(s) =>
             closed += close(s)
             cur = Some(SessionState(t, t, 1))

@@ -91,32 +91,49 @@ object StreamOps {
       targetDir: String,
       checkpointDir: String,
       keys: Seq[String],
-      tieBreakers: Seq[String]): StreamingQuery =
+      latestBy: Option[String] = None,
+      tieBreakers: Seq[String] = Nil): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertIntoParquet(batch, targetDir, keys, tieBreakers)
+        upsertIntoParquet(batch, targetDir, keys, latestBy, tieBreakers)
       }
       .start()
 
-  /** One merge step: read current target (if any), upsert the batch,
-    * atomically swap directories.
+  /** One merge step: read current target (if any), upsert the batch, swap
+    * directories. Within-batch duplicate keys keep the LATEST row by
+    * `latestBy` (descending), then `tieBreakers` ascending — matching the
+    * keep-latest integrity semantics (ascending-only tie-breakers would
+    * silently keep the OLDEST row).
+    *
+    * Swap order is crash-recoverable: target → .old, staging → target,
+    * delete .old; a crash window leaves either the old target or a
+    * recoverable `.old` (healed on the next call). True atomicity needs a
+    * transactional table format — on object stores rename is copy+delete,
+    * so widen the maintenance window accordingly.
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
-      keys: Seq[String], tieBreakers: Seq[String]): Unit = {
+      keys: Seq[String], latestBy: Option[String] = None,
+      tieBreakers: Seq[String] = Nil): Unit = {
     val spark = batch.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
+    val old = new Path(targetDir + ".old")
     val fs = target.getFileSystem(hadoopConf)
-    val deduped = Transform.dedupByKey(batch, keys, latestBy = None, tieBreakers = tieBreakers)
+    // Heal a crash between the two renames of a previous call.
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
+    val deduped = Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
     val merged =
-      if (fs.exists(target)) Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers)
+      if (fs.exists(target))
+        Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers)
       else deduped
     val tmp = new Path(targetDir + ".staging")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(target)) fs.delete(target, true)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target)) fs.rename(target, old)
     fs.rename(tmp, target)
+    fs.delete(old, true)
   }
 }

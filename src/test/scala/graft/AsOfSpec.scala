@@ -47,6 +47,23 @@ class AsOfSpec extends AnyFunSuite {
     assert(native == composed && native.nonEmpty)
   }
 
+  test("null keys and null timestamps match nothing but left rows survive") {
+    val left = Seq((1L, Option(0L), Option(ts("2024-01-01 10:00:05"))),
+      (2L, None: Option[Long], Option(ts("2024-01-01 10:00:05"))),
+      (3L, Option(7L), None: Option[java.sql.Timestamp]))
+      .toDF("id", "user_id", "ts")
+    val right = Seq(
+      (Option(0L), Option(ts("2024-01-01 10:00:00")), "k0"),
+      (None: Option[Long], Option(ts("2024-01-01 09:00:00")), "nullkey"),
+      (Option(7L), None: Option[java.sql.Timestamp], "nullts"))
+      .toDF("user_id", "ts", "tag")
+    val out = AsOf.join(left, right, "user_id", "user_id", "ts", "ts")
+      .select(col("id"), col("tag_r")).as[(Long, Option[String])].collect().toMap
+    assert(out(1L).contains("k0")) // real key-0 row matches only the real quote
+    assert(out(2L).isEmpty) // null left key → no match, row kept
+    assert(out(3L).isEmpty) // null left ts → no match, row kept
+  }
+
   test("as-of self-join works (fresh expr-ids on the right side)") {
     val e = Seq((1L, 7L, ts("2024-01-01 10:00:00")), (2L, 7L, ts("2024-01-01 11:00:00")))
       .toDF("id", "user_id", "ts")

@@ -47,6 +47,22 @@ class RunnerSpec extends AnyFunSuite {
     assert(Audit.readRuns(spark, audit).count() == 2)
   }
 
+  test("within-batch duplicate keys keep the LATEST row by latestBy") {
+    val base = Files.createTempDirectory("graft-latest").toString
+    val cfgLatest = cfg.copy(
+      types = TypesCfg(numeric = Seq("edad"), datetime = Seq("fecha")),
+      order = Seq("codigo", "edad", "fecha"),
+      integrity = IntegrityCfg(enforceUniqueBusinessKey = false,
+        latestBy = Some("fecha")))
+    // Same key A1 twice in ONE resource: 30 (old) then 99 (new).
+    val r = Seq(("A1", "30", "2024-01-01 00:00:00"), ("A1", "99", "2024-06-01 00:00:00"))
+      .toDF("Código", "Edad", "Fecha")
+    Runner.run(spark, Map("res" -> r), cfgLatest, base + "/t", base + "/a", "run_l")
+    val out = spark.read.parquet(base + "/t")
+    assert(out.count() == 1)
+    assert(out.select("edad").as[Double].head() == 99.0, "stale row won the upsert")
+  }
+
   test("runner: hard failure still writes the failed-run audit row") {
     val base = Files.createTempDirectory("graft-runfail").toString
     val bad = Seq(("x": String, "y": String)).toDF("otra", "cosa") // no 'codigo'

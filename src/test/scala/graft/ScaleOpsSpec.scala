@@ -69,6 +69,16 @@ class ScaleOpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("topKPerGroup keeps the SMALLEST payloads on score ties at the k boundary") {
+    // 4 rows, all score 100.0, payloads 1..4, k=3 → must keep 1,2,3
+    // (row_number ORDER BY score DESC, payload ASC semantics).
+    val df = Seq((1L, 100.0, 1L), (1L, 100.0, 2L), (1L, 100.0, 3L), (1L, 100.0, 4L))
+      .toDF("g", "score", "payload")
+    val kept = ScaleJoins.topKPerGroup(df, Seq("g"), "score", "payload", k = 3)
+      .orderBy("rk").select("payload").as[Long].collect().toSeq
+    assert(kept == Seq(1L, 2L, 3L))
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     // Heavy-hitter key 7 (70% of rows).
     val skewed = (Seq.fill(700)(7L) ++ (1L to 300L)).zipWithIndex
