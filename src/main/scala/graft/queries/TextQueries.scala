@@ -151,6 +151,87 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 38b: quality FILTER — the decision stage a training pipeline runs
+    // on top of the metrics (band filters on tokens/stopwords/punct)
+    Q("x_quality_filter",
+      (s, dir) => TextStats.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
+        .filter(col("n_tokens").between(50, 2000) &&
+          col("stopword_ratio") >= 0.01 && col("punct_ratio") < 0.2)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(len(list_filter(
+                   string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' '),
+                   x -> list_contains([${EnStop.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) AS hits
+          FROM documents)
+        SELECT doc_id FROM t
+        WHERE n_tokens BETWEEN 50 AND 2000
+          AND round(hits / n_tokens, 6) >= 0.01
+          AND round(punct / n_chars, 6) < 0.2
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 30b: dedup APPLIED — survivors with full rows (min doc_id per
+    // distinct content)
+    Q("d_dedup_apply",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1).drop("rn")
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, text, lang, source, n_chars FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                       ORDER BY doc_id) AS rn
+          FROM documents) WHERE rn = 1
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 37c: PII redaction (emails, long digit runs) — single projection
+    Q("x_pii_redact",
+      (s, dir) => Tables.events(s, dir)
+        .select(col("event_id"),
+          regexp_replace(
+            regexp_replace(col("props"), "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+", "<EMAIL>"),
+            "\\d{3,}", "<NUM>").as("props_redacted"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+               regexp_replace(
+                 regexp_replace(props, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+                 '\d{3,}', '<NUM>', 'g') AS props_redacted
+        FROM events ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 37d: deterministic hash sampling (stable 10% sample — the standard
+    // reproducible train/eval split technique; no rand() state)
+    Q("x_hash_sample",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("bucket",
+          (conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long") % 100))
+        .filter(col("bucket") < 10)
+        .select(col("doc_id"), col("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               CAST(('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100 AS BIGINT) AS bucket
+        FROM documents
+        WHERE ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100 < 10
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 39: heuristic language ID (stopword-profile argmax)
     Q("x_lang_id",
       (s, dir) => Tables.documents(s, dir)
