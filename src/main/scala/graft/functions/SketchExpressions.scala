@@ -62,7 +62,7 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
     copy(child = newChild)
 }
 
-private[functions] object SketchHash {
+private[graft] object SketchHash {
   /** xxhash64 of a UTF8String under `seed` (Spark's XXH64, zero-copy). */
   @inline def hash(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.normColname
+import graft.operators.{ScaleJoins, Transform}
+
+/** Property-based invariants over random inputs (scalacheck). Spark jobs
+  * are expensive per case, so DataFrame properties run few, larger cases;
+  * pure functions get the full default case count.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Draw `n` samples from a scalacheck generator (no scalatest-plus
+    * bridge in the dependency set — raw Gen + loop).
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  test("normColname is idempotent and emits only [a-z0-9_]") {
+    samples(Gen.asciiPrintableStr, 500).foreach { s =>
+      val once = normColname(s)
+      assert(normColname(once) == once, s"not idempotent on ${s.take(40)}")
+      assert(once.matches("[a-z0-9_]*"), s"bad chars from ${s.take(40)}")
+    }
+  }
+
+  test("tokenize equals normText+split on printable strings") {
+    samples(Gen.listOfN(8, Gen.oneOf(Gen.alphaNumStr, Gen.const("  "),
+        Gen.const("Canción"), Gen.const("\tÜber\n"))), 30).foreach { parts =>
+      val s = parts.mkString(" ")
+      val viaExpr = Seq(s).toDF("t")
+        .select(split(graft.functions.normText(col("t")), " ").as("x"))
+        .as[Seq[String]].head().filter(_.nonEmpty)
+      val viaTokenize = graft.functions.SketchHash.tokenize(s).toSeq
+      assert(viaTokenize == viaExpr, s"input=${s.take(60)}")
+    }
+  }
+
+  private val rowsGen = Gen.listOfN(400,
+    for {
+      g <- Gen.chooseNum(0L, 5L)
+      score <- Gen.oneOf(Gen.chooseNum(0, 50).map(_.toDouble), Gen.const(10.0))
+      payload <- Gen.chooseNum(0L, 1000L)
+    } yield (g, score, payload))
+
+  test("TopKAgg equals window row_number on random data with heavy ties") {
+    samples(rowsGen, 5).foreach { rows =>
+      {
+        val df = rows.toDF("g", "score", "payload")
+          .groupBy("g", "score", "payload").agg(count(lit(1)))
+          .select("g", "score", "payload") // distinct payloads per (g,score)
+        val viaAgg = ScaleJoins.topKPerGroup(df, Seq("g"), "score", "payload", k = 3)
+          .select("g", "payload", "rk").as[(Long, Long, Int)].collect().toSet
+        val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("payload"))
+        val viaWindow = df.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("g", "payload", "rk").as[(Long, Long, Int)].collect().toSet
+        assert(viaAgg == viaWindow)
+      }
+    }
+  }
+
+  test("upsert is idempotent and last-writer-wins on random batches") {
+    val batchGen = Gen.listOfN(100, Gen.zip(Gen.chooseNum(0L, 30L), Gen.alphaNumStr))
+    samples(Gen.zip(batchGen, batchGen), 5).foreach { case (currentRows, updateRows) =>
+      val current = Transform.dedupByKey(
+        currentRows.toDF("k", "v"), Seq("k"), None, Seq("v"))
+      val updates = Transform.dedupByKey(
+        updateRows.toDF("k", "v"), Seq("k"), None, Seq("v"))
+      val once = Transform.upsert(current, updates, Seq("k"))
+      val twice = Transform.upsert(once, updates, Seq("k"))
+      // Idempotent: re-applying the same updates changes nothing.
+      assert(twice.except(once).count() == 0 && once.except(twice).count() == 0)
+      // Updates win: every update key carries the update's value.
+      val updMap = updates.as[(Long, String)].collect().toMap
+      val onceMap = once.as[(Long, String)].collect().toMap
+      updMap.foreach { case (k, v) => assert(onceMap(k) == v) }
+      // Non-updated current keys survive untouched.
+      val curMap = current.as[(Long, String)].collect().toMap
+      (curMap.keySet -- updMap.keySet).foreach(k => assert(onceMap(k) == curMap(k)))
+    }
+  }
+}
