@@ -1,0 +1,43 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Write-side layout control — at 100 TB the written layout IS the read
+  * performance of every downstream query: partition pruning only works if
+  * the data is partitioned on the pruned columns, and small-file storms
+  * (one file per task per partition value) destroy listing/scan times.
+  */
+object Sink {
+
+  /** Hive-style partitioned parquet write with file-count control:
+    * repartitioning on the partition columns makes each output partition
+    * directory receive data from few tasks (no small-file explosion), and
+    * `maxRecordsPerFile` caps file size from above. `bucketTasks` spreads
+    * a skewed partition value over that many tasks.
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L,
+      bucketTasks: Int = 1,
+      mode: SaveMode = SaveMode.Overwrite): Unit = {
+    val keys = partitionCols.map(col) ++
+      (if (bucketTasks > 1) Seq(pmod(spark_partition_id() + crc32(concat_ws("§",
+        df.columns.map(col).toIndexedSeq: _*)), lit(bucketTasks))) else Nil)
+    df.repartition(keys: _*)
+      .write
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .mode(mode)
+      .parquet(path)
+  }
+
+  /** Compact an existing parquet dataset to ~`targetFiles` files (the
+    * maintenance pass after many incremental appends).
+    */
+  def compact(df: DataFrame, path: String, targetFiles: Int): Unit =
+    df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
+      .parquet(path + ".compacted")
+}

@@ -70,6 +70,21 @@ class EngineSpec extends AnyFunSuite {
     assert(Audit.readResources(spark, dir).filter(col("run_id") === "r1").count() == 1)
   }
 
+  test("partitioned sink: hive layout, bounded files per partition, pruned reads") {
+    val dir = Files.createTempDirectory("graft-sink").toString + "/t"
+    val df = Seq.tabulate(1000)(i => (i.toLong, s"v$i", i % 4)).toDF("id", "v", "part")
+    graft.sources.Sink.writePartitioned(df, dir, Seq("part"))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 1000)
+    // Hive-style directories, one data file per partition (repartitioned).
+    val d0 = new java.io.File(dir + "/part=0")
+    assert(d0.isDirectory)
+    assert(d0.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+    // Partition pruning reaches the scan.
+    val plan = back.filter(col("part") === 2).queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), s"no pruning:\n$plan")
+  }
+
   test("plans: filter pushdown and column pruning reach the parquet scan") {
     val sfDir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q1_agg")(spark, sfDir)
