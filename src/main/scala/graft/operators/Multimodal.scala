@@ -63,6 +63,64 @@ object Multimodal {
     }
   }
 
+  /** ======== STUB ========
+    * Deterministic fake resize: a real implementation decodes, scales to
+    * `maxDim` and re-encodes. The stub keeps the contract that matters to
+    * the pipeline: output is a pure function of (bytes, maxDim), no larger
+    * than the input, non-empty for non-empty input.
+    */
+  def resizeStub(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
+    if (bytes.isEmpty) return bytes
+    val keep = math.max(1, math.min(bytes.length, maxDim * 64))
+    java.util.Arrays.copyOfRange(bytes, 0, keep)
+  }
+
+  /** Resized-media column: binary in → binary out, single narrow pass via
+    * mapPartitions (decoder init amortized per partition).
+    */
+  def resize(df: DataFrame, idCol: String, mediaCol: String, mimeCol: String,
+      maxDim: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(mediaCol).cast("binary").as("media"),
+        col(mimeCol).cast("string").as("mime")).as[MediaRow]
+      .mapPartitions(_.map(r =>
+        MediaRow(r.id, resizeStub(Option(r.media).getOrElse(Array.empty), maxDim), r.mime)))
+      .toDF()
+  }
+
+  final case class FrameFeatures(
+      id: Long, frame_idx: Int, offset: Int, frame_hash: Long, brightness: Double)
+
+  /** Frame sampling for video-like payloads: emit features for `nFrames`
+    * evenly spaced positions per media item (1 row in → N rows out — the
+    * batch shape a real ffmpeg-backed sampler has). Frame decode is
+    * STUBBED as a windowed byte slice; offsets/batching/schema are real.
+    */
+  def sampleFrames(df: DataFrame, idCol: String, mediaCol: String,
+      nFrames: Int = 4): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(mediaCol).cast("binary").as("media"),
+        lit("video/stub").as("mime")).as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val bytes = Option(r.media).getOrElse(Array.empty[Byte])
+          if (bytes.isEmpty) Iterator.empty
+          else (0 until nFrames).iterator.map { i =>
+            val off = (bytes.length.toLong * i / nFrames).toInt
+            val len = math.min(64, bytes.length - off)
+            val window = java.util.Arrays.copyOfRange(bytes, off, off + len)
+            val (_, _, _, bright) = {
+              val d = decodeStub(window); d
+            }
+            FrameFeatures(r.id, i, off,
+              scala.util.hashing.MurmurHash3.bytesHash(window, 42).toLong, bright)
+          }
+        }
+      }.toDF()
+  }
+
   /** DataFrame-level wrapper: binary column in, feature columns out. */
   def extractFeatures(df: DataFrame, idCol: String, mediaCol: String, mimeCol: String): DataFrame = {
     import df.sparkSession.implicits._

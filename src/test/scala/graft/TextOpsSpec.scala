@@ -138,6 +138,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 5L, 8L))
   }
 
+  test("multimodal resize and frame sampling: shape, determinism, bounds") {
+    val df = Seq((1L, "x" * 1000, "video/mp4"), (2L, "", "video/mp4"))
+      .toDF("id", "payload", "mime")
+      .withColumn("media", col("payload").cast("binary"))
+    val resized = Multimodal.resize(df, "id", "media", "mime", maxDim = 4)
+    val sizes = resized.orderBy("id").select(length(col("media"))).as[Int].collect()
+    assert(sizes(0) == 256 && sizes(1) == 0) // shrunk, empty stays empty
+    val frames = Multimodal.sampleFrames(df, "id", "media", nFrames = 4)
+    assert(frames.columns.toSeq ==
+      Seq("id", "frame_idx", "offset", "frame_hash", "brightness"))
+    val rows = frames.orderBy("id", "frame_idx").collect()
+    assert(rows.length == 4) // 4 frames for doc 1, none for empty media
+    assert(rows.map(_.getInt(2)).toSeq == Seq(0, 250, 500, 750)) // even spacing
+    val again = Multimodal.sampleFrames(df, "id", "media", nFrames = 4)
+      .orderBy("id", "frame_idx").collect()
+    assert(rows.sameElements(again))
+  }
+
   test("multimodal feature extraction: schema, determinism, empty bytes") {
     val df = Seq(
       (1L, "some media bytes", "image/png"),
