@@ -39,7 +39,10 @@ object Runner {
     try {
       resources.toSeq.sortBy(_._1).foreach { case (rid, raw) =>
         val rowsIn = raw.count()
+        // Persist: the chain is consumed by the upsert write AND the audit
+        // metrics (and the pipeline only persists when critical checks ran).
         val transformed = Transform.pipeline(raw, cfg)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
           val keyCol =
             if (transformed.columns.contains("surrogate_id")) "surrogate_id" else "business_key"
@@ -47,7 +50,8 @@ object Runner {
           // latestBy column, both within the batch and against the target.
           graft.streaming.StreamOps.upsertIntoParquet(
             transformed, targetDir, keys = Seq(keyCol),
-            latestBy = cfg.integrity.latestBy)
+            latestBy = cfg.integrity.latestBy,
+            tieBreakers = cfg.integrity.tieBreakers)
           val diff = Transform.schemaDiff(transformed, cfg.expectedColumns)
           resourceRows += Audit.resourceMetrics(runId, rid, rowsIn, transformed, keyCol, diff)
         } finally transformed.unpersist() // pipeline persists at its check barrier

@@ -37,10 +37,15 @@ object DedupResolve {
     import spark.implicits._
     val edgeCount = pairs.limit((driverThreshold + 1).toInt).count()
     if (edgeCount <= driverThreshold) {
-      val edges = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
+      // Generic over the id type (numeric, string, ...) — same contract as
+      // the distributed path, which never casts either.
+      val idType = pairs.schema("id_a").dataType
+      val edges = pairs.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.get(0), r.get(1)))
+      def lt(a: Any, b: Any): Boolean =
+        a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      val parent = scala.collection.mutable.Map.empty[Any, Any]
+      def find(x: Any): Any = {
         var r = x
         while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x
@@ -50,9 +55,16 @@ object DedupResolve {
       edges.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
-        if (ra != rb) { val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra); parent(hi) = lo }
+        if (ra != rb) { val (lo, hi) = if (lt(ra, rb)) (ra, rb) else (rb, ra); parent(hi) = lo }
       }
-      parent.keys.toSeq.sorted.map(v => (v, find(v))).toDF("id", "label")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("label", idType)))
+      val rows = parent.keys.toSeq
+        .map(v => org.apache.spark.sql.Row(v, find(v)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     } else distributedComponents(pairs, maxIter)
   }
 
@@ -87,11 +99,17 @@ object DedupResolve {
       iter += 1
     }
     edges.unpersist()
-    if (!converged)
+    if (!converged) {
+      labels.unpersist()
       throw new IllegalStateException(
         s"connected components did not converge in $maxIter rounds " +
           "(graph diameter exceeds the cap); raise maxIter")
-    labels
+    }
+    // Cut lineage and release the per-round cache: callers get a frame that
+    // does not pin the final iteration's blocks forever.
+    val out = labels.localCheckpoint(true)
+    labels.unpersist()
+    out
   }
 
   /** Resolve candidate pairs into per-document decisions:

@@ -219,11 +219,18 @@ object Transform {
       current: DataFrame,
       updates: DataFrame,
       keys: Seq[String],
-      tieBreakers: Seq[String] = Nil): DataFrame = {
+      tieBreakers: Seq[String] = Nil,
+      latestBy: Option[String] = None): DataFrame = {
     val tagged = current.withColumn("__src", lit(0))
       .unionByName(updates.withColumn("__src", lit(1)))
-    dedupByKey(tagged, keys, latestBy = Some("__src"), tieBreakers = tieBreakers)
-      .drop("__src")
+    // With latestBy: the newest row wins regardless of side (stale
+    // re-deliveries cannot regress the target); batch wins exact ties.
+    // Without: updates unconditionally replace current (classic upsert).
+    val ordering = latestBy.map(col(_).desc_nulls_last).toSeq ++
+      Seq(col("__src").desc) ++ tieBreakers.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    tagged.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn", "__src")
   }
 
   // ------------------------------------------------------------------

@@ -71,6 +71,13 @@ final case class AsOfJoinExec(
     Seq(SortOrder.apply(rightKey, org.apache.spark.sql.catalyst.expressions.Ascending),
       SortOrder.apply(rightTs, org.apache.spark.sql.catalyst.expressions.Ascending)))
 
+  /** The merge preserves the left child's hash clustering — report it so
+    * downstream key-clustered operators (groupBy/window/joins on the same
+    * key) do not pay a second exchange.
+    */
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override def outputOrdering: Seq[SortOrder] = Seq(
     SortOrder.apply(leftKey, org.apache.spark.sql.catalyst.expressions.Ascending),
     SortOrder.apply(leftTs, org.apache.spark.sql.catalyst.expressions.Ascending))

@@ -78,8 +78,10 @@ object TpchMoreQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // Q12 shape: priority classes by date-window band (CASE aggregation).
-    Q("q12_shipmode",
+    // Q12-SHAPED band aggregation. The synthetic lineitem schema has no
+    // l_shipmode/commitdate/receiptdate, so the CASE-band pattern groups
+    // by l_linestatus instead — same plan shape, honest name.
+    Q("q12_priority_bands",
       (s, dir) => Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1998-01-01").cast("timestamp"))

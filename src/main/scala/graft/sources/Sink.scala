@@ -23,10 +23,21 @@ object Sink {
       maxRecordsPerFile: Long = 5000000L,
       bucketTasks: Int = 1,
       mode: SaveMode = SaveMode.Overwrite): Unit = {
-    val keys = partitionCols.map(col) ++
-      (if (bucketTasks > 1) Seq(pmod(spark_partition_id() + crc32(concat_ws("§",
-        df.columns.map(col).toIndexedSeq: _*)), lit(bucketTasks))) else Nil)
-    df.repartition(keys: _*)
+    // The salt must be materialized as a column BEFORE repartition():
+    // RepartitionByExpression rejects nondeterministic expressions outright,
+    // and a deterministic row-content hash is reproducible anyway.
+    val salted =
+      if (bucketTasks > 1)
+        df.withColumn("__salt", pmod(crc32(concat_ws("§",
+          df.columns.map(col).toIndexedSeq: _*)), lit(bucketTasks)))
+      else df
+    val keys = partitionCols.map(col) ++ (if (bucketTasks > 1) Seq(col("__salt")) else Nil)
+    // Explicit partition count: AQE would otherwise coalesce small shuffles
+    // back into few tasks and undo the requested writer spread.
+    val numParts =
+      salted.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt
+    salted.repartition(numParts, keys: _*)
+      .drop("__salt")
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

@@ -40,11 +40,15 @@ object StreamOps {
   /** Canonicalize an event stream: trimmed strings, bounded values nulled,
     * business key added — the streaming twin of the batch transform chain.
     */
-  def canonicalizeEvents(df: DataFrame): DataFrame =
+  def canonicalizeEvents(df: DataFrame): DataFrame = {
+    // coalesce each part to '' — raw concat_ws SKIPS nulls, which collides
+    // (null,"x") with ("x",null) and diverges from the batch twin's
+    // Transform.businessKeyCol encoding.
+    def part(c: org.apache.spark.sql.Column) = coalesce(c.cast("string"), lit(""))
     df.withColumn("event_type", trim(col("event_type")))
       .withColumn("business_key",
-        concat_ws("|", col("user_id").cast("string"), col("event_type"),
-          col("ts").cast("string")))
+        concat_ws("|", part(col("user_id")), part(col("event_type")), part(col("ts"))))
+  }
 
   /** Watermarked tumbling-window aggregation (counts + exact decimal sums,
     * same discipline as the batch queries).
@@ -127,13 +131,20 @@ object StreamOps {
     val deduped = Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
     val merged =
       if (fs.exists(target))
-        Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers)
+        // latestBy participates against the TARGET too: a re-delivered
+        // stale batch row must not regress a newer target row.
+        Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers, latestBy)
       else deduped
     val tmp = new Path(targetDir + ".staging")
     merged.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    fs.delete(old, true)
+    // Hadoop rename/delete report failure by RETURNING false — every step
+    // must be checked or a failed rename cascades into deleting the only
+    // copy of the data.
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(s"upsertIntoParquet: $what failed for $targetDir")
+    if (fs.exists(old)) must(fs.delete(old, true), "delete stale .old")
+    if (fs.exists(target)) must(fs.rename(target, old), "rename target -> .old")
+    must(fs.rename(tmp, target), "rename .staging -> target")
+    if (fs.exists(old)) must(fs.delete(old, true), "delete .old")
   }
 }

@@ -64,6 +64,19 @@ class AsOfSpec extends AnyFunSuite {
     assert(out(3L).isEmpty) // null left ts → no match, row kept
   }
 
+  test("as-of output reports key clustering: same-key groupBy adds no exchange") {
+    val trades = Seq((1L, "A", ts("2024-01-01 10:00:05"), 1.0)).toDF("id", "sym", "t", "x")
+    val quotes = Seq(("A", ts("2024-01-01 10:00:00"), 9.0)).toDF("sym", "t", "px")
+    val agg = AsOf.join(trades, quotes, "sym", "sym", "t", "t")
+      .groupBy("sym").count()
+    agg.collect()
+    // AQE plan strings repeat the tree under "== Initial Plan ==" — count
+    // exchanges only in the final section.
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected only the 2 child shuffles, got $exchanges:\n$plan")
+  }
+
   test("as-of self-join works (fresh expr-ids on the right side)") {
     val e = Seq((1L, 7L, ts("2024-01-01 10:00:00")), (2L, 7L, ts("2024-01-01 11:00:00")))
       .toDF("id", "user_id", "ts")

@@ -83,6 +83,15 @@ class EngineSpec extends AnyFunSuite {
     // Partition pruning reaches the scan.
     val plan = back.filter(col("part") === 2).queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(part"), s"no pruning:\n$plan")
+    // Skew-spreading path must plan (salt materialized before repartition —
+    // a raw nondeterministic expr in repartition() fails analysis).
+    val dir2 = Files.createTempDirectory("graft-sink2").toString + "/t"
+    graft.sources.Sink.writePartitioned(df, dir2, Seq("part"), bucketTasks = 8)
+    assert(spark.read.parquet(dir2).count() == 1000)
+    // 8 salts spread over the shuffle partitions → more than one writer
+    // task (exact count depends on hash placement).
+    assert(new java.io.File(dir2 + "/part=0").listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 2)
   }
 
   test("plans: filter pushdown and column pruning reach the parquet scan") {

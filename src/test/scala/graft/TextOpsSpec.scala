@@ -138,6 +138,13 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 5L, 8L))
   }
 
+  test("connected components driver fast path handles string ids") {
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
+    val out = DedupResolve.resolve(pairs).orderBy("id")
+      .as[(String, String, Boolean)].collect().toSeq
+    assert(out == Seq(("a", "a", true), ("b", "a", false), ("c", "a", false)))
+  }
+
   test("multimodal resize and frame sampling: shape, determinism, bounds") {
     val df = Seq((1L, "x" * 1000, "video/mp4"), (2L, "", "video/mp4"))
       .toDF("id", "payload", "mime")

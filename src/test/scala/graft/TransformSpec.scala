@@ -77,6 +77,14 @@ class TransformSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1, "old1"), (2, "new2"), (3, "new3")))
   }
 
+  test("upsert with latestBy: stale update cannot regress a newer current row") {
+    val current = Seq((1, "new", "2026-06-01"), (2, "cur", "2020-01-01")).toDF("k", "v", "u")
+    val stale = Seq((1, "old", "2020-01-01"), (2, "upd", "2026-01-01")).toDF("k", "v", "u")
+    val out = Transform.upsert(current, stale, Seq("k"), latestBy = Some("u"))
+      .orderBy("k").select("v").as[String].collect().toSeq
+    assert(out == Seq("new", "upd")) // k=1 keeps newer current; k=2 takes newer update
+  }
+
   test("pipeline hard-fails when a critical column is entirely null") {
     val df = Seq((1, null: String), (2, null: String)).toDF("id", "crit")
     val cfg = DatasetConfig(
