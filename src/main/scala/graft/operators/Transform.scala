@@ -145,6 +145,66 @@ object Transform {
     noAcc.toLowerCase.split("\\s+").mkString(" ")
   }
 
+  /** Category-rule report (reference etl/transform.py:312-317
+    * `category_checks`): per rule column, the distinct post-map cardinality
+    * and the out-of-domain values/count BEFORE any coercion. One
+    * distributed agg per rule column, no collect of raw data.
+    */
+  def categoryReport(df: DataFrame, rules: Map[String, CategoryRule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = rules.toSeq.sortBy(_._1).flatMap { case (c, r) =>
+      if (!df.columns.contains(c)) None
+      else {
+        val normMap = r.map.map { case (k, v) => normTextScala(k) -> v }
+        val mapped = coalesce(
+          normMap.foldLeft(lit(null).cast(StringType)) { case (acc, (k, v)) =>
+            when(normText(col(c)) === k, lit(v)).otherwise(acc)
+          }, col(c))
+        val oob = mapped.isNotNull &&
+          (if (r.allowed.nonEmpty) !mapped.isin(r.allowed: _*) else lit(false))
+        Some(df.select(mapped.as("mapped"), oob.as("oob"))
+          .agg(
+            countDistinct(col("mapped")).as("mapped_distinct"),
+            sort_array(collect_set(when(col("oob"), col("mapped"))))
+              .as("out_of_domain_values"),
+            sum(when(col("oob"), 1L).otherwise(0L)).as("out_of_domain_count"))
+          .withColumn("column", lit(c)))
+      }
+    }
+    parts.reduceOption(_ unionByName _)
+      .map(_.select("column", "mapped_distinct", "out_of_domain_values", "out_of_domain_count"))
+      .getOrElse(Seq.empty[(String, Long, Seq[String], Long)]
+        .toDF("column", "mapped_distinct", "out_of_domain_values", "out_of_domain_count"))
+  }
+
+  /** Numeric-rule report (reference etl/transform.py:344-348
+    * `numeric_checks`): out-of-bounds count plus null counts before/after
+    * the rule, per rule column — one agg per column.
+    */
+  def numericReport(df: DataFrame, rules: Map[String, NumericRule]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parts = rules.toSeq.sortBy(_._1).flatMap { case (c, r) =>
+      if (!df.columns.contains(c)) None
+      else {
+        val v = expr(s"try_cast(`$c` as double)")
+        val oob = Seq(
+          r.min.map(m => v < lit(m)), r.max.map(m => v > lit(m))).flatten
+            .reduceOption(_ || _).getOrElse(lit(false))
+        Some(df.agg(
+            sum(when(oob, 1L).otherwise(0L)).as("oob_count"),
+            sum(when(v.isNull, 1L).otherwise(0L)).as("na_count_before"),
+            sum(when(v.isNull || oob, 1L).otherwise(0L)).as("na_count_after"))
+          .withColumn("column", lit(c)))
+      }
+    }
+    parts.reduceOption(_ unionByName _)
+      .map(_.select("column", "oob_count", "na_count_before", "na_count_after"))
+      .getOrElse(Seq.empty[(String, Long, Long, Long)]
+        .toDF("column", "oob_count", "na_count_before", "na_count_after"))
+  }
+
   /** Out-of-bounds numeric values → NULL (reference numeric_rules). */
   def applyNumericRules(df: DataFrame, rules: Map[String, NumericRule]): DataFrame =
     rules.foldLeft(df) { case (d, (c, r)) =>

@@ -121,6 +121,25 @@ class TransformSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("Masculino", "Masculino", "Desconocido", "Femenino"))
   }
 
+  test("category and numeric reports match the reference report semantics") {
+    val df = Seq(("m", "30"), ("masculino", "200"), ("zzz", "x"), ("F", null: String))
+      .toDF("sexo", "edad")
+    val catRep = Transform.categoryReport(df, Map("sexo" -> CategoryRule(
+      map = Map("m" -> "Masculino", "masculino" -> "Masculino", "f" -> "Femenino"),
+      allowed = Seq("Masculino", "Femenino"))))
+      .head()
+    assert(catRep.getAs[String]("column") == "sexo")
+    assert(catRep.getAs[Long]("mapped_distinct") == 3) // Masculino, Femenino, zzz
+    assert(catRep.getSeq[String](catRep.fieldIndex("out_of_domain_values")) == Seq("zzz"))
+    assert(catRep.getAs[Long]("out_of_domain_count") == 1)
+
+    val numRep = Transform.numericReport(df,
+      Map("edad" -> NumericRule(min = Some(0), max = Some(120)))).head()
+    assert(numRep.getAs[Long]("oob_count") == 1) // 200
+    assert(numRep.getAs[Long]("na_count_before") == 2) // 'x' and null
+    assert(numRep.getAs[Long]("na_count_after") == 3) // plus the coerced 200
+  }
+
   test("extras packing keeps canonical cols and serializes the rest") {
     val df = Seq((1, "core", "e1", 7)).toDF("id", "keep", "x1", "x2")
     val out = Transform.packExtras(df, Set("id", "keep"), "extras")
