@@ -10,7 +10,8 @@ object SparkEntry {
   /** All verifiable operators/queries, grouped per SURVEY.md §2 sections. */
   def allQueries: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ TpchMoreQueries.all ++
-      TransformQueries.all ++ TextQueries.all ++ StreamQueries.all
+      AnalyticsQueries.all ++ TransformQueries.all ++ TextQueries.all ++
+      StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

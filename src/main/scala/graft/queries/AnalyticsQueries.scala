@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Final coverage block: remaining TPC-H shapes expressible on this schema
+  * (Q15 top-by-aggregate, Q19 disjunctive predicate bands, Q22 anti-join
+  * with scalar-average filter) plus event-funnel and cohort-retention —
+  * the analytics every event pipeline feeds.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(10,2)")
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Q15 shape: entity with the maximum aggregate (top revenue supplier).
+    Q("q15_top_supplier",
+      (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1996-07-01").cast("timestamp"))
+          .groupBy(col("l_suppkey"))
+          .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+            .cast("double").as("total_revenue"))
+        val top = rev.agg(max(col("total_revenue")).as("mx"))
+        rev.join(broadcast(top), col("total_revenue") === col("mx"))
+          .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // Q19 shape: disjunctive multi-band predicate over a dim join.
+    Q("q19_disjunctive",
+      (s, dir) => Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(11, 30) &&
+            col("l_quantity").between(10, 40)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 50)))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"), count(lit(1)).as("n")),
+      Some("""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(10,2)) * (1 - CAST(l_discount AS DECIMAL(10,2)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 30 AND l_quantity BETWEEN 10 AND 40)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+      """)),
+
+    // ------------------------------------------------------------------
+    // Q22 shape: above-average balances with no orders (anti-join +
+    // scalar-average filter).
+    Q("q22_cold_customers",
+      (s, dir) => {
+        val c = Tables.customer(s, dir)
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("ab"))
+        // "no RECENT orders" — an unqualified anti-join is empty at the
+        // test SFs (every customer has some order).
+        val noOrders = c.join(
+          Tables.orders(s, dir)
+            .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        noOrders.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_custs"), Q.dsum(col("c_acctbal")).as("total_bal"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_custs,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+      """)),
+
+    // ------------------------------------------------------------------
+    // Conversion funnel: per user, did signup → later click → later
+    // purchase happen in order? One window pass per stage boundary.
+    Q("q_funnel",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val stages = e.groupBy(col("user_id")).agg(
+          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+          min(when(col("event_type") === "click", col("ts"))).as("t_first_click"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("t_first_purchase"))
+        stages.agg(
+          count(lit(1)).as("users"),
+          sum(when(col("t_signup").isNotNull, 1).otherwise(0)).cast("long").as("signed_up"),
+          sum(when(col("t_signup").isNotNull && col("t_first_click") > col("t_signup"), 1)
+            .otherwise(0)).cast("long").as("clicked_after_signup"),
+          sum(when(col("t_signup").isNotNull && col("t_first_click") > col("t_signup") &&
+            col("t_first_purchase") > col("t_first_click"), 1)
+            .otherwise(0)).cast("long").as("purchased_after_click"))
+      },
+      Some("""
+        WITH stages AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_first_click,
+                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_first_purchase
+          FROM events GROUP BY user_id)
+        SELECT COUNT(*) AS users,
+               CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
+               CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_first_click > t_signup
+                        THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_signup,
+               CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_first_click > t_signup
+                         AND t_first_purchase > t_first_click
+                        THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
+        FROM stages
+      """)),
+
+    // ------------------------------------------------------------------
+    // Cohort retention: users by first-seen day × days-since-cohort
+    // activity counts (the standard retention triangle).
+    Q("q_cohort",
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy(col("user_id"))
+        e.withColumn("cohort_day", date_trunc("day", min(col("ts")).over(w)))
+          .withColumn("day_n",
+            datediff(date_trunc("day", col("ts")), col("cohort_day")).cast("int"))
+          .groupBy(col("cohort_day"), col("day_n"))
+          .agg(countDistinct(col("user_id")).as("active_users"))
+          .filter(col("day_n") <= 7)
+          .orderBy(col("cohort_day"), col("day_n"))
+      },
+      Some("""
+        WITH firstseen AS (
+          SELECT user_id, date_trunc('day', MIN(ts)) AS cohort_day FROM events GROUP BY user_id)
+        SELECT cohort_day, CAST(date_diff('day', cohort_day, date_trunc('day', ts)) AS INT) AS day_n,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN firstseen f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        HAVING day_n <= 7
+        ORDER BY cohort_day, day_n
+      """))
+  )
+}
