@@ -47,6 +47,56 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L)))
   }
 
+  test("updateSessions semantics: merge, backward-extend, early-closed, gap-split") {
+    // Minimal GroupState fake for driving the pure update function.
+    class FakeState(var opt: Option[Sessionize.SessionState])
+        extends org.apache.spark.sql.streaming.GroupState[Sessionize.SessionState] {
+      var removed = false
+      var timeoutTs: Long = -1
+      override def exists: Boolean = opt.isDefined
+      override def get: Sessionize.SessionState = opt.get
+      override def getOption: Option[Sessionize.SessionState] = opt
+      override def update(s: Sessionize.SessionState): Unit = { opt = Some(s); removed = false }
+      override def remove(): Unit = { opt = None; removed = true }
+      override def hasTimedOut: Boolean = false
+      override def setTimeoutDuration(d: Long): Unit = ()
+      override def setTimeoutDuration(d: String): Unit = ()
+      override def setTimeoutTimestamp(t: Long): Unit = timeoutTs = t
+      override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
+      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    def ev(ms: Long) = Sessionize.Event(1L, new java.sql.Timestamp(ms), "e")
+    val gap = 1000L
+
+    // Gap split: two events > gap apart → first session closes.
+    val st1 = new FakeState(None)
+    val out1 = Sessionize.updateSessions(gap)(1L, Iterator(ev(0), ev(5000)), st1).toSeq
+    assert(out1.map(_.n_events) == Seq(1))
+    assert(st1.opt.get.start == 5000 && st1.timeoutTs == 6000)
+
+    // Backward extension: late event within gap BEFORE stored start.
+    val st2 = new FakeState(Some(Sessionize.SessionState(2000, 2500, 2)))
+    val out2 = Sessionize.updateSessions(gap)(1L, Iterator(ev(1500)), st2).toSeq
+    assert(out2.isEmpty)
+    assert(st2.opt.get == Sessionize.SessionState(1500, 2500, 3))
+
+    // Far-earlier late event: emitted as its own closed session, current kept.
+    val st3 = new FakeState(Some(Sessionize.SessionState(10000, 10500, 2)))
+    val out3 = Sessionize.updateSessions(gap)(1L, Iterator(ev(100)), st3).toSeq
+    assert(out3.map(s => (s.session_start.getTime, s.n_events)) == Seq((100L, 1L)))
+    assert(st3.opt.get == Sessionize.SessionState(10000, 10500, 2))
+
+    // Timeout path: state closed and removed.
+    val st4 = new FakeState(Some(Sessionize.SessionState(0, 500, 3))) {
+      override def hasTimedOut: Boolean = true
+    }
+    val out4 = Sessionize.updateSessions(gap)(1L, Iterator.empty, st4).toSeq
+    assert(out4.map(_.n_events) == Seq(3) && st4.removed)
+  }
+
   test("IVF search: perfect recall when probing all cells, sane recall at nProbe=4") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, sfDir)
