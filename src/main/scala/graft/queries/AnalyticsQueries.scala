@@ -99,6 +99,66 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // CUBE: all grouping combinations in one pass.
+    Q("q_cube",
+      (s, dir) => Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), Q.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """)),
+
+    // ------------------------------------------------------------------
+    // Running totals: cumulative spend per user over event time.
+    Q("q_running_total",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .filter(col("event_type") === "purchase")
+          .withColumn("running_spend",
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double"))
+          .select(col("event_id"), col("user_id"), col("running_spend"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+        FROM events WHERE event_type = 'purchase'
+        ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Inter-event deltas: seconds since the user's previous event.
+    Q("q_event_deltas",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+          .select(col("event_id"), col("user_id"),
+            ((unix_millis(col("ts")) - col("prev_ms")) / 1000).cast("long")
+              .as("secs_since_prev"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id, user_id,
+               CAST((epoch_ms(ts) - LAG(epoch_ms(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000 AS BIGINT)
+                 AS secs_since_prev
+        FROM events ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
     // Conversion funnel: per user, did signup → later click → later
     // purchase happen in order? One window pass per stage boundary.
     Q("q_funnel",
