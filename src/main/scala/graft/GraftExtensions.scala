@@ -30,8 +30,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intLit(e: Expression): Int =
-    e.eval(null).asInstanceOf[Number].intValue()
+  private def intLit(e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "graft SQL function: this argument must be a literal integer")
+    e.eval(null) match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"graft SQL function: expected an integer literal, got $other")
+    }
+  }
+
+  private def boolLit(e: Expression): Boolean = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        "graft SQL function: this argument must be a literal boolean")
+    e.eval(null) match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"graft SQL function: expected a boolean literal, got $other")
+    }
+  }
 
   private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "strip_accents" -> { exprs => StripAccents(exprs.head) },
@@ -39,7 +58,7 @@ object GraftExtensions {
     // shingles(text, n, word): word=true → word n-grams, else char n-grams
     "shingles" -> { exprs =>
       Shingles(exprs(0), intLit(exprs(1)),
-        word = exprs.length < 3 || exprs(2).eval(null).asInstanceOf[Boolean])
+        word = exprs.length < 3 || boolLit(exprs(2)))
     },
     "minhash_sig" -> { exprs => MinhashSig(exprs(0), intLit(exprs(1))) },
     "simhash" -> { exprs => SimHash(exprs.head) },

@@ -83,10 +83,18 @@ object ConfigLoader {
         onDuplicate = str("integrity.on_duplicate", "keep_first"),
         latestBy = sel(j, "integrity.latest_by").extractOpt[String],
         tieBreakers = strs("integrity.tie_breakers")),
-      deriveYear = for {
-        src <- sel(j, "derive.year_from").extractOpt[String]
-        tgt <- sel(j, "derive.year_col").extractOpt[String]
-      } yield (src, tgt),
+      deriveYear = {
+        val generic = for {
+          src <- sel(j, "derive.year_from").extractOpt[String]
+          tgt <- sel(j, "derive.year_col").extractOpt[String]
+        } yield (src, tgt)
+        // Reference key: derive.ano_from_fecha=true hardcodes the dataset's
+        // date column and 'ano' (reference etl/transform.py:444-453).
+        generic.orElse(
+          if (bool("derive.ano_from_fecha", false))
+            Some(("fecha_detencion_aprehension", "ano"))
+          else None)
+      },
       load = LoadCfg(
         table = str("load.table"),
         upsertKey = str("load.upsert_key", "surrogate_id"),

@@ -29,6 +29,8 @@ case class TopKAgg(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
+  require(k > 0, s"TopKAgg requires k > 0, got $k")
+
   override def children: Seq[Expression] = Seq(scoreExpr, payloadExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(

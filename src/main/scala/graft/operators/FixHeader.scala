@@ -64,16 +64,14 @@ object FixHeader {
           .toDF(newNames.toIndexedSeq: _*)
       } else withId.drop("__rid")
 
-    // Drop residual unnamed columns that are entirely null (one agg pass).
-    val unnamedResidual = out.columns.filter(isUnnamed)
-    if (unnamedResidual.nonEmpty) {
-      val counts = out
-        .select(unnamedResidual.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
-      val drop = unnamedResidual.zipWithIndex.collect {
-        case (c, i) if counts.getLong(i) == 0L => c
-      }
-      out = out.drop(drop.toIndexedSeq: _*)
+    // Drop ALL entirely-null columns (reference transform.py:104-108 drops
+    // them unconditionally, named or not) in one agg pass.
+    val counts = out
+      .select(out.columns.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+    val drop = out.columns.zipWithIndex.collect {
+      case (c, i) if counts.getLong(i) == 0L => c
     }
+    out = out.drop(drop.toIndexedSeq: _*)
     Transform.normalizeColumnNames(out)
   }
 

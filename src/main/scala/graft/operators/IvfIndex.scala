@@ -33,8 +33,10 @@ object IvfIndex {
   def train(corpus: DataFrame, vecCol: String, k: Int,
       sampleFraction: Double = 1.0, seed: Long = 42L): Model = {
     val base = if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feats = base.select(toVec(col(vecCol)).as("features"))
+    // Normalize the element type first: the rest of the module (VecDot)
+    // accepts float OR double arrays, so training must too.
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val feats = base.select(toVec(col(vecCol).cast("array<double>")).as("features"))
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).setTol(1e-3)
     val model = km.fit(feats)
     Model(model.clusterCenters.map(_.toArray))
@@ -44,13 +46,19 @@ object IvfIndex {
     * distance ≙ argmax of dot − ||c||²/2; centroids inlined as literals so
     * the pass is narrow and codegen-friendly).
     */
-  def cellId(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
+  /** Per-centroid (score, cell) structs — the single source of the scoring
+    * formula used by both assignment and probing (editing one without the
+    * other would silently desynchronize them).
+    */
+  private def scoredCells(model: Model,
+      vec: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    model.centroids.zipWithIndex.map { case (c, i) =>
       val half = c.map(x => x * x).sum / 2.0
       struct((Similarity.dot(vec, typedlit(c.toSeq)) - half).as("score"), lit(i).as("cell"))
-    }
-    greatest(scored.toIndexedSeq: _*).getField("cell")
-  }
+    }.toIndexedSeq
+
+  def cellId(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    greatest(scoredCells(model, vec): _*).getField("cell")
 
   /** Assign every corpus row to its cell (the "inverted file"). */
   def assign(corpus: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
@@ -75,13 +83,8 @@ object IvfIndex {
   }
 
   /** Cell ids sorted by descending affinity to `vec`. */
-  private def sortCells(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val scored = model.centroids.zipWithIndex.map { case (c, i) =>
-      val half = c.map(x => x * x).sum / 2.0
-      struct((Similarity.dot(vec, typedlit(c.toSeq)) - half).as("score"), lit(i).as("cell"))
-    }
+  private def sortCells(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(
-      reverse(array_sort(array(scored.toIndexedSeq: _*))),
+      reverse(array_sort(array(scoredCells(model, vec): _*))),
       s => s.getField("cell"))
-  }
 }

@@ -159,39 +159,51 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // Conversion funnel: per user, did signup → later click → later
-    // purchase happen in order? One window pass per stage boundary.
+    // Conversion funnel with PROGRESSIVE stage times: first click AFTER
+    // the signup, first purchase AFTER that click — a user whose earliest
+    // click predates signup still converts via a later click (global
+    // first-event formulations undercount exactly those users).
     Q("q_funnel",
       (s, dir) => {
         val e = Tables.events(s, dir)
-        val stages = e.groupBy(col("user_id")).agg(
-          min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
-          min(when(col("event_type") === "click", col("ts"))).as("t_first_click"),
-          min(when(col("event_type") === "purchase", col("ts"))).as("t_first_purchase"))
-        stages.agg(
-          count(lit(1)).as("users"),
-          sum(when(col("t_signup").isNotNull, 1).otherwise(0)).cast("long").as("signed_up"),
-          sum(when(col("t_signup").isNotNull && col("t_first_click") > col("t_signup"), 1)
-            .otherwise(0)).cast("long").as("clicked_after_signup"),
-          sum(when(col("t_signup").isNotNull && col("t_first_click") > col("t_signup") &&
-            col("t_first_purchase") > col("t_first_click"), 1)
-            .otherwise(0)).cast("long").as("purchased_after_click"))
+        val su = e.filter(col("event_type") === "signup")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t_signup"))
+        val cl = e.join(su, "user_id")
+          .groupBy(col("user_id"), col("t_signup"))
+          .agg(min(when(col("event_type") === "click" && col("ts") > col("t_signup"),
+            col("ts"))).as("t_click_after"))
+        val pu = e.join(cl, "user_id")
+          .groupBy(col("user_id"), col("t_click_after"))
+          .agg(min(when(col("event_type") === "purchase" &&
+            col("ts") > col("t_click_after"), col("ts"))).as("t_purchase_after"))
+        val totals = e.agg(countDistinct(col("user_id")).as("users"))
+        totals.crossJoin(pu.agg(
+          count(lit(1)).as("signed_up"),
+          count(col("t_click_after")).as("clicked_after_signup"),
+          count(col("t_purchase_after")).as("purchased_after_click")))
       },
       Some("""
-        WITH stages AS (
-          SELECT user_id,
-                 MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
-                 MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_first_click,
-                 MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_first_purchase
-          FROM events GROUP BY user_id)
-        SELECT COUNT(*) AS users,
-               CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS signed_up,
-               CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_first_click > t_signup
-                        THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_signup,
-               CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_first_click > t_signup
-                         AND t_first_purchase > t_first_click
-                        THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_click
-        FROM stages
+        WITH su AS (
+          SELECT user_id, MIN(ts) AS t_signup FROM events
+          WHERE event_type = 'signup' GROUP BY user_id),
+        cl AS (
+          SELECT e.user_id,
+                 MIN(CASE WHEN e.event_type = 'click' AND e.ts > su.t_signup
+                     THEN e.ts END) AS t_click_after
+          FROM events e JOIN su ON e.user_id = su.user_id
+          GROUP BY e.user_id, su.t_signup),
+        pu AS (
+          SELECT e.user_id,
+                 MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > cl.t_click_after
+                     THEN e.ts END) AS t_purchase_after,
+                 ANY_VALUE(cl.t_click_after) AS t_click_after
+          FROM events e JOIN cl ON e.user_id = cl.user_id
+          GROUP BY e.user_id, cl.t_click_after)
+        SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS users,
+               COUNT(*) AS signed_up,
+               COUNT(t_click_after) AS clicked_after_signup,
+               COUNT(t_purchase_after) AS purchased_after_click
+        FROM pu
       """)),
 
     // ------------------------------------------------------------------

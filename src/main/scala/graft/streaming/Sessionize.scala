@@ -40,34 +40,39 @@ object Sessionize {
       state.remove()
       out.iterator
     } else {
+      // 1) Gap-scan the batch's sorted events into provisional sessions.
       val sorted = events.toSeq.sortBy(_.ts.getTime)
-      var cur = state.getOption
-      val closed = Seq.newBuilder[Session]
-      sorted.foreach { e =>
+      val provisional = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
         val t = e.ts.getTime
-        cur match {
-          // Within gap of the session's span (a late cross-batch event may
-          // precede the stored start — extend backwards, don't just absorb).
-          case Some(s) if t >= s.start - gapMillis && t - s.lastTs <= gapMillis =>
-            cur = Some(s.copy(start = math.min(s.start, t),
-              lastTs = math.max(s.lastTs, t), nEvents = s.nEvents + 1))
-          // More than a gap BEFORE the session: its own earlier session,
-          // closed immediately (the watermark has long passed it).
-          case Some(s) if t < s.start - gapMillis =>
-            closed += Session(userId, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
-          case Some(s) =>
-            closed += close(s)
-            cur = Some(SessionState(t, t, 1))
-          case None =>
-            cur = Some(SessionState(t, t, 1))
+        acc match {
+          case head :: tail if t - head.lastTs <= gapMillis =>
+            head.copy(lastTs = math.max(head.lastTs, t), nEvents = head.nEvents + 1) :: tail
+          case _ => SessionState(t, t, 1) :: acc
         }
-      }
-      cur.foreach { s =>
+      }.reverse
+      // 2) Merge with the stored session in time order: adjacent sessions
+      //    within the gap fuse (late cross-batch events may both precede the
+      //    stored start AND sessionize among themselves).
+      val merged = (state.getOption.toList ++ provisional)
+        .sortBy(_.start)
+        .foldLeft(List.empty[SessionState]) { (acc, s) =>
+          acc match {
+            case head :: tail if s.start - head.lastTs <= gapMillis =>
+              head.copy(start = math.min(head.start, s.start),
+                lastTs = math.max(head.lastTs, s.lastTs),
+                nEvents = head.nEvents + s.nEvents) :: tail
+            case _ => s :: acc
+          }
+        }.reverse
+      // 3) Everything except the newest session is final (a later event can
+      //    no longer fall within its gap); the newest stays open as state.
+      val closed = merged.dropRight(1).map(close)
+      merged.lastOption.foreach { s =>
         state.update(s)
         // Close the open session once event time passes lastTs + gap.
         state.setTimeoutTimestamp(s.lastTs + gapMillis)
       }
-      closed.result().iterator
+      closed.iterator
     }
   }
 

@@ -89,6 +89,14 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(out3.map(s => (s.session_start.getTime, s.n_events)) == Seq((100L, 1L)))
     assert(st3.opt.get == Sessionize.SessionState(10000, 10500, 2))
 
+    // MULTIPLE far-earlier late events sessionize among themselves:
+    // t=100 and t=500 are within gap of each other → ONE session (100,500,2).
+    val st5 = new FakeState(Some(Sessionize.SessionState(10000, 10500, 2)))
+    val out5 = Sessionize.updateSessions(gap)(1L, Iterator(ev(100), ev(500)), st5).toSeq
+    assert(out5.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)) ==
+      Seq((100L, 500L, 2L)))
+    assert(st5.opt.get == Sessionize.SessionState(10000, 10500, 2))
+
     // Timeout path: state closed and removed.
     val st4 = new FakeState(Some(Sessionize.SessionState(0, 500, 3))) {
       override def hasTimedOut: Boolean = true
