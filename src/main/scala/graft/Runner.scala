@@ -44,8 +44,13 @@ object Runner {
         val transformed = Transform.pipeline(raw, cfg)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
+          // Config-driven upsert key (reference load.py honors the YAML's
+          // load.upsert_key); fall back to surrogate_id-then-business_key
+          // only when the configured key isn't among the output columns.
           val keyCol =
-            if (transformed.columns.contains("surrogate_id")) "surrogate_id" else "business_key"
+            if (transformed.columns.contains(cfg.load.upsertKey)) cfg.load.upsertKey
+            else if (transformed.columns.contains("surrogate_id")) "surrogate_id"
+            else "business_key"
           // Merge into the target: latest row wins by the configured
           // latestBy column, both within the batch and against the target.
           graft.streaming.StreamOps.upsertIntoParquet(

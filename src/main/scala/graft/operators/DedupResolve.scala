@@ -35,7 +35,8 @@ object DedupResolve {
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edgeCount = pairs.limit((driverThreshold + 1).toInt).count()
+    val edgeCount =
+      pairs.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt).count()
     if (edgeCount <= driverThreshold) {
       // Generic over the id type (numeric, string, ...) — same contract as
       // the distributed path, which never casts either.

@@ -168,7 +168,9 @@ object Transform {
             countDistinct(col("mapped")).as("mapped_distinct"),
             sort_array(collect_set(when(col("oob"), col("mapped"))))
               .as("out_of_domain_values"),
-            sum(when(col("oob"), 1L).otherwise(0L)).as("out_of_domain_count"))
+            // Count of DISTINCT out-of-domain values (reference reports
+            // len(set(...)), not row occurrences).
+            countDistinct(when(col("oob"), col("mapped"))).as("out_of_domain_count"))
           .withColumn("column", lit(c)))
       }
     }

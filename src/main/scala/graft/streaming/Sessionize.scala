@@ -8,9 +8,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * semantics windowed aggregation can't express: a session closes when a
   * user is idle for `gapMillis`, regardless of wall-clock alignment.
   *
-  * State per user is O(1) (current session bounds + count), evicted via
-  * event-time timeout — bounded memory at any scale. The same function
-  * also runs in batch tests through groupByKey on a static Dataset.
+  * A session is only FINAL once the watermark has passed its close
+  * boundary (`lastTs + gapMillis`): while the watermark lags, a late
+  * event may still fall inside the gap of an "old" session and fuse it
+  * with its neighbours, so all still-extendable sessions stay in state
+  * (a short time-ordered list, bounded by watermark delay / gap) and are
+  * flushed by the event-time timeout. State per user is O(watermark
+  * delay / gap) — bounded memory at any scale. The same function also
+  * runs in batch tests through groupByKey on a static Dataset.
   */
 object Sessionize {
 
@@ -18,28 +23,45 @@ object Sessionize {
 
   final case class SessionState(start: Long, lastTs: Long, nEvents: Long)
 
+  /** State = all sessions not yet expired by the watermark, ascending by start. */
+  final case class OpenSessions(sessions: List[SessionState])
+
   final case class Session(
       user_id: Long,
       session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp,
       n_events: Long)
 
-  /** Emits a Session row each time a user's idle gap exceeds `gapMillis`
-    * (and on state timeout for the tail session).
+  /** Emits a Session row once the event-time watermark passes a session's
+    * idle-gap boundary (so late events above the watermark can still fuse
+    * into it); expired sessions flush on data arrival or state timeout.
     */
   def updateSessions(gapMillis: Long)(
       userId: Long,
       events: Iterator[Event],
-      state: GroupState[SessionState]): Iterator[Session] = {
+      state: GroupState[OpenSessions]): Iterator[Session] = {
 
     def close(s: SessionState): Session =
       Session(userId, new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.lastTs), s.nEvents)
 
-    if (state.hasTimedOut) {
-      val out = state.getOption.map(close).toSeq
-      state.remove()
-      out.iterator
-    } else {
+    def stored: List[SessionState] = state.getOption.map(_.sessions).getOrElse(Nil)
+
+    // Close sessions the watermark has passed; keep the rest in state with
+    // a timeout at the earliest remaining close boundary (> watermark by
+    // construction, as EventTimeTimeout requires).
+    def flush(sessions: List[SessionState]): Iterator[Session] = {
+      val wm = state.getCurrentWatermarkMs()
+      val (expired, open) = sessions.partition(s => s.lastTs + gapMillis <= wm)
+      if (open.isEmpty) { if (state.exists) state.remove() }
+      else {
+        state.update(OpenSessions(open))
+        state.setTimeoutTimestamp(open.map(_.lastTs + gapMillis).min)
+      }
+      expired.map(close).iterator
+    }
+
+    if (state.hasTimedOut) flush(stored)
+    else {
       // 1) Gap-scan the batch's sorted events into provisional sessions.
       val sorted = events.toSeq.sortBy(_.ts.getTime)
       val provisional = sorted.foldLeft(List.empty[SessionState]) { (acc, e) =>
@@ -50,10 +72,10 @@ object Sessionize {
           case _ => SessionState(t, t, 1) :: acc
         }
       }.reverse
-      // 2) Merge with the stored session in time order: adjacent sessions
-      //    within the gap fuse (late cross-batch events may both precede the
+      // 2) Merge with stored sessions in time order: adjacent sessions
+      //    within the gap fuse (late cross-batch events may both precede a
       //    stored start AND sessionize among themselves).
-      val merged = (state.getOption.toList ++ provisional)
+      val merged = (stored ++ provisional)
         .sortBy(_.start)
         .foldLeft(List.empty[SessionState]) { (acc, s) =>
           acc match {
@@ -64,15 +86,7 @@ object Sessionize {
             case _ => s :: acc
           }
         }.reverse
-      // 3) Everything except the newest session is final (a later event can
-      //    no longer fall within its gap); the newest stays open as state.
-      val closed = merged.dropRight(1).map(close)
-      merged.lastOption.foreach { s =>
-        state.update(s)
-        // Close the open session once event time passes lastTs + gap.
-        state.setTimeoutTimestamp(s.lastTs + gapMillis)
-      }
-      closed.iterator
+      flush(merged)
     }
   }
 

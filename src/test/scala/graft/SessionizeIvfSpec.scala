@@ -47,16 +47,16 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L)))
   }
 
-  test("updateSessions semantics: merge, backward-extend, early-closed, gap-split") {
+  test("updateSessions semantics: merge, backward-extend, watermark close, late fusion") {
     // Minimal GroupState fake for driving the pure update function.
-    class FakeState(var opt: Option[Sessionize.SessionState])
-        extends org.apache.spark.sql.streaming.GroupState[Sessionize.SessionState] {
+    class FakeState(var opt: Option[Sessionize.OpenSessions], wm: Long = 0L)
+        extends org.apache.spark.sql.streaming.GroupState[Sessionize.OpenSessions] {
       var removed = false
       var timeoutTs: Long = -1
       override def exists: Boolean = opt.isDefined
-      override def get: Sessionize.SessionState = opt.get
-      override def getOption: Option[Sessionize.SessionState] = opt
-      override def update(s: Sessionize.SessionState): Unit = { opt = Some(s); removed = false }
+      override def get: Sessionize.OpenSessions = opt.get
+      override def getOption: Option[Sessionize.OpenSessions] = opt
+      override def update(s: Sessionize.OpenSessions): Unit = { opt = Some(s); removed = false }
       override def remove(): Unit = { opt = None; removed = true }
       override def hasTimedOut: Boolean = false
       override def setTimeoutDuration(d: Long): Unit = ()
@@ -65,44 +65,67 @@ class SessionizeIvfSpec extends AnyFunSuite {
       override def setTimeoutTimestamp(t: Long, additional: String): Unit = ()
       override def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
       override def setTimeoutTimestamp(t: java.sql.Date, additional: String): Unit = ()
-      override def getCurrentWatermarkMs(): Long = 0L
+      override def getCurrentWatermarkMs(): Long = wm
       override def getCurrentProcessingTimeMs(): Long = 0L
     }
     def ev(ms: Long) = Sessionize.Event(1L, new java.sql.Timestamp(ms), "e")
+    def ss(s: Long, l: Long, n: Long) = Sessionize.SessionState(s, l, n)
+    def open(ss: Sessionize.SessionState*) = Some(Sessionize.OpenSessions(ss.toList))
     val gap = 1000L
 
-    // Gap split: two events > gap apart → first session closes.
+    // Gap split under a lagging watermark (wm=0): NOTHING is final yet —
+    // both sessions stay open; timeout is set at the earliest close boundary.
     val st1 = new FakeState(None)
     val out1 = Sessionize.updateSessions(gap)(1L, Iterator(ev(0), ev(5000)), st1).toSeq
-    assert(out1.map(_.n_events) == Seq(1))
-    assert(st1.opt.get.start == 5000 && st1.timeoutTs == 6000)
+    assert(out1.isEmpty)
+    assert(st1.opt.get.sessions == List(ss(0, 0, 1), ss(5000, 5000, 1)))
+    assert(st1.timeoutTs == 1000)
 
     // Backward extension: late event within gap BEFORE stored start.
-    val st2 = new FakeState(Some(Sessionize.SessionState(2000, 2500, 2)))
+    val st2 = new FakeState(open(ss(2000, 2500, 2)))
     val out2 = Sessionize.updateSessions(gap)(1L, Iterator(ev(1500)), st2).toSeq
     assert(out2.isEmpty)
-    assert(st2.opt.get == Sessionize.SessionState(1500, 2500, 3))
+    assert(st2.opt.get.sessions == List(ss(1500, 2500, 3)))
 
-    // Far-earlier late event: emitted as its own closed session, current kept.
-    val st3 = new FakeState(Some(Sessionize.SessionState(10000, 10500, 2)))
-    val out3 = Sessionize.updateSessions(gap)(1L, Iterator(ev(100)), st3).toSeq
-    assert(out3.map(s => (s.session_start.getTime, s.n_events)) == Seq((100L, 1L)))
-    assert(st3.opt.get == Sessionize.SessionState(10000, 10500, 2))
+    // THE lagging-watermark case: sessions [0,0] and [4000,4000] both open
+    // (wm=0), then a late event at t=2000 with gap=3000 fuses ALL THREE
+    // into one session [0,4000] — nothing was prematurely emitted.
+    val g3 = 3000L
+    val st3 = new FakeState(open(ss(0, 0, 1), ss(4000, 4000, 1)))
+    val out3 = Sessionize.updateSessions(g3)(1L, Iterator(ev(2000)), st3).toSeq
+    assert(out3.isEmpty)
+    assert(st3.opt.get.sessions == List(ss(0, 4000, 3)))
+    assert(st3.timeoutTs == 7000)
 
-    // MULTIPLE far-earlier late events sessionize among themselves:
-    // t=100 and t=500 are within gap of each other → ONE session (100,500,2).
-    val st5 = new FakeState(Some(Sessionize.SessionState(10000, 10500, 2)))
+    // Watermark passed a session's boundary → it closes; younger stays open.
+    val st4 = new FakeState(open(ss(0, 500, 2)), wm = 2000L)
+    val out4 = Sessionize.updateSessions(gap)(1L, Iterator(ev(4000)), st4).toSeq
+    assert(out4.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)) ==
+      Seq((0L, 500L, 2L)))
+    assert(st4.opt.get.sessions == List(ss(4000, 4000, 1)) && st4.timeoutTs == 5000)
+
+    // Far-earlier late events sessionize among themselves but stay OPEN
+    // until the watermark passes them (wm=0 here).
+    val st5 = new FakeState(open(ss(10000, 10500, 2)))
     val out5 = Sessionize.updateSessions(gap)(1L, Iterator(ev(100), ev(500)), st5).toSeq
-    assert(out5.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)) ==
-      Seq((100L, 500L, 2L)))
-    assert(st5.opt.get == Sessionize.SessionState(10000, 10500, 2))
+    assert(out5.isEmpty)
+    assert(st5.opt.get.sessions == List(ss(100, 500, 2), ss(10000, 10500, 2)))
+    assert(st5.timeoutTs == 1500) // earliest close boundary
 
-    // Timeout path: state closed and removed.
-    val st4 = new FakeState(Some(Sessionize.SessionState(0, 500, 3))) {
+    // Timeout path: expired sessions flush, still-open ones stay.
+    val st6 = new FakeState(open(ss(0, 500, 3), ss(9000, 9500, 1)), wm = 2000L) {
       override def hasTimedOut: Boolean = true
     }
-    val out4 = Sessionize.updateSessions(gap)(1L, Iterator.empty, st4).toSeq
-    assert(out4.map(_.n_events) == Seq(3) && st4.removed)
+    val out6 = Sessionize.updateSessions(gap)(1L, Iterator.empty, st6).toSeq
+    assert(out6.map(_.n_events) == Seq(3))
+    assert(st6.opt.get.sessions == List(ss(9000, 9500, 1)) && st6.timeoutTs == 10500)
+
+    // Timeout with everything expired → state removed.
+    val st7 = new FakeState(open(ss(0, 500, 3)), wm = 2000L) {
+      override def hasTimedOut: Boolean = true
+    }
+    val out7 = Sessionize.updateSessions(gap)(1L, Iterator.empty, st7).toSeq
+    assert(out7.map(_.n_events) == Seq(3) && st7.removed)
   }
 
   test("IVF search: perfect recall when probing all cells, sane recall at nProbe=4") {

@@ -122,8 +122,10 @@ class TransformSpec extends AnyFunSuite {
   }
 
   test("category and numeric reports match the reference report semantics") {
-    val df = Seq(("m", "30"), ("masculino", "200"), ("zzz", "x"), ("F", null: String))
-      .toDF("sexo", "edad")
+    // "zzz" occurs TWICE: the count is of distinct out-of-domain VALUES
+    // (reference len(sorted(set(...)))), not rows — must stay 1.
+    val df = Seq(("m", "30"), ("masculino", "200"), ("zzz", "x"),
+      ("zzz", "7"), ("F", null: String)).toDF("sexo", "edad")
     val catRep = Transform.categoryReport(df, Map("sexo" -> CategoryRule(
       map = Map("m" -> "Masculino", "masculino" -> "Masculino", "f" -> "Femenino"),
       allowed = Seq("Masculino", "Femenino"))))
