@@ -31,13 +31,16 @@ object IvfIndex {
     * cells (standard IVF practice).
     */
   def train(corpus: DataFrame, vecCol: String, k: Int,
-      sampleFraction: Double = 1.0, seed: Long = 42L): Model = {
+      sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 10): Model = {
     val base = if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
     // Normalize the element type first: the rest of the module (VecDot)
     // accepts float OR double arrays, so training must too.
     val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     val feats = base.select(toVec(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(10).setTol(1e-3)
+    // Seeded random init: k-means|| costs ~5 extra distributed passes and
+    // an IVF codebook over a uniform sample doesn't need it.
+    val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).setTol(1e-3)
+      .setInitMode("random")
     val model = km.fit(feats)
     Model(model.clusterCenters.map(_.toArray))
   }

@@ -51,30 +51,38 @@ object TextDedup {
   // N-gram Jaccard set-similarity join
   // ------------------------------------------------------------------
 
-  /** Top-k most similar pairs by exact Jaccard over char n-grams.
-    * Inverted-index equi-join on shingle (the classic set-similarity join):
-    * explode → join on shingle → count shared → |A∩B| / (|A|+|B|−|A∩B|).
-    * At scale you add prefix filtering; the join is already an equi-join,
-    * so it shuffles on shingle, never materializes the n² pair space.
+  /** Top-k most similar pairs by exact Jaccard over word n-grams.
+    * Posting-list set-similarity join: ONE shuffle groups the inverted
+    * index by shingle; candidate pairs are generated inside each posting
+    * list (id-sorted combinations, so id_a < id_b holds by construction)
+    * and re-aggregated to |A∩B| → |A∩B| / (|A|+|B|−|A∩B|). The n² pair
+    * space is never materialized across partitions — only within posting
+    * lists already bounded by the df-cut.
+    *
+    * Stop-shingle cut: shingles present in > maxDf docs carry no
+    * discrimination and would make posting lists quadratic (the df-cut
+    * analog of PPJoin prefix filtering). Jaccard from the surviving
+    * shingles is a lower bound; exact when nothing is cut.
     */
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 20, maxDf: Int = 200): DataFrame = {
     val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
-    val inv0 = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
-    // Stop-shingle cut: shingles present in > maxDf docs carry no
-    // discrimination and quadratically blow up the self-join (the df-cut
-    // analog of PPJoin prefix filtering). Jaccard from the surviving
-    // shingles is a lower bound; exact when nothing is cut.
-    // Persisted: inv0 feeds the df-count, then both sides of the pair join.
-    val inv1 = inv0.persist(StorageLevel.MEMORY_AND_DISK)
-    val inv = inv1.join(
-      inv1.groupBy("shingle").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf),
-      Seq("shingle"))
-    val shared = inv.as("a").join(inv.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("shared"), first(col("a.sz")).as("sz_a"), first(col("b.sz")).as("sz_b"))
+    // df-cut and posting-list build in a single aggregation (shingles are
+    // distinct per doc, so size(docs) == document frequency).
+    val postings = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+      .groupBy("shingle")
+      .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
+      .filter(size(col("docs")).between(2, maxDf))
+    val pairs = postings.select(explode(
+      flatten(transform(col("docs"), (a, i) =>
+        transform(slice(col("docs"), i + lit(2), size(col("docs"))), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b")))))).as("p"))
+    val shared = pairs
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared"),
+        first(col("p.sz_a")).as("sz_a"), first(col("p.sz_b")).as("sz_b"))
     shared
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))

@@ -90,7 +90,10 @@ object TextQueries {
     Q("s_ann_ivf",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
-        val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+        // Sampled, short training — at corpus scale the IVF codebook is
+        // always trained on a uniform sample, never the full table.
+        val model = graft.operators.IvfIndex.train(
+          emb, "embedding", k = 16, sampleFraction = 0.25, maxIter = 5)
         val assigned = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
         graft.operators.IvfIndex.search(
             assigned, emb.filter(col("vec_id") < 10), "vec_id", "embedding", model,
