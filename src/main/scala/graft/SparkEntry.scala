@@ -11,7 +11,7 @@ object SparkEntry {
   def allQueries: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ TpchMoreQueries.all ++
       AnalyticsQueries.all ++ TransformQueries.all ++ TextQueries.all ++
-      StreamQueries.all
+      DataPipelineQueries.all ++ StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** Training-data curation operators beyond the sketch family (SURVEY.md
+  * §2.3 extensions): repetition signals, benchmark-contamination checks,
+  * stratified/quota sampling, n-gram frequency, and Spark's native
+  * session-window aggregation. All are single-shuffle-or-less shapes that
+  * hold at corpus scale, and all carry DuckDB oracles.
+  *
+  * Normalization parity: the DuckDB side re-derives tokens with
+  * `string_split_regex(trim(lower(strip_accents(text))), '\s+')`, the
+  * SQL twin of SketchHash.tokenize (parity established by the
+  * x_text_quality oracle).
+  */
+object DataPipelineQueries {
+
+  /** DuckDB tokens list for a text column (keep in sync with tokenize). */
+  private val Toks = raw"string_split_regex(trim(lower(strip_accents(text))), '\s+')"
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Repetition signals (the Gopher-style quality rules): fraction of
+    // duplicate tokens and duplicate word-2-grams per document. One
+    // narrow projection — the shingle sets come from the native
+    // Shingles expression, so no shuffle at all.
+    Q("x_repetition",
+      (s, dir) => {
+        val nTok = graft.functions.tokenCount(col("text")).cast("double")
+        Tables.documents(s, dir)
+          .select(col("doc_id"), nTok.as("n_tokens"),
+            size(TextDedup.wordShingles(col("text"), 1)).cast("double").as("d1"),
+            size(TextDedup.wordShingles(col("text"), 2)).cast("double").as("d2"))
+          .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+            round(lit(1.0) - col("d1") / col("n_tokens"), 6).as("dup_token_frac"),
+            when(col("n_tokens") <= 1, lit(0.0))
+              .otherwise(round(lit(1.0) - col("d2") / (col("n_tokens") - 1), 6))
+              .as("dup_2gram_frac"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+        m AS (SELECT doc_id, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS d1,
+                     CASE WHEN len(toks) <= 2 THEN 1
+                          ELSE len(list_distinct(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1]))) END AS d2
+              FROM t)
+        SELECT doc_id, n_tokens,
+               round(1.0 - CAST(d1 AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+               CASE WHEN n_tokens <= 1 THEN 0.0
+                    ELSE round(1.0 - CAST(d2 AS DOUBLE) / (n_tokens - 1), 6)
+               END AS dup_2gram_frac
+        FROM m ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Benchmark-contamination check (decontamination pass of a training
+    // pipeline): corpus docs sharing any word-5-gram with the benchmark
+    // set (here: doc_id < 10), with the shared-shingle count. The
+    // benchmark's distinct shingle set is tiny → broadcast; the corpus
+    // side stays a narrow explode, no self-join.
+    Q("x_contamination",
+      (s, dir) => {
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextDedup.wordShingles(col("text"), 5)).as("shingle"))
+        val bench = grams.filter(col("doc_id") < 10).select("shingle").distinct()
+        grams.filter(col("doc_id") >= 10)
+          .join(broadcast(bench), Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(countDistinct(col("shingle")).as("n_shared"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(toks) <= 5 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+                                 toks[i+3] || ' ' || toks[i+4])) END AS grams
+              FROM t),
+        ex AS (SELECT doc_id, unnest(grams) AS shingle FROM g),
+        bench AS (SELECT DISTINCT shingle FROM ex WHERE doc_id < 10)
+        SELECT ex.doc_id, COUNT(DISTINCT ex.shingle) AS n_shared
+        FROM ex JOIN bench USING (shingle)
+        WHERE ex.doc_id >= 10
+        GROUP BY 1 ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Stratified deterministic sampling: per-language rates off the same
+    // content-hash bucket as x_hash_sample (en 10%, everything else 50%)
+    // — the reproducible mixture-reweighting primitive. Pure filter.
+    Q("x_stratified_sample",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("bucket",
+          (conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long") % 100))
+        .filter(col("bucket") < when(col("lang") === "en", 10).otherwise(50))
+        .select(col("doc_id"), col("lang"), col("bucket"))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100 AS BIGINT) AS bucket
+        FROM documents
+        WHERE ('0x' || substr(sha256(text), 1, 8))::UBIGINT % 100
+              < CASE WHEN lang = 'en' THEN 10 ELSE 50 END
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Per-source quota (cap any one domain/source's contribution): keep a
+    // deterministic content-hash-ranked top-25 per source. One shuffle on
+    // source; at scale this is the standard skew-bounded domain cap.
+    Q("x_source_quota",
+      (s, dir) => {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(sha2(col("text"), 256), col("doc_id"))
+        Tables.documents(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 25)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY sha256(text), doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 25 ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Corpus n-gram document frequency, top-20 (the n-gram-LM / analysis
+    // counting pass). Shingles are distinct per doc, so counts are
+    // document frequency; map-side partial agg keeps the shuffle small.
+    Q("x_ngram_freq",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(TextDedup.wordShingles(col("text"), 2)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("bigram"))
+        .limit(20),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(toks) <= 2 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1])) END AS grams
+              FROM t)
+        SELECT bigram, COUNT(*) AS df
+        FROM (SELECT unnest(grams) AS bigram FROM g)
+        GROUP BY 1
+        ORDER BY df DESC, bigram LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // Native session windows: Spark's built-in session_window aggregation
+    // (merging gap-based windows inside the agg operator — the batch twin
+    // of the streaming session window). Same 30-min gap as the
+    // lag/cumsum formulation in q_events_sessionize, which is exactly
+    // what the oracle replays; boundary semantics are `diff >= gap`
+    // starts a new session, at microsecond precision.
+    Q("q_session_window",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), Q.dsum(col("value")).as("sum_value"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("session_start")),
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM (SELECT user_id, ts, value,
+                       LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events)),
+        s AS (SELECT user_id, ts, value,
+                     SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+        SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        FROM s GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+      """))
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.DataPipelineQueries
+
+/** Invariants and plan shapes for the curation operators
+  * (DataPipelineQueries) beyond what the DuckDB oracles hash-check.
+  */
+class DataPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    DataPipelineQueries.all.find(_.name == name).get.run(spark, sfDir)
+
+  test("x_repetition fractions are well-formed and bounded") {
+    val rows = q("x_repetition")
+      .select("n_tokens", "dup_token_frac", "dup_2gram_frac")
+      .as[(Long, Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, f1, f2) =>
+      assert(n > 0)
+      assert(f1 >= 0.0 && f1 <= 1.0)
+      assert(f2 >= 0.0 && f2 <= 1.0)
+    }
+    // The synthetic corpus shares a tiny vocabulary — duplicate tokens
+    // must actually occur somewhere, or the metric is vacuous.
+    assert(rows.exists(_._2 > 0.0))
+  }
+
+  test("x_contamination broadcasts the benchmark side and self-excludes") {
+    val df = q("x_contamination")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"benchmark side should broadcast:\n$plan")
+    // Benchmark docs (doc_id < 10) never appear as contaminated corpus rows.
+    assert(df.filter(col("doc_id") < 10).count() == 0)
+  }
+
+  test("x_source_quota caps every source at the quota") {
+    val per = q("x_source_quota").groupBy("source").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+    assert(per.nonEmpty)
+    per.foreach { case (_, n) => assert(n <= 25) }
+  }
+
+  test("x_stratified_sample buckets respect per-language rates") {
+    val rows = q("x_stratified_sample").select("lang", "bucket")
+      .as[(String, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, b) =>
+      assert(b < (if (lang == "en") 10 else 50), s"lang=$lang bucket=$b")
+    }
+  }
+
+  test("q_session_window agrees with the lag/cumsum sessionization") {
+    // Same gap, two formulations: native session_window vs window-lag.
+    val native = q("q_session_window")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+    val viaLag = SparkEntry.queries("q_events_sessionize")(spark, sfDir)
+      .select(col("user_id"), col("n_sessions"))
+    assert(native.join(viaLag, Seq("user_id"))
+      .filter(native("n_sessions") =!= viaLag("n_sessions")).count() == 0)
+    // Every event lands in exactly one session.
+    val totalEvents = graft.sources.Tables.events(spark, sfDir).count()
+    val sessionEvents = q("q_session_window").agg(sum(col("n_events"))).as[Long].head()
+    assert(sessionEvents == totalEvents)
+  }
+
+  test("x_ngram_freq is a deterministic top-20 by document frequency") {
+    val a = q("x_ngram_freq").as[(String, Long)].collect()
+    val b = q("x_ngram_freq").as[(String, Long)].collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 20)
+    assert(a.map(_._2).toSeq == a.map(_._2).sortBy(-_).toSeq) // df descending
+  }
+}
