@@ -10,6 +10,7 @@ object SparkEntry {
   /** All verifiable operators/queries, grouped per SURVEY.md §2 sections. */
   def allQueries: Seq[Q] =
     RelationalQueries.all ++ ExtendedQueries.all ++ TpchMoreQueries.all ++
+      TpchRestQueries.all ++
       AnalyticsQueries.all ++ TransformQueries.all ++ TextQueries.all ++
       DataPipelineQueries.all ++ StreamQueries.all
 
