@@ -62,6 +62,21 @@ object StreamOps {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Native session-window aggregation (Spark's built-in merging session
+    * windows inside the agg operator) — the declarative sibling of
+    * Sessionize.flatMapGroupsWithState for when per-session output is
+    * just an aggregate. Works identically over batch and streaming input;
+    * in streaming append mode a session emits once the watermark passes
+    * its gap boundary.
+    */
+  def sessionWindowAgg(df: DataFrame, gap: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Streaming dedup on a business key, state bounded by the watermark
     * (the streaming twin of Transform.dedupByKey / the reference's
     * enforce_unique_business_key).

@@ -58,6 +58,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(batch).count() == 0)
   }
 
+  test("native session_window stream emits watermark-closed sessions matching batch") {
+    val dir = stageDrops(2)
+    val stream = StreamOps.sessionWindowAgg(
+      StreamOps.readParquetStream(spark, dir, Tables.events(spark, sfDir)))
+    val q = stream.writeStream.format("memory").queryName("sesswin")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val batch = StreamOps.sessionWindowAgg(Tables.events(spark, sfDir))
+    val got = spark.table("sesswin")
+    // Append-mode emits only closed sessions; each must equal its batch
+    // twin row exactly (same merge semantics in both modes).
+    assert(got.count() > 0)
+    assert(got.except(batch).count() == 0)
+  }
+
   test("streaming dedup within watermark drops same-key duplicates") {
     val dir = Files.createTempDirectory("graft-dupes").toString
     val ev = Tables.events(spark, sfDir).limit(100)
