@@ -62,6 +62,25 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
     copy(child = newChild)
 }
 
+/** Token COUNT under SketchHash.tokenize — the same tokenizer Shingles and
+  * SimHash use, so metrics that relate distinct shingles to total tokens
+  * (repetition fractions) are internally consistent on every input,
+  * including whitespace classes where `split('\s+')` disagrees with
+  * Character.isWhitespace.
+  */
+case class NormTokenCount(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    java.lang.Long.valueOf(
+      SketchHash.tokenize(input.asInstanceOf[UTF8String].toString).length.toLong)
+
+  override protected def withNewChildInternal(newChild: Expression): NormTokenCount =
+    copy(child = newChild)
+}
+
 private[graft] object SketchHash {
   /** xxhash64 of a UTF8String under `seed` (Spark's XXH64, zero-copy). */
   @inline def hash(s: UTF8String, seed: Long): Long =

@@ -46,6 +46,13 @@ package object functions {
   /** Token count (whitespace segmentation). */
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Token count under the sketch tokenizer (SketchHash.tokenize) — use
+    * when relating to Shingles-derived counts so both sides segment
+    * identically.
+    */
+  def normTokenCount(c: Column): Column =
+    GraftBridge.column(NormTokenCount(GraftBridge.expression(c)))
+
   /** 16-hex-char content fingerprint (sha256 prefix) — stable across engines. */
   def fingerprint(c: Column): Column = substring(sha2(c, 256), 1, 16)
 }

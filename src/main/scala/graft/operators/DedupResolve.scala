@@ -35,9 +35,13 @@ object DedupResolve {
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val edgeCount =
-      pairs.limit(math.min(driverThreshold + 1, Int.MaxValue.toLong).toInt).count()
-    if (edgeCount <= driverThreshold) {
+    // The probe can only count up to Int.MaxValue-1 rows, so thresholds
+    // beyond that are capped — a saturated probe (effThreshold + 1 rows)
+    // then correctly selects the distributed path instead of collecting
+    // an arbitrarily large edge set onto the driver.
+    val effThreshold = math.min(driverThreshold, Int.MaxValue.toLong - 1L)
+    val edgeCount = pairs.limit((effThreshold + 1).toInt).count()
+    if (edgeCount <= effThreshold) {
       // Generic over the id type (numeric, string, ...) — same contract as
       // the distributed path, which never casts either.
       val idType = pairs.schema("id_a").dataType

@@ -31,7 +31,10 @@ object DataPipelineQueries {
     // Shingles expression, so no shuffle at all.
     Q("x_repetition",
       (s, dir) => {
-        val nTok = graft.functions.tokenCount(col("text")).cast("double")
+        // normTokenCount, NOT tokenCount: d1/d2 come from the Shingles
+        // tokenizer, and mixing tokenizers lets the fractions leave [0,1]
+        // on exotic whitespace.
+        val nTok = graft.functions.normTokenCount(col("text")).cast("double")
         Tables.documents(s, dir)
           .select(col("doc_id"), nTok.as("n_tokens"),
             size(TextDedup.wordShingles(col("text"), 1)).cast("double").as("d1"),
@@ -67,8 +70,12 @@ object DataPipelineQueries {
     // side stays a narrow explode, no self-join.
     Q("x_contamination",
       (s, dir) => {
+        // Persisted: the shingled frame feeds the benchmark distinct-set
+        // build AND the corpus side — without it the whole scan+tokenize
+        // pass runs twice.
         val grams = Tables.documents(s, dir)
           .select(col("doc_id"), explode(TextDedup.wordShingles(col("text"), 5)).as("shingle"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val bench = grams.filter(col("doc_id") < 10).select("shingle").distinct()
         grams.filter(col("doc_id") >= 10)
           .join(broadcast(bench), Seq("shingle"))
@@ -163,8 +170,9 @@ object DataPipelineQueries {
     // (merging gap-based windows inside the agg operator — the batch twin
     // of the streaming session window). Same 30-min gap as the
     // lag/cumsum formulation in q_events_sessionize, which is exactly
-    // what the oracle replays; boundary semantics are `diff >= gap`
-    // starts a new session, at microsecond precision.
+    // what the oracle replays; boundary semantics are `diff > gap`
+    // starts a new session (two events EXACTLY gap apart merge —
+    // verified against session_window), at microsecond precision.
     Q("q_session_window",
       (s, dir) => Tables.events(s, dir)
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -175,7 +183,7 @@ object DataPipelineQueries {
       Some("""
         WITH x AS (
           SELECT user_id, ts, value,
-                 CASE WHEN prev IS NULL OR epoch_us(ts) - prev >= 1800000000
+                 CASE WHEN prev IS NULL OR epoch_us(ts) - prev > 1800000000
                       THEN 1 ELSE 0 END AS new_s
           FROM (SELECT user_id, ts, value,
                        LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS prev

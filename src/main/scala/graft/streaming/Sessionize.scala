@@ -50,7 +50,11 @@ object Sessionize {
     // a timeout at the earliest remaining close boundary (> watermark by
     // construction, as EventTimeTimeout requires).
     def flush(sessions: List[SessionState]): Iterator[Session] = {
-      val wm = state.getCurrentWatermarkMs()
+      // Batch execution has no watermark node (getCurrentWatermarkMs
+      // throws there); all data is present, so every session is final.
+      val wm =
+        try state.getCurrentWatermarkMs()
+        catch { case _: UnsupportedOperationException => Long.MaxValue }
       val (expired, open) = sessions.partition(s => s.lastTs + gapMillis <= wm)
       if (open.isEmpty) { if (state.exists) state.remove() }
       else {

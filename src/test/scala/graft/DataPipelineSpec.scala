@@ -57,13 +57,21 @@ class DataPipelineSpec extends AnyFunSuite {
   }
 
   test("q_session_window agrees with the lag/cumsum sessionization") {
-    // Same gap, two formulations: native session_window vs window-lag.
+    // Same gap, two formulations: native session_window vs window-lag,
+    // both at MICROSECOND precision with `diff > gap` starting a new
+    // session (two events exactly gap apart merge) — the ms-truncating
+    // q_events_sessionize twin would be data-dependently off by one.
     val native = q("q_session_window")
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
-    val viaLag = SparkEntry.queries("q_events_sessionize")(spark, sfDir)
-      .select(col("user_id"), col("n_sessions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"))
+    val viaLag = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_s", when(col("prev_us").isNull ||
+        unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1).otherwise(0))
+      .groupBy(col("user_id")).agg(sum(col("new_s")).as("n_sessions_lag"))
     assert(native.join(viaLag, Seq("user_id"))
-      .filter(native("n_sessions") =!= viaLag("n_sessions")).count() == 0)
+      .filter(col("n_sessions") =!= col("n_sessions_lag")).count() == 0)
     // Every event lands in exactly one session.
     val totalEvents = graft.sources.Tables.events(spark, sfDir).count()
     val sessionEvents = q("q_session_window").agg(sum(col("n_events"))).as[Long].head()

@@ -47,6 +47,20 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(got.contains((2L, 1L)))
   }
 
+  test("batch execution emits every session (no watermark node present)") {
+    val gap = 1800000L
+    val t0 = 1700000000000L
+    val events = Seq(
+      Sessionize.Event(1L, new java.sql.Timestamp(t0), "a"),
+      Sessionize.Event(1L, new java.sql.Timestamp(t0 + 600000L), "b"),
+      Sessionize.Event(1L, new java.sql.Timestamp(t0 + 3600000L * 3), "c"),
+      Sessionize.Event(2L, new java.sql.Timestamp(t0 + 300000L), "a")).toDS()
+    val got = Sessionize.sessions(events, gapMillis = gap)
+      .select("user_id", "n_events").as[(Long, Long)].collect().toSet
+    // All data present in batch → every session is final, including tails.
+    assert(got == Set((1L, 2L), (1L, 1L), (2L, 1L)))
+  }
+
   test("updateSessions semantics: merge, backward-extend, watermark close, late fusion") {
     // Minimal GroupState fake for driving the pure update function.
     class FakeState(var opt: Option[Sessionize.OpenSessions], wm: Long = 0L)
