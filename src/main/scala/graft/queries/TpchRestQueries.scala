@@ -302,12 +302,19 @@ object TpchRestQueries {
     // dates: per-order max ship date stands in for the late lineitem).
     Q("q21_waiting_supplier",
       (s, dir) => {
-        val ls = Tables.lineitem(s, dir)
+        // ONE lineitem pass: repartition by orderkey up front so the
+        // (orderkey, suppkey) aggregation, the per-order window (which
+        // replaces a second scan + self-join), and the order semi-join
+        // all reuse the same partitioning — a single wide exchange where
+        // the naive two-agg + join formulation pays three.
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_orderkey"))
+        Tables.lineitem(s, dir)
+          .repartition(col("l_orderkey"))
           .groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(max(col("l_shipdate")).as("max_ship"))
-        val perOrder = ls.groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("n_supps"), max(col("max_ship")).as("omax"))
-        ls.join(perOrder, Seq("l_orderkey"))
+          .withColumn("n_supps", count(lit(1)).over(w))
+          .withColumn("omax", max(col("max_ship")).over(w))
           .filter(col("n_supps") > 1 && col("max_ship") === col("omax"))
           .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
             col("l_orderkey") === col("o_orderkey"), "left_semi")
