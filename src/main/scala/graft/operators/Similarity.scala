@@ -73,6 +73,36 @@ object Similarity {
       .select("query_id", "id", "cosine", "rk")
   }
 
+  /** Per-label centroids + nearest-centroid assignment — the k-means-step
+    * primitive (also how an IVF codebook refreshes). Centroid means are
+    * decimal-exact per dimension (order-independent under shuffle, so the
+    * output is bit-stable); the tiny centroid table is collected and
+    * inlined as literals, making assignment a narrow broadcast-free pass.
+    * Returns (label, assigned, n): the label-vs-nearest-centroid confusion
+    * counts.
+    */
+  def labelCentroidAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val centroids = corpus
+      .select(col(labelCol).as("clabel"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1))).cast("double").as("cx"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("sorted"))
+      .select(col("clabel"), transform(col("sorted"), _.getField("cx")).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    val scored = centroids.map { case (lbl, cvec) =>
+      struct(cosine(col(vecCol), typedlit(cvec)).as("score"), lit(lbl).as("cl"))
+    }
+    corpus
+      .withColumn("assigned", greatest(scored.toIndexedSeq: _*).getField("cl"))
+      .groupBy(col(labelCol).as("label"), col("assigned"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("label"), col("assigned"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the full bucket key
     * (all `numPlanes` sign bits). Exact cosine is recomputed only within
     * buckets.

@@ -265,6 +265,27 @@ object TextQueries {
         Multimodal.extractFeatures(media, "doc_id", "media", "mime")
           .orderBy(col("id"))
       },
+      None),
+
+    // ------------------------------------------------------------------
+    // 41b: frame sampling — 1 media row in → nFrames feature rows out
+    // (the ffmpeg-shaped batch contract; decode stubbed, plumbing real)
+    Q("m_multimodal_frames",
+      (s, dir) => Multimodal.sampleFrames(
+          Tables.documents(s, dir)
+            .select(col("doc_id"), col("text").cast("binary").as("media")),
+          "doc_id", "media", nFrames = 4)
+        .orderBy(col("id"), col("frame_idx")),
+      None),
+
+    // ------------------------------------------------------------------
+    // 36c: per-label centroids (decimal-exact mean per dimension — order-
+    // independent, so the result is bit-stable under any shuffle) and
+    // nearest-centroid assignment: the k-means-iteration primitive the
+    // IVF index builds on, as one DataFrame pass + broadcast argmax.
+    Q("s_label_centroids",
+      (s, dir) => Similarity.labelCentroidAssign(
+        Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
       None)
   )
 }

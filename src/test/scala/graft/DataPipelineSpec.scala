@@ -78,6 +78,20 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(sessionEvents == totalEvents)
   }
 
+  test("label centroid assignment partitions the corpus and is bit-stable") {
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val out = graft.operators.Similarity
+      .labelCentroidAssign(emb, "vec_id", "embedding", "label")
+    val rows = out.as[(Int, Int, Long)].collect()
+    // Every vector is assigned exactly once.
+    assert(rows.map(_._3).sum == emb.count())
+    // Decimal-exact centroid means → identical output on a second run.
+    val again = graft.operators.Similarity
+      .labelCentroidAssign(emb, "vec_id", "embedding", "label")
+      .as[(Int, Int, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("x_ngram_freq is a deterministic top-20 by document frequency") {
     val a = q("x_ngram_freq").as[(String, Long)].collect()
     val b = q("x_ngram_freq").as[(String, Long)].collect()
