@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.TextDedup
+import graft.operators.{TextDedup, TextStats}
 import graft.sources.Tables
 
 /** Training-data curation operators beyond the sketch family (SURVEY.md
@@ -22,7 +22,66 @@ object DataPipelineQueries {
   /** DuckDB tokens list for a text column (keep in sync with tokenize). */
   private val Toks = raw"string_split_regex(trim(lower(strip_accents(text))), '\s+')"
 
+  private val EnStop = TextStats.stopwords("en")
+
   val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Gopher-style composite document filter: quality bands (tokens,
+    // stopword ratio, punctuation ratio, mean token length) AND the
+    // repetition rule (duplicate-2-gram fraction) decided in ONE narrow
+    // projection over the corpus — at scale this is the single-pass
+    // keep/drop decision stage, no joins between metric families.
+    Q("x_gopher_filter",
+      (s, dir) => {
+        val t = col("text")
+        val nChars = length(t).cast("double")
+        val nToks = graft.functions.tokenCount(t).cast("double")
+        val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
+        val hits = TextStats.stopwordHits(
+          split(graft.functions.normText(t), " "), EnStop).cast("double")
+        val nNorm = graft.functions.normTokenCount(t).cast("double")
+        val d2 = size(TextDedup.wordShingles(t, 2)).cast("double")
+        val dup2 = when(nNorm <= 1, lit(0.0))
+          .otherwise(round(lit(1.0) - d2 / (nNorm - 1), 6))
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            nToks.as("n_tokens"),
+            round(punct / nChars, 6).as("punct_ratio"),
+            round(hits / nToks, 6).as("stopword_ratio"),
+            round((nChars - (nToks - 1)) / nToks, 6).as("mean_token_len"),
+            dup2.as("dup_2gram_frac"))
+          .filter(col("n_tokens").between(50, 2000) &&
+            col("stopword_ratio") >= 0.01 && col("punct_ratio") < 0.2 &&
+            col("mean_token_len").between(2, 12) && col("dup_2gram_frac") < 0.05)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(text) AS DOUBLE) AS n_chars,
+                 CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
+                 CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
+                 CAST(len(list_filter(
+                   string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' '),
+                   x -> list_contains([${EnStop.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) AS hits,
+                 $Toks AS toks
+          FROM documents),
+        m AS (SELECT doc_id, n_chars, n_tokens, punct, hits, len(toks) AS nn,
+                     CASE WHEN len(toks) <= 2 THEN 1
+                          ELSE len(list_distinct(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i+1]))) END AS d2
+              FROM t)
+        SELECT doc_id FROM m
+        WHERE n_tokens BETWEEN 50 AND 2000
+          AND round(hits / n_tokens, 6) >= 0.01
+          AND round(punct / n_chars, 6) < 0.2
+          AND round((n_chars - (n_tokens - 1)) / n_tokens, 6) BETWEEN 2 AND 12
+          AND (CASE WHEN nn <= 1 THEN 0.0
+                    ELSE round(1.0 - CAST(d2 AS DOUBLE) / (nn - 1), 6) END) < 0.05
+        ORDER BY doc_id
+      """)),
 
     // ------------------------------------------------------------------
     // Repetition signals (the Gopher-style quality rules): fraction of

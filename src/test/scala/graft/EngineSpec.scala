@@ -126,6 +126,23 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("partial_topkagg"), s"no partial aggregation:\n$plan")
   }
 
+  test("plans: new TPC-H shapes broadcast dims and avoid duplicate wide exchanges") {
+    val sfDir = "/root/testdata/sf0.001"
+    for (q <- Seq("q2_min_cost_supplier", "q8_market_share", "q16_supplier_cnt")) {
+      val p = SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its dim broadcast:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q has a cartesian product:\n$p")
+    }
+    // q21: single repartition serves the agg, the window AND the join —
+    // exactly one exchange on l_orderkey; the only other exchange is the
+    // final tiny s_name aggregation.
+    val p21 = SparkEntry.queries("q21_waiting_supplier")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "(?m)^\\s*[+:]?-? *Exchange hashpartitioning".r
+      .findAllIn(p21).length
+    assert(exchanges <= 2, s"q21 regained extra shuffles ($exchanges):\n$p21")
+  }
+
   test("plans: whole-stage codegen covers the transform pipeline projections") {
     val sfDir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("t_norm_text")(spark, sfDir)

@@ -49,6 +49,34 @@ class PropertySpec extends AnyFunSuite {
       payload <- Gen.chooseNum(0L, 1000L)
     } yield (g, score, payload))
 
+  test("repetition fractions match a brute-force model on random token streams") {
+    // Random texts over a small vocabulary (to force real duplication).
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val genText = Gen.chooseNum(1, 60)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val texts = samples(genText, 60).distinct
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val nTok = graft.functions.normTokenCount(col("text")).cast("double")
+    val got = df.select(col("doc_id"), col("text"),
+        (lit(1.0) - size(graft.operators.TextDedup.wordShingles(col("text"), 1))
+          .cast("double") / nTok).as("dup_token_frac"),
+        when(nTok <= 1, lit(0.0))
+          .otherwise(lit(1.0) - size(graft.operators.TextDedup.wordShingles(col("text"), 2))
+            .cast("double") / (nTok - 1)).as("dup_2gram_frac"))
+      .collect()
+    got.foreach { r =>
+      val toks = r.getString(1).split(" ").toSeq
+      val expTok = 1.0 - toks.distinct.size.toDouble / toks.size
+      val grams =
+        if (toks.size <= 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val expGram =
+        if (toks.size <= 1) 0.0 else 1.0 - grams.distinct.size.toDouble / (toks.size - 1)
+      assert(math.abs(r.getDouble(2) - expTok) < 1e-9, s"token frac off for '${r.getString(1)}'")
+      assert(math.abs(r.getDouble(3) - expGram) < 1e-9, s"2gram frac off for '${r.getString(1)}'")
+    }
+  }
+
   test("TopKAgg equals window row_number on random data with heavy ties") {
     samples(rowsGen, 5).foreach { rows =>
       {
