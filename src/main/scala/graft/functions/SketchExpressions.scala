@@ -2,10 +2,11 @@ package graft.functions
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native sketch expressions for the dedup family (SURVEY.md §2.3).
@@ -59,6 +60,51 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Shingles =
+    copy(child = newChild)
+}
+
+/** All ordered pairs from a posting list: array<struct<id, sz>> (sorted,
+  * so id_a < id_b holds positionally) → array<struct<id_a, id_b, sz_a,
+  * sz_b>>. One tight O(n²/2) loop per list — the higher-order
+  * `transform`+`slice` formulation pays an interpreted lambda dispatch
+  * and an array slice copy per element instead (the shuffle dominates
+  * this query at small SF, but per-element interpreted dispatch is the
+  * kind of cost that grows with posting-list size at corpus scale). Id
+  * type is taken from the input struct, so any orderable id works.
+  */
+case class PairCombos(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  private lazy val idType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType](0).dataType
+
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("id_a", idType).add("id_b", idType)
+    .add("sz_a", IntegerType).add("sz_b", IntegerType), containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Any](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val si = arr.getStruct(i, 2)
+      val idA = si.get(0, idType)
+      val szA = si.getInt(1)
+      var j = i + 1
+      while (j < n) {
+        val sj = arr.getStruct(j, 2)
+        out(k) = InternalRow(idA, sj.get(0, idType), szA, sj.getInt(1))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairCombos =
     copy(child = newChild)
 }
 

@@ -74,11 +74,8 @@ object TextDedup {
       .groupBy("shingle")
       .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
-    val pairs = postings.select(explode(
-      flatten(transform(col("docs"), (a, i) =>
-        transform(slice(col("docs"), i + lit(2), size(col("docs"))), b =>
-          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-            a.getField("sz").as("sz_a"), b.getField("sz").as("sz_b")))))).as("p"))
+    val pairs = postings.select(explode(GraftBridge.column(
+      graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
     val shared = pairs
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"),
