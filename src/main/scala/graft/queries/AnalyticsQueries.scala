@@ -230,6 +230,70 @@ object AnalyticsQueries {
         GROUP BY 1, 2
         HAVING day_n <= 7
         ORDER BY cohort_day, day_n
-      """))
+      """)),
+
+    // ------------------------------------------------------------------
+    // GROUPING SETS through the SQL surface (the general form rollup and
+    // cube specialize; grouping_id disambiguates NULL-as-total rows).
+    Q("q_grouping_sets",
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("g_lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                 COUNT(*) AS n,
+                 CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid
+          FROM g_lineitem
+          GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+        """)
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST
+      """)),
+
+    // ------------------------------------------------------------------
+    // RANGE-frame window: trailing 1-hour moving average per user, framed
+    // by event-TIME distance (not row count) on the microsecond epoch.
+    // Decimal-exact numerator → the double division is order-independent.
+    Q("q_moving_avg",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.events(s, dir)
+          .withColumn("mov_avg", round(
+            sum(col("value").cast("decimal(18,2)")).over(w).cast("double") /
+              count(lit(1)).over(w), 6))
+          .select(col("event_id"), col("mov_avg"))
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        SELECT event_id,
+               round(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+                     / (COUNT(*) OVER w), 6) AS mov_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Approximate aggregates — the sketches a 100 TB engine actually
+    // runs: HLL++ distinct counts and t-digest-style percentiles. Not
+    // cross-engine matchable (different sketch families) → rows-only;
+    // the error bound vs exact is asserted in DataPipelineSpec.
+    Q("q_approx_distinct",
+      (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"))
+        .orderBy(col("event_type")),
+      None)
   )
 }

@@ -92,6 +92,19 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("approximate distinct counts stay within the configured error bound") {
+    val e = graft.sources.Tables.events(spark, sfDir)
+    val approx = SparkEntry.queries("q_approx_distinct")(spark, sfDir)
+      .select("event_type", "approx_users").as[(String, Long)].collect().toMap
+    val exact = e.groupBy("event_type").agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n <= 0.1, s"$k: approx $a vs exact $n")
+    }
+  }
+
   test("x_ngram_freq is a deterministic top-20 by document frequency") {
     val a = q("x_ngram_freq").as[(String, Long)].collect()
     val b = q("x_ngram_freq").as[(String, Long)].collect()
