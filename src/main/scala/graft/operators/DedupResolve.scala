@@ -35,18 +35,22 @@ object DedupResolve {
       driverThreshold: Long = 1000000L): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    // The probe can only count up to Int.MaxValue-1 rows, so thresholds
-    // beyond that are capped — a saturated probe (effThreshold + 1 rows)
-    // then correctly selects the distributed path instead of collecting
-    // an arbitrarily large edge set onto the driver.
+    // Persist + exact count: BOTH branches consume every pair (driver
+    // collect or distributed edge build), and upstream pair generation is
+    // typically an expensive sketch join — without the cache the probe
+    // and the consumer each run that pipeline in full (measured 2x).
+    // Thresholds are capped below Int.MaxValue so the driver collect
+    // stays representable.
+    val cached = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = cached.count()
     val effThreshold = math.min(driverThreshold, Int.MaxValue.toLong - 1L)
-    val edgeCount = pairs.limit((effThreshold + 1).toInt).count()
     if (edgeCount <= effThreshold) {
       // Generic over the id type (numeric, string, ...) — same contract as
       // the distributed path, which never casts either.
       val idType = pairs.schema("id_a").dataType
-      val edges = pairs.select(col("id_a"), col("id_b")).collect()
+      val edges = cached.select(col("id_a"), col("id_b")).collect()
         .map(r => (r.get(0), r.get(1)))
+      cached.unpersist()
       def lt(a: Any, b: Any): Boolean =
         a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
       val parent = scala.collection.mutable.Map.empty[Any, Any]
@@ -70,9 +74,12 @@ object DedupResolve {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-    } else distributedComponents(pairs, maxIter)
+    } else distributedComponents(cached, maxIter)
   }
 
+  /** `pairs` arrives persisted by connectedComponents and is released here
+    * once the doubled edge list is materialized.
+    */
   private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
     // Undirected edge list, both directions.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -82,7 +89,8 @@ object DedupResolve {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize
+    labels.count() // materialize (also fills the edges cache)
+    pairs.unpersist()
 
     var converged = false
     var iter = 0
