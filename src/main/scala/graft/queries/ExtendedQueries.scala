@@ -218,6 +218,23 @@ object ExtendedQueries {
         JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
         GROUP BY 1 ORDER BY signup_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Salted two-phase aggregation over a heavy-hitter key (5 event
+    // types × ~2k rows each at sf0.01): partial agg on (key, salt) caps
+    // the biggest reducer; the final agg merges partials. Salting is
+    // result-neutral (decimal-exact sums), so the oracle is the plain
+    // GROUP BY — exactly the point: same answer, skew-proof plan.
+    Q("q_salted_agg",
+      (s, dir) => graft.operators.ScaleJoins.saltedSumCount(
+          Tables.events(s, dir), "event_type", "value", saltFactor = 8)
+        .orderBy(col("event_type")),
+      Some("""
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+               COUNT(*) AS n
+        FROM events GROUP BY 1 ORDER BY event_type
       """))
   )
 }

@@ -394,6 +394,43 @@ object TransformQueries {
                CAST(NULL AS VARCHAR) AS channel, ano
         FROM deduped
         ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // SCD2 history build: compress each user's event_type timeline into
+    // state intervals (valid_from / valid_to / is_current) — the
+    // slowly-changing-dimension shape a warehouse load maintains. Two
+    // windows over ONE (user_id, ts) sort: change-detection lag, then
+    // lead for the closing timestamp.
+    Q("t_scd2_history",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("prev_state", lag(col("event_type"), 1).over(wOrd))
+          .filter(col("prev_state").isNull || col("event_type") =!= col("prev_state"))
+          .withColumn("valid_to", lead(col("ts"), 1).over(wOrd))
+          .select(col("user_id"), col("event_id"), col("event_type").as("state"),
+            col("ts").as("valid_from"), col("valid_to"),
+            col("valid_to").isNull.as("is_current"))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""
+        WITH marked AS (
+          SELECT user_id, event_id, event_type, ts,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_state
+          FROM events),
+        changes AS (
+          SELECT user_id, event_id, event_type, ts
+          FROM marked
+          WHERE prev_state IS NULL OR event_type <> prev_state)
+        SELECT user_id, event_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+               (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+                 AS is_current
+        FROM changes
+        ORDER BY user_id, event_id
       """))
   )
 }
