@@ -31,6 +31,22 @@ object Audit {
       schema_missing: Int,
       schema_extra: Int)
 
+  /** In-flight audit metrics via `Dataset.observe`: row count and
+    * per-column null counts collected DURING whatever action the caller
+    * runs next (the upsert write, typically) — at 100 TB this replaces a
+    * full second scan of the transformed frame with accumulator updates
+    * piggybacked on the load job. `obs.get` blocks until that action
+    * completes; metric names are `rows_out` and `nulls_<column>`.
+    */
+  def observed(df: DataFrame,
+      name: String = "graft_audit"): (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = org.apache.spark.sql.Observation(name)
+    val nullCounts = df.columns.toIndexedSeq.map(c =>
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+    val out = df.observe(obs, count(lit(1)).as("rows_out"), nullCounts: _*)
+    (out, obs)
+  }
+
   /** Distributed per-resource metrics for a transformed frame: one agg pass
     * (rows + key duplication), schema diff from metadata.
     */

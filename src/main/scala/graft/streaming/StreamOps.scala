@@ -50,6 +50,14 @@ object StreamOps {
         concat_ws("|", part(col("user_id")), part(col("event_type")), part(col("ts"))))
   }
 
+  /** Stream-static enrichment: join the (unbounded) event stream against a
+    * bounded dimension with an explicit broadcast — the standard
+    * lookup-table pattern. Stream-static joins need no watermark or state:
+    * each micro-batch joins against the current dim snapshot.
+    */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** Watermarked tumbling-window aggregation (counts + exact decimal sums,
     * same discipline as the batch queries).
     */

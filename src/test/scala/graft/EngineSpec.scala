@@ -94,6 +94,20 @@ class EngineSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) >= 2)
   }
 
+  test("observe-based audit collects metrics during the main action, matching a direct agg") {
+    val sfDir = "/root/testdata/sf0.001"
+    val df = graft.sources.Tables.events(spark, sfDir)
+      .withColumn("maybe_null", when(col("value") > 50, col("value")))
+    val (observed, obs) = Audit.observed(df)
+    val dir = Files.createTempDirectory("graft-observe").toString
+    observed.write.mode("overwrite").parquet(dir) // the "load" action
+    val m = obs.get
+    assert(m("rows_out") == df.count())
+    val expNulls = df.filter(col("maybe_null").isNull).count()
+    assert(m("nulls_maybe_null") == expNulls)
+    assert(m("nulls_event_id") == 0L)
+  }
+
   test("plans: filter pushdown and column pruning reach the parquet scan") {
     val sfDir = "/root/testdata/sf0.001"
     val plan = SparkEntry.queries("q1_agg")(spark, sfDir)

@@ -73,6 +73,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(batch).count() == 0)
   }
 
+  test("stream-static join enriches every micro-batch from the broadcast dim") {
+    val dir = stageDrops(2)
+    val dim = (0L until 100L).map(u => (u, s"seg_${u % 3}")).toDF("user_id", "segment")
+    val stream = StreamOps.enrichWithDim(
+      StreamOps.readParquetStream(spark, dir, Tables.events(spark, sfDir)), dim, "user_id")
+    val q = stream.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("enriched")
+    assert(got.count() == Tables.events(spark, sfDir).count())
+    // Left join: every event with a known user carries its segment.
+    assert(got.filter(col("user_id") < 100 && col("segment").isNull).count() == 0)
+  }
+
   test("streaming dedup within watermark drops same-key duplicates") {
     val dir = Files.createTempDirectory("graft-dupes").toString
     val ev = Tables.events(spark, sfDir).limit(100)
