@@ -8,13 +8,15 @@ import org.apache.spark.storage.StorageLevel
   * components over the pair graph, then one survivor per component
   * (min id — deterministic).
   *
-  * Components run as iterative min-label propagation: each vertex
-  * repeatedly adopts the smallest label among itself and its neighbors —
-  * one hop per round, so convergence takes O(graph diameter) rounds (the
-  * large-star/small-star variants get O(log n); this implementation
-  * favors simplicity since LSH candidate graphs have tiny diameters).
-  * Every round is one equi-join + one agg, both shuffling on vertex id.
-  * Hitting the iteration cap without convergence THROWS rather than
+  * The distributed path runs alternating large-star / small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond" — public): large-star hangs every larger neighbor of a node
+  * onto its minimum neighborhood id, small-star re-hangs the smaller
+  * ones, and the edge set converges to min-rooted stars in O(log²·n)
+  * rounds regardless of graph DIAMETER (min-label propagation needs
+  * O(diameter) rounds — a 200-node path graph would blow any sane
+  * iteration cap). Every phase is an agg + equi-join shuffling on vertex
+  * id. Hitting the iteration cap without convergence THROWS rather than
   * silently splitting components; intermediate frames are persisted and
   * freed per round (mandatory for any DataFrame loop — otherwise lineage
   * grows without bound and replans every round).
@@ -74,55 +76,81 @@ object DedupResolve {
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
-    } else distributedComponents(cached, maxIter)
+    } else starComponents(cached, maxIter, inputPersisted = true)
   }
 
-  /** `pairs` arrives persisted by connectedComponents and is released here
-    * once the doubled edge list is materialized.
+  /** Alternating star contraction → (id, label) with label = component's
+    * min id. Public so high-diameter graphs can skip the driver probe.
+    * When `inputPersisted`, `pairs` is released after the first round
+    * reads it.
     */
-  private def distributedComponents(pairs: DataFrame, maxIter: Int): DataFrame = {
-    // Undirected edge list, both directions.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  def starComponents(pairs: DataFrame, maxIter: Int = 20,
+      inputPersisted: Boolean = false): DataFrame = {
+    // Canonical undirected edge set, self-loops dropped. Each round ends
+    // in an EAGER localCheckpoint: persist alone keeps the compounding
+    // logical plan (two joins + three distincts per round nest into a
+    // tree that OOMs just rendering explain strings after ~10 rounds);
+    // the checkpoint truncates lineage to the materialized blocks, and
+    // the ContextCleaner frees rounds no longer referenced.
+    var edges = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
 
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize (also fills the edges cache)
-    pairs.unpersist()
+    // Edge-set fingerprint for convergence: count + two independent hash
+    // sums (order-insensitive; a collision would need both seeded sums to
+    // collide at equal cardinality).
+    def fingerprint(e: DataFrame): (Long, String, String) = {
+      // Decimal sums: exact and order-insensitive; raw long sums would
+      // overflow under ANSI mode.
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(28,0)")),
+        sum(xxhash64(col("v"), col("u"), lit(7)).cast("decimal(28,0)"))).head()
+      (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)))
+    }
+    var sig = fingerprint(edges)
+    if (inputPersisted) pairs.unpersist()
 
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // Each vertex adopts min(own label, neighbors' labels).
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(col("dst").as("id"))
-        .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0L
+      // LARGE-STAR: every neighbor v > u hangs onto m = min(Γ(u) ∪ {u}).
+      val dirL = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mnL = dirL.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val ls = dirL.join(mnL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), least(col("u"), col("mn")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: direct big→small; all smaller neighbors (and u) hang
+      // onto u's minimum smaller neighbor.
+      val dirS = ls.select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+      val mnS = dirS.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      val joinedS = dirS.join(mnS, "u")
+      val ss = joinedS.select(col("v").as("u"), col("mn").as("v"))
+        .union(joinedS.select(col("u"), col("mn").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val nsig = fingerprint(ss)
+      edges = ss
+      converged = nsig == sig
+      sig = nsig
       iter += 1
     }
-    edges.unpersist()
-    if (!converged) {
-      labels.unpersist()
+    if (!converged)
       throw new IllegalStateException(
-        s"connected components did not converge in $maxIter rounds " +
-          "(graph diameter exceeds the cap); raise maxIter")
-    }
-    // Cut lineage and release the per-round cache: callers get a frame that
-    // does not pin the final iteration's blocks forever.
-    val out = labels.localCheckpoint(true)
-    labels.unpersist()
-    out
+        s"star contraction did not converge in $maxIter rounds; raise maxIter")
+    // Converged edges are min-rooted stars: u → center v. Centers label
+    // themselves. Final checkpoint detaches callers from the last round's
+    // blocks.
+    edges.select(col("u").as("id"), col("v").as("label"))
+      .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
+      .distinct()
+      .localCheckpoint(true)
   }
 
   /** Resolve candidate pairs into per-document decisions:

@@ -79,6 +79,38 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 2L, 3L))
   }
 
+  test("AQE splits a skewed shuffle-join partition (skew=true in the final plan)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> conf.getOption(k))
+    try {
+      // Shrink the thresholds so local-scale data can trigger the skew
+      // handler, and forbid broadcast so the join actually shuffles.
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // AQE's runtime broadcast conversion has its OWN threshold conf.
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // 50k rows on ONE key + 50 singleton keys vs a small right side.
+      val left = spark.range(50000).select(lit(0L).as("k"), col("id").as("payload"))
+        .union(spark.range(50).select((col("id") + 1).as("k"), col("id").as("payload")))
+      val right = spark.range(51).select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = left.join(right, "k")
+      // Execute THIS frame (count() builds its own query execution and
+      // would leave joined's adaptive plan unfinalized).
+      assert(joined.collect().length == 50050)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"AQE did not flag the skewed partition:\n$plan")
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _))
+    }
+  }
+
   test("salted join equals plain join; salted agg equals plain agg") {
     // Heavy-hitter key 7 (70% of rows).
     val skewed = (Seq.fill(700)(7L) ++ (1L to 300L)).zipWithIndex

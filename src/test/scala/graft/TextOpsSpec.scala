@@ -138,6 +138,33 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 5L, 8L))
   }
 
+  test("star contraction equals driver union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 25 + trial * 10
+      val edges = (0 until n).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val pairs = edges.toDF("id_a", "id_b")
+      val star = DedupResolve.starComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      // Reference: the driver union-find path (forced via a huge graph
+      // threshold of 0 is not possible — call resolve's driver branch by
+      // keeping the graph under the threshold).
+      val driver = DedupResolve.connectedComponents(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(star == driver, s"trial $trial: star != union-find")
+    }
+  }
+
+  test("star contraction converges on a high-diameter path graph (O(log n) rounds)") {
+    // 0-1-2-...-199: min-label propagation needs 199 rounds; star
+    // contraction must land inside the default 20-round cap.
+    val path = (0L until 199L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = DedupResolve.starComponents(path).as[(Long, Long)].collect()
+    assert(labels.length == 200)
+    assert(labels.forall(_._2 == 0L), "every node must label to the path's min id")
+  }
+
   test("connected components driver fast path handles string ids") {
     val pairs = Seq(("b", "c"), ("a", "b")).toDF("id_a", "id_b")
     val out = DedupResolve.resolve(pairs).orderBy("id")
