@@ -85,7 +85,12 @@ case class PairCombos(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    val out = new Array[Any](n * (n - 1) / 2)
+    val nPairs = n.toLong * (n - 1) / 2
+    if (nPairs > Int.MaxValue - 8)
+      throw new IllegalArgumentException(
+        s"posting list of $n entries would generate $nPairs pairs; " +
+          "tighten the df-cut (maxDf) upstream")
+    val out = new Array[Any](nPairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {

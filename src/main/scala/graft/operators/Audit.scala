@@ -41,8 +41,10 @@ object Audit {
   def observed(df: DataFrame,
       name: String = "graft_audit"): (DataFrame, org.apache.spark.sql.Observation) = {
     val obs = org.apache.spark.sql.Observation(name)
+    // count(when(...)), not sum(when(...)): sum over zero observed rows is
+    // SQL NULL, and a zero-row load must report 0, not null.
     val nullCounts = df.columns.toIndexedSeq.map(c =>
-      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"))
+      count(when(col(c).isNull, 1L)).as(s"nulls_$c"))
     val out = df.observe(obs, count(lit(1)).as("rows_out"), nullCounts: _*)
     (out, obs)
   }

@@ -44,6 +44,7 @@ object DedupResolve {
     // Thresholds are capped below Int.MaxValue so the driver collect
     // stays representable.
     val cached = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
     val edgeCount = cached.count()
     val effThreshold = math.min(driverThreshold, Int.MaxValue.toLong - 1L)
     if (edgeCount <= effThreshold) {
@@ -77,6 +78,11 @@ object DedupResolve {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
     } else starComponents(cached, maxIter, inputPersisted = true)
+    } catch {
+      // Don't leak the cache when the collect OOMs or a checkpoint job
+      // fails mid-flight (unpersisting twice is a harmless no-op).
+      case t: Throwable => cached.unpersist(); throw t
+    }
   }
 
   /** Alternating star contraction → (id, label) with label = component's
@@ -86,6 +92,12 @@ object DedupResolve {
     */
   def starComponents(pairs: DataFrame, maxIter: Int = 20,
       inputPersisted: Boolean = false): DataFrame = {
+    // Every vertex in the input keeps a label, even one appearing only in
+    // self-loop pairs — the contract the driver union-find path has.
+    val vertices = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .distinct()
+      .localCheckpoint(true)
     // Canonical undirected edge set, self-loops dropped. Each round ends
     // in an EAGER localCheckpoint: persist alone keeps the compounding
     // logical plan (two joins + three distincts per round nest into a
@@ -144,12 +156,12 @@ object DedupResolve {
     if (!converged)
       throw new IllegalStateException(
         s"star contraction did not converge in $maxIter rounds; raise maxIter")
-    // Converged edges are min-rooted stars: u → center v. Centers label
-    // themselves. Final checkpoint detaches callers from the last round's
-    // blocks.
-    edges.select(col("u").as("id"), col("v").as("label"))
-      .union(edges.select(col("v").as("id"), col("v").as("label")).distinct())
-      .distinct()
+    // Converged edges are min-rooted stars: u → center v. Centers and
+    // vertices absent from the contracted edges label themselves. Final
+    // checkpoint detaches callers from the last round's blocks.
+    vertices
+      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
       .localCheckpoint(true)
   }
 

@@ -83,7 +83,10 @@ object Similarity {
     */
   def labelCentroidAssign(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String): DataFrame = {
+    // Generic over the label type (any orderable, lit-able value);
+    // null-label rows contribute no centroid but are still assigned.
     val centroids = corpus
+      .filter(col(labelCol).isNotNull)
       .select(col(labelCol).as("clabel"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("clabel"), col("pos"))
       .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1))).cast("double").as("cx"))
@@ -91,13 +94,17 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("sorted"))
       .select(col("clabel"), transform(col("sorted"), _.getField("cx")).as("cvec"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1))
-      .sortBy(_._1)
+      .map(r => r.get(0) -> r.getSeq[Double](1))
+      .sortWith((a, b) => a._1.asInstanceOf[Comparable[Any]].compareTo(b._1) < 0)
+    require(centroids.nonEmpty, "labelCentroidAssign needs at least one non-null label")
     val scored = centroids.map { case (lbl, cvec) =>
       struct(cosine(col(vecCol), typedlit(cvec)).as("score"), lit(lbl).as("cl"))
     }
+    // greatest() needs two args; a single-label corpus assigns trivially.
+    val best =
+      if (scored.size == 1) scored.head else greatest(scored.toIndexedSeq: _*)
     corpus
-      .withColumn("assigned", greatest(scored.toIndexedSeq: _*).getField("cl"))
+      .withColumn("assigned", best.getField("cl"))
       .groupBy(col(labelCol).as("label"), col("assigned"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("label"), col("assigned"))

@@ -25,6 +25,18 @@ object TextStats {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
+  /** Shared metric column builders — the single source of each formula for
+    * qualityMetrics, the gopher filter AND their DuckDB oracles (editing
+    * one copy of a formula desynchronizes the others silently).
+    */
+  def nCharsCol(t: Column): Column = length(t).cast("double")
+  def punctCol(t: Column): Column =
+    (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
+  def enStopHitsCol(t: Column): Column =
+    stopwordHits(split(normText(t), " "), stopwords("en")).cast("double")
+  def meanTokenLenCol(nChars: Column, nToks: Column): Column =
+    (nChars - (nToks - 1)) / nToks
+
   /** Quality metrics in one projection:
     * n_chars, n_tokens, punct_ratio, stopword_ratio, mean_token_len, score.
     * Score: heuristic in [0,1] rewarding stopword presence and moderate
@@ -33,17 +45,17 @@ object TextStats {
   def qualityMetrics(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
     val toks = tokens(t)
-    val nChars = length(t).cast("double")
+    val nChars = nCharsCol(t)
     val nToks = size(toks).cast("double")
-    val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
-    val hits = stopwordHits(split(normText(t), " "), stopwords("en")).cast("double")
+    val punct = punctCol(t)
+    val hits = enStopHitsCol(t)
     df.select(
       col(idCol),
       nChars.as("n_chars"),
       nToks.as("n_tokens"),
       round(punct / nChars, 6).as("punct_ratio"),
       round(hits / nToks, 6).as("stopword_ratio"),
-      round((nChars - (nToks - 1)) / nToks, 6).as("mean_token_len"),
+      round(meanTokenLenCol(nChars, nToks), 6).as("mean_token_len"),
       round(least(lit(1.0),
         lit(0.25) + least(hits / nToks * 2, lit(0.5)) +
           when(punct / nChars < 0.1, 0.25).otherwise(0.0)), 6).as("quality_score"))

@@ -34,12 +34,13 @@ object DataPipelineQueries {
     // keep/drop decision stage, no joins between metric families.
     Q("x_gopher_filter",
       (s, dir) => {
+        // Metric formulas come from TextStats' shared builders — the same
+        // Columns qualityMetrics uses, so the families cannot drift.
         val t = col("text")
-        val nChars = length(t).cast("double")
+        val nChars = TextStats.nCharsCol(t)
         val nToks = graft.functions.tokenCount(t).cast("double")
-        val punct = (length(t) - length(regexp_replace(t, "[.,!?;:]", ""))).cast("double")
-        val hits = TextStats.stopwordHits(
-          split(graft.functions.normText(t), " "), EnStop).cast("double")
+        val punct = TextStats.punctCol(t)
+        val hits = TextStats.enStopHitsCol(t)
         val nNorm = graft.functions.normTokenCount(t).cast("double")
         val d2 = size(TextDedup.wordShingles(t, 2)).cast("double")
         val dup2 = when(nNorm <= 1, lit(0.0))
@@ -49,7 +50,7 @@ object DataPipelineQueries {
             nToks.as("n_tokens"),
             round(punct / nChars, 6).as("punct_ratio"),
             round(hits / nToks, 6).as("stopword_ratio"),
-            round((nChars - (nToks - 1)) / nToks, 6).as("mean_token_len"),
+            round(TextStats.meanTokenLenCol(nChars, nToks), 6).as("mean_token_len"),
             dup2.as("dup_2gram_frac"))
           .filter(col("n_tokens").between(50, 2000) &&
             col("stopword_ratio") >= 0.01 && col("punct_ratio") < 0.2 &&

@@ -150,11 +150,13 @@ class EngineSpec extends AnyFunSuite {
     // q21: single repartition serves the agg, the window AND the join —
     // exactly one exchange on l_orderkey; the only other exchange is the
     // final tiny s_name aggregation.
+    // Plain substring count: tree-prefix anchoring silently missed the
+    // ':'-branch lines where the repartition exchange actually renders.
     val p21 = SparkEntry.queries("q21_waiting_supplier")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    val exchanges = "(?m)^\\s*[+:]?-? *Exchange hashpartitioning".r
-      .findAllIn(p21).length
-    assert(exchanges <= 2, s"q21 regained extra shuffles ($exchanges):\n$p21")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p21).length
+    assert(exchanges >= 1 && exchanges <= 2,
+      s"q21 regained extra shuffles ($exchanges):\n$p21")
   }
 
   test("plans: whole-stage codegen covers the transform pipeline projections") {

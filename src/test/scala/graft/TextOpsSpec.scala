@@ -156,6 +156,12 @@ class TextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("star contraction labels self-loop-only vertices (driver-path contract)") {
+    val pairs = Seq((1L, 1L), (2L, 3L)).toDF("id_a", "id_b")
+    val star = DedupResolve.starComponents(pairs).as[(Long, Long)].collect().toSet
+    assert(star == Set((1L, 1L), (2L, 2L), (3L, 2L)))
+  }
+
   test("star contraction converges on a high-diameter path graph (O(log n) rounds)") {
     // 0-1-2-...-199: min-label propagation needs 199 rounds; star
     // contraction must land inside the default 20-round cap.
