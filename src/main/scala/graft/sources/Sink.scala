@@ -51,4 +51,34 @@ object Sink {
   def compact(df: DataFrame, path: String, targetFiles: Int): Unit =
     df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
       .parquet(path + ".compacted")
+
+  /** Artifact write with an oversize manifest (reference etl/load.py's
+    * artifact upload: artifacts beyond the size cap are recorded as a
+    * manifest of their parts instead of one oversized blob). Writes the
+    * frame as parquet; when the total byte size exceeds `maxBytes`, a
+    * `manifest.json` listing every part file + size is placed next to the
+    * data so downstream consumers page through parts. Returns the total
+    * bytes written and whether a manifest was emitted.
+    */
+  def writeArtifact(df: DataFrame, path: String, maxBytes: Long): (Long, Boolean) = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val parts = fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+      .sortBy(_.getPath.getName)
+    val total = parts.map(_.getLen).sum
+    val oversize = total > maxBytes
+    if (oversize) {
+      val entries = parts.map(s =>
+        s"""{"name":"${s.getPath.getName}","bytes":${s.getLen}}""")
+      val json =
+        s"""{"total_bytes":$total,"max_bytes":$maxBytes,"parts":[${entries.mkString(",")}]}"""
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "manifest.json"), true)
+      try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    (total, oversize)
+  }
 }

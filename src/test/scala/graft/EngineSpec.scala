@@ -1,6 +1,6 @@
 package graft
 
-import java.nio.file.Files
+import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -92,6 +92,22 @@ class EngineSpec extends AnyFunSuite {
     // task (exact count depends on hash placement).
     assert(new java.io.File(dir2 + "/part=0").listFiles()
       .count(_.getName.endsWith(".parquet")) >= 2)
+  }
+
+  test("artifact write emits an oversize manifest listing every part") {
+    val dir = Files.createTempDirectory("graft-artifact").toString
+    val df = spark.range(1000).toDF("id")
+    // Generous cap → no manifest.
+    val (bytes1, over1) = graft.sources.Sink.writeArtifact(df, dir + "/small", 100L << 20)
+    assert(bytes1 > 0 && !over1)
+    assert(!new java.io.File(dir + "/small/manifest.json").exists())
+    // 1-byte cap → manifest with every part and the true total.
+    val (bytes2, over2) = graft.sources.Sink.writeArtifact(df, dir + "/big", 1L)
+    assert(over2)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      Paths.get(dir + "/big/manifest.json")))
+    assert(manifest.contains(s""""total_bytes":$bytes2"""))
+    assert(manifest.contains("part-"))
   }
 
   test("observe-based audit collects metrics during the main action, matching a direct agg") {
