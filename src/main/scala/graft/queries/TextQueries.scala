@@ -235,13 +235,40 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // 39: heuristic language ID (stopword-profile argmax)
+    // 39: heuristic language ID (stopword-profile argmax, fixed en>es>
+    // fr>de tie precedence, 'und' when nothing hits) — fully replayed in
+    // the oracle, so the whole heuristic is hash-checked.
     Q("x_lang_id",
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_guess"))
         .groupBy(col("lang_guess")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_guess")),
-      None),
+      Some {
+        val langs = Seq("en", "es", "fr", "de")
+        val hitCols = langs.map { l =>
+          val words = TextStats.stopwords(l).map(w => s"'$w'").mkString(",")
+          s"len(list_filter(toks, x -> list_contains([$words], x))) AS ${l}_hits"
+        }.mkString(",\n                 ")
+        val whens = langs.map(l =>
+          s"WHEN ${l}_hits = best AND ${l}_hits > 0 THEN '$l'").mkString("\n                      ")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' ') AS toks
+          FROM documents),
+        h AS (SELECT doc_id,
+                 $hitCols
+              FROM t),
+        g AS (SELECT doc_id,
+                     greatest(en_hits, es_hits, fr_hits, de_hits) AS best,
+                     en_hits, es_hits, fr_hits, de_hits
+              FROM h)
+        SELECT CASE $whens
+                    ELSE 'und' END AS lang_guess,
+               COUNT(*) AS n
+        FROM g GROUP BY 1 ORDER BY lang_guess
+      """
+      }),
 
     // ------------------------------------------------------------------
     // 40: content fingerprint (sha256-prefix hex, engine-stable)
@@ -276,6 +303,23 @@ object TextQueries {
             .select(col("doc_id"), col("text").cast("binary").as("media")),
           "doc_id", "media", nFrames = 4)
         .orderBy(col("id"), col("frame_idx")),
+      None),
+
+    // ------------------------------------------------------------------
+    // 37e: REAL BPE — merges learned from the corpus (distributed word
+    // counts → driver-side pair merging, the standard trainer split),
+    // applied as a native expression. Token counts shrink as merges
+    // fire; rows-only (no BPE in DuckDB), trainer+apply spec'd in
+    // TextOpsSpec.
+    Q("x_bpe_learned",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.operators.Bpe.trainFromCorpus(
+          docs, "text", numMerges = 50, maxWords = 2000)
+        docs.select(col("doc_id"),
+            graft.operators.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
+          .orderBy(col("doc_id"))
+      },
       None),
 
     // ------------------------------------------------------------------

@@ -138,6 +138,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 5L, 8L))
   }
 
+  test("BPE trainer learns deterministic merges; apply shrinks token counts") {
+    // "abab" x10: pair (a,b) dominates (20 vs 10), then (ab,ab).
+    val merges = graft.operators.Bpe.train(Seq(("abab", 10L)), numMerges = 3)
+    assert(merges.take(2) == Seq(("a", "b"), ("ab", "ab")))
+
+    val df = Seq((1L, "abab abab"), (2L, "xyz")).toDF("doc_id", "text")
+    val counts = df.select(col("doc_id"),
+        graft.operators.Bpe.tokenCount(col("text"), merges).as("n"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // Both "abab" words collapse to one token each; "xyz" stays char-split.
+    assert(counts == Seq((1L, 2L), (2L, 3L)))
+
+    // End-to-end: learned merges never increase the naive char count, and
+    // a second train run is bit-identical (determinism).
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val m1 = graft.operators.Bpe.trainFromCorpus(docs, "text", 30, 500)
+    val m2 = graft.operators.Bpe.trainFromCorpus(docs, "text", 30, 500)
+    assert(m1 == m2 && m1.size == 30)
+    val shrunk = docs.select(
+        graft.operators.Bpe.tokenCount(col("text"), m1).as("bpe"),
+        length(regexp_replace(col("text"), "\\s+", "")).cast("long").as("chars"))
+      .filter(col("bpe") > col("chars")).count()
+    assert(shrunk == 0L)
+  }
+
   test("star contraction equals driver union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
