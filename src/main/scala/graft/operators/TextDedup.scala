@@ -182,6 +182,53 @@ object TextDedup {
       .limit(k)
   }
 
+  /** INCREMENTAL near-dup check: flag documents of a NEW batch whose
+    * minhash bands collide with the standing corpus and whose signature
+    * similarity clears `threshold` — the "dedup incoming crawl against
+    * the training set" op. No corpus self-join: the corpus contributes
+    * only its (band, key) index side, so the join cost scales with the
+    * BATCH, and the corpus index is exactly what a production pipeline
+    * keeps materialized between runs.
+    * Returns (id, n_matches, best_match, best_est) per flagged new doc.
+    */
+  def minhashIncremental(corpus: DataFrame, newBatch: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3, numHashes: Int = 32,
+      rowsPerBand: Int = 2, threshold: Double = 0.5,
+      maxBucket: Int = 100): DataFrame = {
+    def sigs(df: DataFrame) = withMinhashSignature(
+        df.select(col(idCol).as("id"), col(textCol)), textCol, shingleN, numHashes)
+      .select(col("id"), col("sig"),
+        bandKeys(col("sig"), numHashes, rowsPerBand).as("bands"))
+    val corpusSigs = sigs(corpus).persist(StorageLevel.MEMORY_AND_DISK)
+    val newSigs = sigs(newBatch).persist(StorageLevel.MEMORY_AND_DISK)
+    val corpusIx = corpusSigs
+      .select(col("id").as("corpus_id"), posexplode(col("bands")).as(Seq("band", "key")))
+    // Degenerate-bucket cap on the corpus side (same skew guard as the
+    // self-join variant).
+    val bounded = corpusIx.join(
+      corpusIx.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= maxBucket),
+      Seq("band", "key"))
+    val cands = newSigs
+      .select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .join(bounded, Seq("band", "key"))
+      .select(col("id"), col("corpus_id")).distinct()
+    cands
+      .join(newSigs.select(col("id"), col("sig")), "id")
+      .join(corpusSigs.select(col("id").as("cid"), col("sig").as("csig")),
+        col("corpus_id") === col("cid"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig"), col("csig"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(struct(col("est_jaccard"), col("corpus_id"))).as("best"))
+      .select(col("id"), col("n_matches"),
+        col("best.corpus_id").as("best_match"), col("best.est_jaccard").as("best_est"))
+      .orderBy(col("id"))
+  }
+
   // ------------------------------------------------------------------
   // SimHash
   // ------------------------------------------------------------------

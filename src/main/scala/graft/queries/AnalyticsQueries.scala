@@ -284,6 +284,29 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // ntile deciles over a global order. A global-order window is a
+    // single-partition sort by construction — the operator exists for
+    // its semantics; at corpus scale the same question is answered by
+    // approximate percentiles (q_approx_distinct).
+    Q("q_ntile",
+      (s, dir) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        Tables.customer(s, dir)
+          .withColumn("decile", ntile(10).over(w))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("decile"))
+      },
+      Some("""
+        SELECT decile, COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        FROM (SELECT c_acctbal,
+                     NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+              FROM customer)
+        GROUP BY decile ORDER BY decile
+      """)),
+
+    // ------------------------------------------------------------------
     // Approximate aggregates — the sketches a 100 TB engine actually
     // runs: HLL++ distinct counts and t-digest-style percentiles. Not
     // cross-engine matchable (different sketch families) → rows-only;

@@ -306,6 +306,21 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 31d: incremental dedup — every 5th doc plays the "incoming batch",
+    // checked against the rest as the standing corpus; join cost scales
+    // with the batch, not corpus² (rows-only; exactness spec'd against
+    // the self-join variant in TextOpsSpec)
+    Q("d_dedup_incremental",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        TextDedup.minhashIncremental(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text")
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // 37e: REAL BPE — merges learned from the corpus (distributed word
     // counts → driver-side pair merging, the standard trainer split),
     // applied as a native expression. Token counts shrink as merges

@@ -27,12 +27,14 @@ object TpchRestQueries {
     // supplier per part; the lineitem bridge stands in for partsupp).
     Q("q2_min_cost_supplier",
       (s, dir) => {
+        // Dedup AFTER the min-price filter: distinct() on the raw offer
+        // projection would shuffle all of lineitem; post-filter the pair
+        // set is tiny (one-ish row per qualifying part).
         val li = Tables.lineitem(s, dir)
-        val offers = li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-          .distinct()
         val minPrice = li.groupBy(col("l_partkey"))
           .agg(min(col("l_extendedprice")).as("min_price"))
-        offers.join(minPrice, Seq("l_partkey"))
+        li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+          .join(minPrice, Seq("l_partkey"))
           .filter(col("l_extendedprice") === col("min_price"))
           .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)),
             col("l_partkey") === col("p_partkey"))
@@ -40,6 +42,7 @@ object TpchRestQueries {
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
             col("min_price"))
+          .distinct()
           .orderBy(col("p_partkey"), col("s_suppkey"))
       },
       Some("""

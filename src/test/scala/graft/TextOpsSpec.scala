@@ -138,6 +138,22 @@ class TextOpsSpec extends AnyFunSuite {
     assert(kept == Seq(1L, 5L, 8L))
   }
 
+  test("incremental minhash dedup flags batch docs duplicated in the corpus") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark shuffles and partitions here"),
+      (3L, "yet another unrelated document talking about parquet footers only")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again today"), // dup of 1
+      (11L, "nothing like anything in the corpus whatsoever zebra quantum")
+    ).toDF("doc_id", "text")
+    val out = TextDedup.minhashIncremental(corpus, batch, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(_._1) == Seq(10L)) // only the duplicate is flagged
+    assert(out.head._3 == 1L && out.head._4 == 1.0) // exact-copy signature
+  }
+
   test("BPE trainer learns deterministic merges; apply shrinks token counts") {
     // "abab" x10: pair (a,b) dominates (20 vs 10), then (ab,ab).
     val merges = graft.operators.Bpe.train(Seq(("abab", 10L)), numMerges = 3)
