@@ -123,6 +123,20 @@ object DataPipelineQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Document-length histogram (the corpus-shape overview every
+    // curation run starts from): 100-char buckets, count + char mass.
+    Q("x_length_histogram",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("bucket")),
+      Some("""
+        SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY bucket
+      """)),
+
+    // ------------------------------------------------------------------
     // Benchmark-contamination check (decontamination pass of a training
     // pipeline): corpus docs sharing any word-5-gram with the benchmark
     // set (here: doc_id < 10), with the shared-shingle count. The

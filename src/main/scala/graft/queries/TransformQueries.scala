@@ -397,6 +397,34 @@ object TransformQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Referential-integrity audit: orphan FK rows per relationship (the
+    // data-quality check a warehouse load runs next to schema checks).
+    // Anti-joins against broadcast dimension key sets — one fact pass.
+    Q("t_fk_orphans",
+      (s, dir) => {
+        val orphanOrders = Tables.orders(s, dir)
+          .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"))),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("relationship", lit("orders.custkey"))
+        val orphanLineitem = Tables.lineitem(s, dir)
+          .join(broadcast(Tables.part(s, dir).select(col("p_partkey"))),
+            col("l_partkey") === col("p_partkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("relationship", lit("lineitem.partkey"))
+        orphanOrders.unionByName(orphanLineitem)
+          .select(col("relationship"), col("n"))
+          .orderBy(col("relationship"))
+      },
+      Some("""
+        SELECT relationship, n FROM (
+          SELECT 'orders.custkey' AS relationship, COUNT(*) AS n
+          FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+          UNION ALL
+          SELECT 'lineitem.partkey', COUNT(*)
+          FROM lineitem WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+        ORDER BY relationship
+      """)),
+
+    // ------------------------------------------------------------------
     // SCD2 history build: compress each user's event_type timeline into
     // state intervals (valid_from / valid_to / is_current) — the
     // slowly-changing-dimension shape a warehouse load maintains. Two
