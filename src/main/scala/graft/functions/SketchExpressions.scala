@@ -113,6 +113,25 @@ case class PairCombos(child: Expression)
     copy(child = newChild)
 }
 
+/** Token ARRAY under SketchHash.tokenize (duplicates preserved, unlike
+  * Shingles' distinct sets) — for consumers that must count or weight
+  * tokens under exactly the sketch tokenizer (e.g. the BPE trainer, whose
+  * applier tokenizes with SketchHash.tokenize inside the expression).
+  */
+case class Tokens(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(
+      SketchHash.tokenize(input.asInstanceOf[UTF8String].toString)
+        .map(t => UTF8String.fromString(t): Any))
+
+  override protected def withNewChildInternal(newChild: Expression): Tokens =
+    copy(child = newChild)
+}
+
 /** Token COUNT under SketchHash.tokenize — the same tokenizer Shingles and
   * SimHash use, so metrics that relate distinct shingles to total tokens
   * (repetition fractions) are internally consistent on every input,

@@ -62,12 +62,15 @@ object Bpe {
     merges.result()
   }
 
-  /** Word-frequency table from a corpus (distributed; tokens via the
-    * sketch tokenizer), truncated to the `maxWords` most frequent words —
-    * deterministic order (count desc, word asc).
+  /** Word-frequency table from a corpus (distributed), truncated to the
+    * `maxWords` most frequent words — deterministic order (count desc,
+    * word asc). Tokenized with the SAME SketchHash.tokenize the applier
+    * uses (a normText/regex split disagrees on non-ASCII whitespace and
+    * final-sigma lowercasing, silently disabling learned merges there).
     */
   def wordCounts(df: DataFrame, textCol: String, maxWords: Int): Seq[(String, Long)] =
-    df.select(explode(split(graft.functions.normText(col(textCol)), " ")).as("w"))
+    df.select(explode(GraftBridge.column(
+        graft.functions.Tokens(GraftBridge.expression(col(textCol))))).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w"))

@@ -13,14 +13,12 @@ import graft.sources.Tables
   * hold at corpus scale, and all carry DuckDB oracles.
   *
   * Normalization parity: the DuckDB side re-derives tokens with
-  * `string_split_regex(trim(lower(strip_accents(text))), '\s+')`, the
-  * SQL twin of SketchHash.tokenize (parity established by the
-  * x_text_quality oracle).
+  * `Q.duckToks`, the SQL twin of SketchHash.tokenize (parity
+  * established by the x_text_quality oracle).
   */
 object DataPipelineQueries {
 
-  /** DuckDB tokens list for a text column (keep in sync with tokenize). */
-  private val Toks = raw"string_split_regex(trim(lower(strip_accents(text))), '\s+')"
+  private val Toks = Q.duckToks
 
   private val EnStop = TextStats.stopwords("en")
 
@@ -65,7 +63,7 @@ object DataPipelineQueries {
                  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
                  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
                  CAST(len(list_filter(
-                   string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' '),
+                   ${Q.duckToks},
                    x -> list_contains([${EnStop.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) AS hits,
                  $Toks AS toks
           FROM documents),

@@ -22,4 +22,12 @@ object Q {
   import org.apache.spark.sql.functions._
 
   def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** DuckDB-side normalized token list for a `text` column — the oracle
+    * twin of SketchHash.tokenize / normText-plus-split. THE single
+    * canonical spelling: the formula appears in several oracles, and a
+    * tokenization tweak must reach all of them at once.
+    */
+  val duckToks: String =
+    raw"string_split(regexp_replace(lower(strip_accents(trim(text))), '\s+', ' ', 'g'), ' ')"
 }

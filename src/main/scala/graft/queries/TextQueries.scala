@@ -141,7 +141,7 @@ object TextQueries {
                  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
                  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
                  CAST(len(list_filter(
-                   string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' '),
+                   ${Q.duckToks},
                    x -> list_contains([${EnStop.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) AS hits
           FROM documents)
         SELECT doc_id, n_chars, n_tokens,
@@ -169,7 +169,7 @@ object TextQueries {
                  CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tokens,
                  CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) AS punct,
                  CAST(len(list_filter(
-                   string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' '),
+                   ${Q.duckToks},
                    x -> list_contains([${EnStop.map(w => s"'$w'").mkString(",")}], x))) AS DOUBLE) AS hits
           FROM documents)
         SELECT doc_id FROM t
@@ -254,7 +254,7 @@ object TextQueries {
         s"""
         WITH t AS (
           SELECT doc_id,
-                 string_split(regexp_replace(lower(strip_accents(trim(text))), '\\s+', ' ', 'g'), ' ') AS toks
+                 ${Q.duckToks} AS toks
           FROM documents),
         h AS (SELECT doc_id,
                  $hitCols
@@ -308,8 +308,10 @@ object TextQueries {
     // ------------------------------------------------------------------
     // 31d: incremental dedup — every 5th doc plays the "incoming batch",
     // checked against the rest as the standing corpus; join cost scales
-    // with the batch, not corpus² (rows-only; exactness spec'd against
-    // the self-join variant in TextOpsSpec)
+    // with the batch, not corpus². Rows-only; TextOpsSpec pins the
+    // cross-boundary duplicate/non-duplicate cases (bucket-cap semantics
+    // intentionally differ from the self-join variant: the cap applies
+    // to the corpus index side only).
     Q("d_dedup_incremental",
       (s, dir) => {
         val docs = Tables.documents(s, dir)

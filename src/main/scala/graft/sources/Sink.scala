@@ -56,8 +56,10 @@ object Sink {
     * artifact upload: artifacts beyond the size cap are recorded as a
     * manifest of their parts instead of one oversized blob). Writes the
     * frame as parquet; when the total byte size exceeds `maxBytes`, a
-    * `manifest.json` listing every part file + size is placed next to the
-    * data so downstream consumers page through parts. Returns the total
+    * `_manifest.json` listing every part file + size is placed next to
+    * the data so downstream consumers page through parts (underscore
+    * prefix: Spark/Hadoop readers treat `_`-files as hidden, so
+    * spark.read.parquet on the directory still works). Returns the total
     * bytes written and whether a manifest was emitted.
     */
   def writeArtifact(df: DataFrame, path: String, maxBytes: Long): (Long, Boolean) = {
@@ -75,7 +77,7 @@ object Sink {
         s"""{"name":"${s.getPath.getName}","bytes":${s.getLen}}""")
       val json =
         s"""{"total_bytes":$total,"max_bytes":$maxBytes,"parts":[${entries.mkString(",")}]}"""
-      val out = fs.create(new org.apache.hadoop.fs.Path(p, "manifest.json"), true)
+      val out = fs.create(new org.apache.hadoop.fs.Path(p, "_manifest.json"), true)
       try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }

@@ -100,14 +100,16 @@ class EngineSpec extends AnyFunSuite {
     // Generous cap → no manifest.
     val (bytes1, over1) = graft.sources.Sink.writeArtifact(df, dir + "/small", 100L << 20)
     assert(bytes1 > 0 && !over1)
-    assert(!new java.io.File(dir + "/small/manifest.json").exists())
+    assert(!new java.io.File(dir + "/small/_manifest.json").exists())
     // 1-byte cap → manifest with every part and the true total.
     val (bytes2, over2) = graft.sources.Sink.writeArtifact(df, dir + "/big", 1L)
     assert(over2)
     val manifest = new String(java.nio.file.Files.readAllBytes(
-      Paths.get(dir + "/big/manifest.json")))
+      Paths.get(dir + "/big/_manifest.json")))
     assert(manifest.contains(s""""total_bytes":$bytes2"""))
     assert(manifest.contains("part-"))
+    // The underscore prefix keeps the directory readable as parquet.
+    assert(spark.read.parquet(dir + "/big").count() == 1000)
   }
 
   test("observe-based audit collects metrics during the main action, matching a direct agg") {
