@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One-call session factory with graft's recommended configuration —
+  * the adoption entry point for a user switching from the reference
+  * pipeline: SQL extensions registered (strip_accents/uuid5/shingles/
+  * minhash_sig/simhash/vec_dot), AQE on (with skew-join handling),
+  * UTC session timezone (cross-engine timestamp parity), and
+  * nanosecond-parquet compatibility for event feeds.
+  *
+  * `shufflePartitions` should track the deployment: cores on a laptop,
+  * ~2-3× total executor cores (or data-volume-derived) on a cluster —
+  * AQE coalesces the excess at runtime.
+  */
+object GraftSession {
+
+  def builder(master: String = "", shufflePartitions: Int = 0): SparkSession.Builder = {
+    var b = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+    if (master.nonEmpty) b = b.master(master)
+    if (shufflePartitions > 0)
+      b = b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    b
+  }
+
+  /** Build (or reuse) the session and register graft's SQL functions. */
+  def getOrCreate(master: String = "", shufflePartitions: Int = 0): SparkSession = {
+    val spark = builder(master, shufflePartitions).getOrCreate()
+    GraftExtensions.register(spark)
+    spark
+  }
+}

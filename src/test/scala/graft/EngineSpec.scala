@@ -12,6 +12,15 @@ class EngineSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("GraftSession factory configures parity confs and registers SQL functions") {
+    // Reuses the already-running test session (getOrCreate semantics);
+    // the factory must still (re-)register the SQL surface on it.
+    SparkTestSession.spark // force the shared session into existence first
+    val s = GraftSession.getOrCreate()
+    assert(s.sql("SELECT strip_accents('más') AS x").head().getString(0) == "mas")
+    assert(SparkTestSession.spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
+
   test("SQL functions registered via GraftExtensions builders") {
     GraftExtensions.register(spark)
     val r = spark.sql(
