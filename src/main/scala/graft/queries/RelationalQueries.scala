@@ -203,6 +203,40 @@ object RelationalQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // The CUSTOM flatMapGroupsWithState sessionizer run in batch mode
+    // (all data present → every session final) — puts the stateful
+    // operator itself behind the DuckDB gate. Sessionize works at
+    // millisecond precision (Timestamp.getTime), so the oracle lags on
+    // epoch_ms; outputs are per-user aggregates (session timestamps
+    // would re-expose ms-vs-µs representation differences, counts
+    // don't).
+    Q("q_sessionize_custom",
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type"))
+          .as[graft.streaming.Sessionize.Event]
+        graft.streaming.Sessionize.sessions(ev, gapMillis = 1800000L)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+               COUNT(*) AS n_events
+        FROM (
+          SELECT user_id,
+                 CASE WHEN prev_ms IS NULL OR epoch_ms(ts) - prev_ms > 1800000
+                      THEN 1 ELSE 0 END AS new_session
+          FROM (SELECT user_id, ts,
+                       LAG(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) AS prev_ms
+                FROM events))
+        GROUP BY user_id
+        ORDER BY user_id
+      """)),
+
+    // ------------------------------------------------------------------
     // Tumbling-window aggregation over the event stream (batch form).
     Q("q_events_windowed",
       (s, dir) => {
