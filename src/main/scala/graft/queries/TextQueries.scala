@@ -33,6 +33,19 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 31c: PPJoin-style EXACT thresholded Jaccard self-join (prefix
+    // filtering under a rarest-first shingle order) — the exact-at-any-
+    // scale sibling of the top-k variant. Rows-only; equality with the
+    // brute-force join is spec'd in TextOpsSpec.
+    Q("d_dedup_ppjoin",
+      (s, dir) => TextDedup.ngramJaccardJoin(
+          Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+        .groupBy()
+        .agg(count(lit(1)).as("n_pairs"),
+          Q.dsum(col("jaccard")).as("sum_jaccard")),
+      None),
+
+    // ------------------------------------------------------------------
     // 32: MinHash + LSH banding, top-20 candidates by estimated Jaccard
     Q("d_dedup_minhash_lsh",
       (s, dir) => TextDedup.minhashLshTopK(Tables.documents(s, dir), "doc_id", "text"),
