@@ -74,8 +74,12 @@ object TextDedup {
       .groupBy("shingle")
       .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
       .filter(size(col("docs")).between(2, maxDf))
-    val pairs = postings.select(explode(GraftBridge.column(
-      graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
+    // Explicit spread before the CPU-heavy pair explode: AQE coalesces
+    // this small-bytes stage to a couple of tasks otherwise.
+    val spread = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val pairs = postings.repartition(spread, col("shingle"))
+      .select(explode(GraftBridge.column(
+        graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
     val shared = pairs
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"),
@@ -140,7 +144,9 @@ object TextDedup {
     // the query's 5s on a single core).
     // Explicit partition count: AQE would coalesce a count-less
     // repartition of this small-bytes/high-CPU frame back to one task.
-    cands.repartition(32, col("id_a"))
+    cands.repartition(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("id_a"))
       .join(broadcast(
         sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))), "id_a")
       .join(broadcast(
