@@ -5,16 +5,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Local test parquet is tiny: split scans finer so CPU-heavy
-      // per-row stages (sketches) parallelize; a cluster keeps the
-      // 128 MB default.
+    // One source of truth for the parity confs (GraftSession); the local
+    // harness adds finer scan splits (tiny test parquet; clusters keep
+    // the 128 MB default) and no UI.
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -7,14 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // Local test parquet is tiny: split scans finer so CPU-heavy
-      // per-row stages (sketches) parallelize; a cluster keeps the
-      // 128 MB default.
+    // Same conf source as Bench/RunOne (Verify previously drifted: it
+    // never enabled AQE, so the verified plans differed from the benched
+    // ones).
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

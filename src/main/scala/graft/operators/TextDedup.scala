@@ -18,6 +18,14 @@ import graft.functions.{MinhashSig, Shingles, SimHash}
   */
 object TextDedup {
 
+  /** Repartition to the session's shuffle-partition count with an
+    * explicit N: AQE coalesces count-less repartitions of small-bytes/
+    * high-CPU frames back to one or two tasks.
+    */
+  private def spread(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, key)
+
   // ------------------------------------------------------------------
   // Exact dedup (hash-groupBy) — reference-style enforce-unique, applied
   // to document text (content hash, not key hash).
@@ -76,8 +84,7 @@ object TextDedup {
       .filter(size(col("docs")).between(2, maxDf))
     // Explicit spread before the CPU-heavy pair explode: AQE coalesces
     // this small-bytes stage to a couple of tasks otherwise.
-    val spread = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val pairs = postings.repartition(spread, col("shingle"))
+    val pairs = spread(postings, col("shingle"))
       .select(explode(GraftBridge.column(
         graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
     val shared = pairs
@@ -106,16 +113,14 @@ object TextDedup {
     val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
       .withColumn("sz", size(col("sh")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize NOW: downstream join planning then sees the cached
-    // relation's real statistics (lazy persist left the joins planned off
-    // raw-scan estimates — measured ~4x slower end-to-end).
-    sets.count()
     val exploded = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    // Global rarest-first total order: (document frequency, shingle). The
-    // df table is one row per DISTINCT shingle — tiny next to the
-    // postings — so broadcast it instead of shuffling the posting list.
+    // Global rarest-first total order: (document frequency, shingle).
+    // Deliberately NO broadcast hints and NO in-list pair generation in
+    // this EXACT variant: the df table is vocabulary-sized and a hot
+    // prefix shingle's posting list is unbounded (no df-cut to lean on),
+    // so the shuffle join is the plan that survives corpus scale.
     val ranked = exploded.join(
-        broadcast(exploded.groupBy("shingle").agg(count(lit(1)).as("df_"))), "shingle")
+        exploded.groupBy("shingle").agg(count(lit(1)).as("df_")), "shingle")
     // Per-doc prefix of the df-sorted shingle list.
     val prefixes = ranked
       .withColumn("ord", struct(col("df_"), col("shingle")))
@@ -126,31 +131,16 @@ object TextDedup {
         explode(slice(transform(col("sorted"), _.getField("shingle")),
           lit(1), (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
           .as("shingle"))
-    // Posting-list candidate generation (same trick as ngramJaccardTopK):
-    // group prefix occurrences by shingle and pair inside the list — one
-    // shuffle instead of a two-sided exploded self-join.
-    val cands = prefixes
-      .groupBy(col("shingle"))
-      .agg(sort_array(collect_set(struct(col("id"), lit(0).as("sz")))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      .select(explode(GraftBridge.column(
-        graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
-      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
-      .distinct()
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
     // Verification is CPU-bound (one array_intersect per candidate pair):
-    // spread the pairs across the cluster and broadcast the per-doc
-    // shingle sets to both lookups — otherwise the work inherits the sets
-    // frame's few input partitions and runs on one task (measured 3s of
-    // the query's 5s on a single core).
-    // Explicit partition count: AQE would coalesce a count-less
-    // repartition of this small-bytes/high-CPU frame back to one task.
-    cands.repartition(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
-        col("id_a"))
-      .join(broadcast(
-        sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(
-        sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b"))), "id_b")
+    // spread the pairs explicitly — AQE coalesces this small-bytes/
+    // high-CPU frame to a couple of tasks otherwise (measured 3s of the
+    // query's 5s on a single core).
+    spread(cands, col("id_a"))
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
