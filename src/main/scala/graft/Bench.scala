@@ -1,18 +1,29 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
+/** Benchmark main: times every SparkEntry query at steady state and
+  * prints ONE machine-parseable JSON line (the driver keeps only a
+  * short tail of the output — the final line stays compact: headline
+  * queries only, ms precision; the full per-query map goes on its own
+  * `BENCH_DETAIL` line above it for humans).
+  */
 object Bench {
+
+  /** Representative queries across the §2 sections (the slow tail +
+    * one per family) — the compact set reported in the final JSON line.
+    */
+  private val headline = Vector(
+    "q1_agg", "q2_min_cost_supplier", "q3_shipping", "q5_local_supplier",
+    "q9_profit_proxy", "q18_large_orders", "q21_waiting_supplier",
+    "q_window_rank", "q_asof_native", "q_range_join", "q_topk_agg",
+    "q_session_window", "t_pipeline_e2e", "t_upsert", "st_windowed_agg",
+    "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard",
+    "d_dedup_ppjoin", "d_dedup_resolve", "s_cosine_topk", "s_ann_ivf",
+    "x_contamination", "x_gopher_filter")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // One source of truth for the parity confs (GraftSession); the local
-    // harness adds finer scan splits (tiny test parquet; clusters keep
-    // the 128 MB default) and no UI.
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.harness(cpus)
     // Warmup pass (untimed) over EVERY query: primes JVM/janino codegen
     // per query shape, parquet footers, the FS cache and the cache-manager
     // entries for persisted sketch frames. The timed pass below therefore
@@ -22,8 +33,8 @@ object Bench {
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // Isolate queries: persisted sketch frames from ~90 queries x 2 passes
-    // otherwise accumulate in the one session and evict each other
+    // Isolate queries: persisted sketch frames from ~100 queries x 2
+    // passes otherwise accumulate in the one session and evict each other
     // (measured +90% total wall time from the churn). Each timed query
     // pays its own persist cost — the honest steady-state number.
     spark.catalog.clearCache()
@@ -34,10 +45,15 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(m: Iterable[(String, Double)]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println("BENCH_DETAIL " + jmap(results))
+    val head = headline.flatMap(k => results.get(k).map(k -> _))
+    // Final line LAST and < ~1 KB: the driver's captured tail is 2000
+    // chars, so a full 100+-query map gets its front truncated and fails
+    // to parse (rounds 1-2 shipped "parsed": null because of this).
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

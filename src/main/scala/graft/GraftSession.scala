@@ -32,4 +32,21 @@ object GraftSession {
     GraftExtensions.register(spark)
     spark
   }
+
+  /** Local-harness session (Bench/Verify/RunOne): GraftSession confs +
+    * finer scan splits (tiny test parquet — clusters keep the 128 MB
+    * default), no UI, WARN logs, and the SQL surface registered. One
+    * entry point so the harness can never drift from `getOrCreate`
+    * (e.g. an `s.sql` query using strip_accents/minhash_sig failing
+    * only under the harness).
+    */
+  def harness(cpus: Int): SparkSession = {
+    val spark = builder(s"local[$cpus]", cpus)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    GraftExtensions.register(spark)
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
 }

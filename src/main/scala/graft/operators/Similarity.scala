@@ -116,11 +116,12 @@ object Similarity {
     */
   def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L): DataFrame = {
-    // Persisted: referenced on both sides of the self-join — without it the
-    // bucket signature (numPlanes dot products per row) is computed twice.
-    val withBucket = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim, seed))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialized (leak-free, see Materialize): referenced on both sides
+    // of the self-join — without it the bucket signature (numPlanes dot
+    // products per row) is computed twice.
+    val withBucket = Materialize(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
+        .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim, seed)))
     val pairs = withBucket.as("a").join(withBucket.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{MinhashSig, Shingles, SimHash}
 
@@ -25,6 +24,11 @@ object TextDedup {
   private def spread(df: DataFrame, key: Column): DataFrame =
     df.repartition(
       df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt, key)
+
+  /** Leak-free materialization for frames read 2+ times — see
+    * [[Materialize]] for the persist-vs-localCheckpoint contract.
+    */
+  private def cached(df: DataFrame): DataFrame = Materialize(df)
 
   // ------------------------------------------------------------------
   // Exact dedup (hash-groupBy) — reference-style enforce-unique, applied
@@ -71,17 +75,30 @@ object TextDedup {
     * discrimination and would make posting lists quadratic (the df-cut
     * analog of PPJoin prefix filtering). Jaccard from the surviving
     * shingles is a lower bound; exact when nothing is cut.
+    *
+    * The cut happens BEFORE the posting lists are collected: df is a
+    * count agg, the (small, ≤ Σdf/maxDf entries) hot-shingle set is
+    * anti-joined against the exploded frame, and collect_set only ever
+    * sees surviving rows — a stop-shingle never materializes an
+    * unbounded array in one aggregation buffer. Both the df agg and the
+    * anti-join shuffle on `shingle`, so the exchange is planned once and
+    * reused; AQE broadcasts the hot set when it is small.
     */
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 20, maxDf: Int = 200): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-    // df-cut and posting-list build in a single aggregation (shingles are
-    // distinct per doc, so size(docs) == document frequency).
-    val postings = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    // Shingling runs once: lineage-free cached blocks (see `cached`) feed
+    // the df agg and the posting-list build.
+    val sets = cached(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("sz", size(col("sh"))))
+    val ex = sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+    // Shingles are distinct per doc, so count == document frequency.
+    val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") > maxDf).select("shingle")
+    val postings = ex.join(hot, Seq("shingle"), "left_anti")
       .groupBy("shingle")
       .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
-      .filter(size(col("docs")).between(2, maxDf))
+      .filter(size(col("docs")) >= 2)
     // Explicit spread before the CPU-heavy pair explode: AQE coalesces
     // this small-bytes stage to a couple of tasks otherwise.
     val pairs = spread(postings, col("shingle"))
@@ -110,9 +127,9 @@ object TextDedup {
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-      .withColumn("sz", size(col("sh")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sets = cached(
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("sz", size(col("sh"))))
     val exploded = sets.select(col("id"), explode(col("sh")).as("shingle"))
     // Global rarest-first total order: (document frequency, shingle).
     // Deliberately NO broadcast hints and NO in-list pair generation in
@@ -175,12 +192,11 @@ object TextDedup {
   def minhashLshTopK(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
       k: Int = 20, maxBucket: Int = 100): DataFrame = {
-    // Persisted: signatures are re-read by the band explode and both sides
-    // of the candidate verification join (3 passes otherwise).
-    val sigs = withMinhashSignature(
+    // Materialized: signatures are re-read by the band explode and both
+    // sides of the candidate verification join (3 passes otherwise).
+    val sigs = cached(withMinhashSignature(
         df.select(col(idCol).as("id"), col(textCol)), textCol, shingleN, numHashes)
-      .select(col("id"), col("sig"), bandKeys(col("sig"), numHashes, rowsPerBand).as("bands"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("sig"), bandKeys(col("sig"), numHashes, rowsPerBand).as("bands")))
     val ex = sigs.select(col("id"), posexplode(col("bands")).as(Seq("band", "key")))
     val bounded = ex.join(
       ex.groupBy("band", "key").agg(count(lit(1)).as("bucket_n"))
@@ -218,8 +234,11 @@ object TextDedup {
         df.select(col(idCol).as("id"), col(textCol)), textCol, shingleN, numHashes)
       .select(col("id"), col("sig"),
         bandKeys(col("sig"), numHashes, rowsPerBand).as("bands"))
-    val corpusSigs = sigs(corpus).persist(StorageLevel.MEMORY_AND_DISK)
-    val newSigs = sigs(newBatch).persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialized (leak-free, see `cached`): each side is read by the
+    // band index AND the verification join; a long-lived session keeps
+    // no pinned cache entries behind after the query's action.
+    val corpusSigs = cached(sigs(corpus))
+    val newSigs = cached(sigs(newBatch))
     val corpusIx = corpusSigs
       .select(col("id").as("corpus_id"), posexplode(col("bands")).as(Seq("band", "key")))
     // Degenerate-bucket cap on the corpus side (same skew guard as the
@@ -265,8 +284,7 @@ object TextDedup {
     */
   def simhashTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 20,
       maxBucket: Int = 200): DataFrame = {
-    val h = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val h = cached(df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh")))
     val ex0 = h.select(col("id"), col("sh"), posexplode(
       transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sh"), b * 16).bitwiseAND(0xffffL))).as(Seq("band", "key")))

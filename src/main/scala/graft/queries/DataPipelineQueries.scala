@@ -142,12 +142,13 @@ object DataPipelineQueries {
     // side stays a narrow explode, no self-join.
     Q("x_contamination",
       (s, dir) => {
-        // Persisted: the shingled frame feeds the benchmark distinct-set
-        // build AND the corpus side — without it the whole scan+tokenize
-        // pass runs twice.
-        val grams = Tables.documents(s, dir)
-          .select(col("doc_id"), explode(TextDedup.wordShingles(col("text"), 5)).as("shingle"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Materialized (leak-free localCheckpoint, see Materialize): the
+        // shingled frame feeds the benchmark distinct-set build AND the
+        // corpus side — without it the whole scan+tokenize pass runs
+        // twice; with a bare persist each invocation pinned a new cached
+        // copy for the session's lifetime.
+        val grams = graft.operators.Materialize(Tables.documents(s, dir)
+          .select(col("doc_id"), explode(TextDedup.wordShingles(col("text"), 5)).as("shingle")))
         val bench = grams.filter(col("doc_id") < 10).select("shingle").distinct()
         grams.filter(col("doc_id") >= 10)
           .join(broadcast(bench), Seq("shingle"))
