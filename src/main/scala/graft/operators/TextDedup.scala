@@ -40,6 +40,36 @@ object TextDedup {
     df.groupBy(sha2(col(textCol), 256).as("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** C4/paragraph-style exact SPAN dedup: the corpus is cut into
+    * fixed-granularity spans (`w`-word windows, the "line" unit for a
+    * corpus without newlines), every repeated span keeps only its first
+    * occurrence in (doc_id, position) order, and documents are
+    * reassembled from their surviving spans (docs whose every span was
+    * seen earlier disappear). One shuffle on the span text (the
+    * first-occurrence window), one on doc_id (the reassembly groupBy);
+    * span keys hash-distribute evenly, so neither stage has a skew
+    * hazard at corpus scale — hot spans cap at one surviving row each.
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+    val spans = toks
+      .select(col("doc_id"), col("t"),
+        expr(s"explode(sequence(0L, (size(t) + ${w - 1}) div $w - 1))").as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        expr(s"array_join(slice(t, CAST(chunk_idx * $w + 1 AS INT), $w), ' ')").as("ch"))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy("ch").orderBy("doc_id", "chunk_idx")
+    spans.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("ch")))),
+            x => x.getField("ch")), " ").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
   // ------------------------------------------------------------------
   // Shingling helpers (narrow, codegen'd — no UDFs)
   // ------------------------------------------------------------------

@@ -1,0 +1,291 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Pack, TextDedup}
+import graft.sources.Tables
+
+/** Round-3 curation + SQL-surface widening (SURVEY.md §2.3/§2.2):
+  * span-granular exact dedup, sequence packing, chunking, mixture
+  * reweighting, unpivot, int8 vector quantization, bit-exact cosine, and
+  * the recursive-CTE / LATERAL corners of the SQL surface.
+  *
+  * Float discipline for the vector ops: every floating output is reduced
+  * in a FIXED fold order on both engines (Spark `aggregate`, DuckDB
+  * `list_reduce` — left folds over the same per-index expressions), then
+  * published as `floor(x * 1eN)` integers. Multiply-and-floor of
+  * bit-identical doubles is deterministic on both engines, unlike
+  * `round()`, whose half-up/half-even and internal scaling differ.
+  */
+object CurationQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // 50: C4-style exact span dedup with document reassembly
+    Q("d_dedup_spans",
+      (s, dir) => TextDedup.spanDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        idx AS (SELECT doc_id, t,
+                       unnest(range(0, (len(t) + 9) // 10)) AS chunk_idx FROM toks),
+        chunks AS (SELECT doc_id, chunk_idx,
+                          array_to_string(t[chunk_idx*10+1 : chunk_idx*10+10], ' ') AS ch
+                   FROM idx),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY ch ORDER BY doc_id, chunk_idx) AS rn
+                   FROM chunks)
+        SELECT doc_id, string_agg(ch, ' ' ORDER BY chunk_idx) AS text_clean,
+               COUNT(*) AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 51: concatenate-and-split sequence packing (two-phase prefix sum on
+    // the Spark side; the oracle's single window states the semantics)
+    Q("x_seq_pack",
+      (s, dir) => Pack.seqPack(Tables.documents(s, dir), "doc_id", "text",
+          capacity = 256, bucketRows = 50)
+        .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents),
+        cum AS (SELECT doc_id, n_tok,
+                       sum(n_tok) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+                FROM toks)
+        SELECT doc_id, n_tok,
+               (cum_end - n_tok) // 256 AS bin,
+               (cum_end - n_tok) % 256 AS bin_off,
+               (cum_end - 1) // 256 - (cum_end - n_tok) // 256 + 1 AS n_bins
+        FROM cum ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 52: overlapping fixed-size chunking (200-char windows, stride 150)
+    Q("x_doc_chunk",
+      (s, dir) => Pack.docChunk(Tables.documents(s, dir), "doc_id", "text",
+          size = 200, stride = 150)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""
+        WITH idx AS (SELECT doc_id, text,
+                            unnest(range(0, (len(text) - 1) // 150 + 1)) AS ci
+                     FROM documents)
+        SELECT doc_id, ci AS chunk_idx,
+               substr(text, CAST(ci*150 + 1 AS INT), 200) AS chunk,
+               len(substr(text, CAST(ci*150 + 1 AS INT), 200)) AS chunk_len
+        FROM idx ORDER BY doc_id, chunk_idx
+      """)),
+
+    // ------------------------------------------------------------------
+    // 53: domain-mixture reweighting — per-source sampling rates toward a
+    // target mix (head sources 10% each, tail uniform), applied via the
+    // same deterministic content-hash rule as x_hash_sample. The rate
+    // math is identical double ops on both engines; rate_e6 is the
+    // floor-scaled publication.
+    Q("x_domain_mix",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val stats = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        val tot = stats.agg(sum("n_docs").as("n"))
+        val rates = stats.crossJoin(broadcast(tot))
+          .withColumn("share",
+            when(col("source").isin("src0", "src1", "src2", "src3", "src4"), lit(0.10))
+              .otherwise(lit(1.0 / 30)))
+          .withColumn("rate", least(lit(1.0), col("share") * col("n") / col("n_docs")))
+        docs
+          .withColumn("u",
+            conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long")
+              / lit(4294967296.0))
+          .join(broadcast(rates), "source")
+          .groupBy(col("source"), col("n_docs"),
+            expr("CAST(floor(rate * 1e6) AS BIGINT)").as("rate_e6"),
+            expr("CAST(floor(rate * n_docs) AS BIGINT)").as("expected_kept"))
+          .agg(sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("kept"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH stats AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM stats),
+        rates AS (
+          SELECT source, n_docs,
+                 least(1.0, (CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                                  THEN 0.10 ELSE 1.0/30 END) * n / n_docs) AS rate
+          FROM stats, tot)
+        SELECT r.source, r.n_docs,
+               CAST(floor(r.rate * 1e6) AS BIGINT) AS rate_e6,
+               CAST(floor(r.rate * r.n_docs) AS BIGINT) AS expected_kept,
+               COUNT(*) FILTER (WHERE ('0x' || substr(sha256(d.text), 1, 8))::UBIGINT
+                                       / 4294967296.0 < r.rate) AS kept
+        FROM rates r JOIN documents d ON d.source = r.source
+        GROUP BY r.source, r.n_docs, r.rate ORDER BY r.source
+      """)),
+
+    // ------------------------------------------------------------------
+    // 54: unpivot/melt (wide metrics → long) — Spark Dataset.unpivot vs
+    // the oracle's UNION ALL statement of the same semantics
+    Q("t_unpivot",
+      (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 100)
+        .select("l_orderkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric"),
+      Some("""
+        WITH src AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                            l_discount, l_tax
+                     FROM lineitem WHERE l_orderkey < 100)
+        SELECT l_orderkey, l_linenumber, metric, value FROM (
+          SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM src
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM src
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM src
+          UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM src)
+        ORDER BY l_orderkey, l_linenumber, metric
+      """)),
+
+    // ------------------------------------------------------------------
+    // 55: int8 vector quantization (symmetric, per-vector scale) — the
+    // embedding-compression step before ANN at scale. Bounded slice:
+    // the op is a narrow projection, the bound keeps bench cost flat.
+    Q("s_vec_quantize",
+      (s, dir) => Tables.embeddings(s, dir)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127.0"))
+        .withColumn("q", expr("transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))"))
+        .select(col("vec_id"),
+          expr("CAST(floor(scale * 1e12) AS BIGINT)").as("scale_e12"),
+          expr("aggregate(q, 0L, (a, x) -> a + x)").as("q_sum"),
+          expr("""CAST(floor(aggregate(sequence(1, 64), CAST(0.0 AS DOUBLE),
+              (a, i) -> a + (element_at(v, i) - element_at(q, i) * scale)
+                          * (element_at(v, i) - element_at(q, i) * scale)) * 1e9) AS BIGINT)""")
+            .as("sq_err_e9"))
+        .orderBy("vec_id"),
+      Some("""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 100),
+        sc AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM base),
+        qz AS (SELECT vec_id, scale, v,
+                      list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS q
+               FROM sc)
+        SELECT vec_id,
+               CAST(floor(scale * 1e12) AS BIGINT) AS scale_e12,
+               list_reduce(q, (a, b) -> a + b) AS q_sum,
+               CAST(floor(list_reduce(list_transform(range(1, 65),
+                      i -> (v[i] - q[i] * scale) * (v[i] - q[i] * scale)),
+                    (a, b) -> a + b) * 1e9) AS BIGINT) AS sq_err_e9
+        FROM qz ORDER BY vec_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 56: bit-exact cosine top-k — the ORACLE-CHECKED twin of
+    // s_cosine_topk (which stays on the fast native VecDot path):
+    // fixed-order folds make the doubles identical across engines, so
+    // the ranking itself is verified, not just row counts. Corpus side
+    // bounded so the interpreted-HOF cost stays flat across SFs.
+    Q("s_cosine_exact",
+      (s, dir) => {
+        val base = Tables.embeddings(s, dir).filter(col("vec_id") < 2000)
+          .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+          .withColumn("nrm",
+            expr("sqrt(aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"))
+        val queries = base.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qnrm"))
+        val pairs = base.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("dot",
+            expr("aggregate(zip_with(qv, v, (a, b) -> a * b), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"))
+          .withColumn("cosine", col("dot") / (col("qnrm") * col("nrm")))
+        pairs
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("query_id").orderBy(col("cosine").desc, col("vec_id"))).cast("long"))
+          .filter(col("rk") <= 5)
+          .select(col("query_id"), col("vec_id"),
+            expr("CAST(floor(cosine * 1e9) AS BIGINT)").as("cosine_e9"), col("rk"))
+          .orderBy("query_id", "rk")
+      },
+      Some("""
+        WITH base AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id < 2000),
+        normed AS (
+          SELECT vec_id, v,
+                 sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+          FROM base),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM normed WHERE vec_id < 10),
+        pairs AS (
+          SELECT query_id, vec_id,
+                 list_reduce(list_transform(range(1, 65), i -> qv[i] * v[i]), (a, b) -> a + b)
+                   / (qnrm * nrm) AS cosine
+          FROM q, normed WHERE vec_id <> query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS rk FROM pairs)
+        SELECT query_id, vec_id, CAST(floor(cosine * 1e9) AS BIGINT) AS cosine_e9, rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // 57: recursive CTE — calendar spine (month series spanning the order
+    // history) left-joined to monthly order counts, empty months kept.
+    // Exercises Spark 4's WITH RECURSIVE through the SQL surface.
+    Q("q_recursive_spine",
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("rs_orders")
+        s.sql("""
+          WITH RECURSIVE bounds AS (
+            SELECT date_trunc('MONTH', min(o_orderdate)) AS lo,
+                   date_trunc('MONTH', max(o_orderdate)) AS hi FROM rs_orders),
+          spine(m) AS (
+            SELECT lo FROM bounds
+            UNION ALL SELECT m + INTERVAL '1' MONTH FROM spine, bounds WHERE m < hi),
+          monthly AS (SELECT date_trunc('MONTH', o_orderdate) AS m, COUNT(*) AS n_orders
+                      FROM rs_orders GROUP BY 1)
+          SELECT CAST(s.m AS DATE) AS month, coalesce(n_orders, 0) AS n_orders
+          FROM spine s LEFT JOIN monthly mo ON mo.m = s.m ORDER BY 1
+        """)
+      },
+      Some("""
+        WITH RECURSIVE bounds AS (
+          SELECT date_trunc('month', min(o_orderdate)) AS lo,
+                 date_trunc('month', max(o_orderdate)) AS hi FROM orders),
+        spine(m) AS (
+          SELECT lo FROM bounds
+          UNION ALL SELECT m + INTERVAL 1 MONTH FROM spine, bounds WHERE m < hi),
+        monthly AS (SELECT date_trunc('month', o_orderdate) AS m, COUNT(*) AS n_orders
+                    FROM orders GROUP BY 1)
+        SELECT CAST(s.m AS DATE) AS month, coalesce(n_orders, 0) AS n_orders
+        FROM spine s LEFT JOIN monthly mo ON mo.m = s.m ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // 58: correlated LATERAL subquery with per-group ORDER BY + LIMIT —
+    // top-3 suppliers by balance per nation through the SQL surface
+    // (DataFrame twin is q_window_rank's rank-filter shape).
+    Q("q_lateral_topk",
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("lt_nation")
+        Tables.supplier(s, dir).createOrReplaceTempView("lt_supplier")
+        s.sql("""
+          SELECT n.n_name, l.s_name, l.s_acctbal
+          FROM lt_nation n,
+          LATERAL (SELECT s_name, s_acctbal FROM lt_supplier s
+                   WHERE s.s_nationkey = n.n_nationkey
+                   ORDER BY s_acctbal DESC, s_name LIMIT 3) l
+          ORDER BY n.n_name, l.s_acctbal DESC, l.s_name
+        """)
+      },
+      Some("""
+        SELECT n.n_name, l.s_name, l.s_acctbal
+        FROM nation n,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 3) l
+        ORDER BY n.n_name, l.s_acctbal DESC, l.s_name
+      """))
+  )
+}
