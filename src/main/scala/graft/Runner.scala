@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, when}
 
 import graft.config.DatasetConfig
 import graft.operators.{Audit, Transform, TransformHardFail}
@@ -38,11 +39,14 @@ object Runner {
     var failure: Throwable = null
     try {
       resources.toSeq.sortBy(_._1).foreach { case (rid, raw) =>
-        val rowsIn = raw.count()
-        // Persist: the chain is consumed by the upsert write AND the audit
-        // metrics (and the pipeline only persists when critical checks ran).
-        val transformed = Transform.pipeline(raw, cfg)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // ALL audit metrics ride the load action as Dataset.observe
+        // accumulators — no standalone raw.count() scan and no post-load
+        // metrics aggregation over the transformed frame (at 100 TB those
+        // were two extra full passes; the reference's per-resource report
+        // becomes piggybacked CollectMetrics instead).
+        val inObs = org.apache.spark.sql.Observation(s"graft_in_${runId}_$rid")
+        val transformed = Transform.pipeline(
+          raw.observe(inObs, count(lit(1)).as("rows_in")), cfg)
         try {
           // Config-driven upsert key (reference load.py honors the YAML's
           // load.upsert_key); fall back to surrogate_id-then-business_key
@@ -51,14 +55,33 @@ object Runner {
             if (transformed.columns.contains(cfg.load.upsertKey)) cfg.load.upsertKey
             else if (transformed.columns.contains("surrogate_id")) "surrogate_id"
             else "business_key"
+          // The upsert's own dedup window, applied HERE so rows_out and
+          // the duplicate-key count (`__rn = 2` ≡ "key has a 2nd row")
+          // are observed on it in-flight; the upsert then skips its
+          // internal window (preDeduped).
+          val ranked = Transform.dedupRank(transformed, Seq(keyCol),
+            latestBy = cfg.integrity.latestBy, tieBreakers = cfg.integrity.tieBreakers)
+          val outObs = org.apache.spark.sql.Observation(s"graft_out_${runId}_$rid")
+          val observed = ranked.observe(outObs,
+            count(lit(1)).as("rows_out"),
+            count(when(col("__rn") === 2, true)).as("dup_keys"))
           // Merge into the target: latest row wins by the configured
           // latestBy column, both within the batch and against the target.
           graft.streaming.StreamOps.upsertIntoParquet(
-            transformed, targetDir, keys = Seq(keyCol),
+            observed.filter(col("__rn") === 1).drop("__rn"),
+            targetDir, keys = Seq(keyCol),
             latestBy = cfg.integrity.latestBy,
-            tieBreakers = cfg.integrity.tieBreakers)
+            tieBreakers = cfg.integrity.tieBreakers,
+            preDeduped = true)
           val diff = Transform.schemaDiff(transformed, cfg.expectedColumns)
-          resourceRows += Audit.resourceMetrics(runId, rid, rowsIn, transformed, keyCol, diff)
+          // Both gets return instantly: the load action above computed the
+          // observe nodes (rows_in possibly earlier, during the pipeline's
+          // critical-check action — first action wins, same value).
+          val rowsIn = inObs.get("rows_in").asInstanceOf[Long]
+          val rowsOut = outObs.get("rows_out").asInstanceOf[Long]
+          val dupKeys = outObs.get("dup_keys").asInstanceOf[Long]
+          resourceRows += Audit.ResourceRow(runId, rid, rowsIn, rowsOut, dupKeys,
+            math.max(0L, rowsIn - rowsOut), diff.missing.size, diff.extra.size)
         } finally transformed.unpersist() // pipeline persists at its check barrier
       }
     } catch {

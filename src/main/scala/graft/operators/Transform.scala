@@ -265,12 +265,25 @@ object Transform {
       df: DataFrame,
       keys: Seq[String],
       latestBy: Option[String] = None,
+      tieBreakers: Seq[String] = Nil): DataFrame =
+    dedupRank(df, keys, latestBy, tieBreakers).filter(col("__rn") === 1).drop("__rn")
+
+  /** The dedup window WITHOUT the survivor filter: every row annotated
+    * with its keep-rank `__rn` (1 = survivor). Exposed so callers can
+    * observe duplicate metrics in-flight — `count(__rn = 2)` is exactly
+    * "keys with more than one row" — before filtering, all inside the one
+    * action that consumes the frame (see Runner).
+    */
+  def dedupRank(
+      df: DataFrame,
+      keys: Seq[String],
+      latestBy: Option[String] = None,
       tieBreakers: Seq[String] = Nil): DataFrame = {
     val ordering =
       latestBy.map(col(_).desc_nulls_last).toSeq ++ tieBreakers.map(col(_).asc)
     val ord = if (ordering.nonEmpty) ordering else Seq(monotonically_increasing_id().asc)
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    df.withColumn("__rn", row_number().over(w))
   }
 
   /** Idempotent merge-by-key: rows from `updates` replace same-key rows in

@@ -143,7 +143,7 @@ object StreamOps {
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
       keys: Seq[String], latestBy: Option[String] = None,
-      tieBreakers: Seq[String] = Nil): Unit = {
+      tieBreakers: Seq[String] = Nil, preDeduped: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -151,7 +151,11 @@ object StreamOps {
     val fs = target.getFileSystem(hadoopConf)
     // Heal a crash between the two renames of a previous call.
     if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
-    val deduped = Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
+    // preDeduped: the caller already ran the dedup window (e.g. to observe
+    // duplicate metrics on it) — re-running it here would add a second
+    // whole-batch shuffle for nothing.
+    val deduped =
+      if (preDeduped) batch else Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
     val merged =
       if (fs.exists(target))
         // latestBy participates against the TARGET too: a re-delivered

@@ -57,10 +57,14 @@ class RunnerSpec extends AnyFunSuite {
     // Same key A1 twice in ONE resource: 30 (old) then 99 (new).
     val r = Seq(("A1", "30", "2024-01-01 00:00:00"), ("A1", "99", "2024-06-01 00:00:00"))
       .toDF("Código", "Edad", "Fecha")
-    Runner.run(spark, Map("res" -> r), cfgLatest, base + "/t", base + "/a", "run_l")
+    val res = Runner.run(spark, Map("res" -> r), cfgLatest, base + "/t", base + "/a", "run_l")
     val out = spark.read.parquet(base + "/t")
     assert(out.count() == 1)
     assert(out.select("edad").as[Double].head() == 99.0, "stale row won the upsert")
+    // Observed in-flight metrics (no separate metric scans): both rows
+    // reached the dedup window, and the duplicated key was counted there.
+    val m = res.resources.head
+    assert(m.rows_in == 2 && m.rows_out == 2 && m.duplicates_key == 1L)
   }
 
   test("runner: hard failure still writes the failed-run audit row") {
