@@ -230,6 +230,62 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 56b: unigram rarity score — the perplexity-proxy quality signal
+    // (mean inverse unigram probability, the transcendental-free stand-in
+    // for mean surprisal: rank order matches -log p for unigram models).
+    // INTEGER-ONLY math ((total*1000) div cnt, then div n_tok) so the
+    // corpus-wide aggregation is exact and order-independent on both
+    // engines. Two shuffles (tf agg, per-doc agg); tf is vocabulary-sized
+    // and broadcasts.
+    Q("x_rarity_score",
+      (s, dir) => {
+        val ex = Tables.documents(s, dir)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = ex.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        val tot = tf.agg(sum("cnt").as("total"))
+        ex.join(broadcast(tf), "tok")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tok"),
+            expr("CAST(sum((total * 1000) div cnt) div count(1) AS BIGINT)").as("rarity"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+        tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM tf)
+        SELECT doc_id, COUNT(*) AS n_tok,
+               CAST(sum((total*1000) // cnt) // COUNT(*) AS BIGINT) AS rarity
+        FROM ex JOIN tf USING (tok), tot
+        GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 56c: CSV sink + source round trip — documents (free text, quoted)
+    // written through the CSV writer and read back with an explicit
+    // schema, then aggregated per language with a content checksum. The
+    // oracle aggregates the parquet original: equality proves the CSV
+    // path is lossless (quoting/escaping of free text included).
+    Q("t_csv_roundtrip",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+        docs.write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.schema(docs.schema).option("header", "true").csv(tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("bigint").as("chars"),
+            sum(conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long"))
+              .cast("bigint").as("hsum"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(('0x' || substr(sha256(text), 1, 8))::UBIGINT) AS BIGINT) AS hsum
+        FROM documents GROUP BY lang ORDER BY lang
+      """)),
+
+    // ------------------------------------------------------------------
     // 57: recursive CTE — calendar spine (month series spanning the order
     // history) left-joined to monthly order counts, empty months kept.
     // Exercises Spark 4's WITH RECURSIVE through the SQL surface.
