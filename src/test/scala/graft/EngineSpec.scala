@@ -187,6 +187,33 @@ class EngineSpec extends AnyFunSuite {
       s"q21 regained extra shuffles ($exchanges):\n$p21")
   }
 
+  test("plans: round-3 curation ops keep their scale shape") {
+    val sfDir = "/root/testdata/sf0.001"
+    // docChunk is a pure narrow projection: explode + substr, NO shuffle.
+    val chunk = SparkEntry.queries("x_doc_chunk")(spark, sfDir)
+    // Strip the final presentation sort (driver output ordering): nothing
+    // below it may exchange.
+    val chunkPlan = chunk.queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange hashpartitioning"),
+      s"docChunk gained a hash shuffle:\n$chunkPlan")
+    // seqPack: the only global-order window runs over the tiny bucket
+    // frame; the per-doc window partitions by bucket; offsets broadcast.
+    val pack = SparkEntry.queries("x_seq_pack")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(pack.contains("BroadcastHashJoin"), s"seqPack offsets not broadcast:\n$pack")
+    // rarity: the vocabulary-sized tf table reaches the probe side as a
+    // broadcast, never a shuffle join.
+    val rar = SparkEntry.queries("x_rarity_score")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(rar.contains("BroadcastHashJoin"), s"rarity tf join not broadcast:\n$rar")
+    // cosine-exact: corpus×queries is an explicit bounded broadcast
+    // nested loop (10 query rows), not a shuffled cartesian.
+    val cos = SparkEntry.queries("s_cosine_exact")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(cos.contains("BroadcastNestedLoopJoin") && !cos.contains("CartesianProduct"),
+      s"cosine-exact lost its broadcast:\n$cos")
+  }
+
   test("plans: whole-stage codegen covers the transform pipeline projections") {
     val sfDir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("t_norm_text")(spark, sfDir)
