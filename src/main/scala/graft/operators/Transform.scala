@@ -286,6 +286,28 @@ object Transform {
     df.withColumn("__rn", row_number().over(w))
   }
 
+  /** Apply an insert/update/delete CHANGELOG to a snapshot (the CDC
+    * sibling of `upsert`, which cannot express deletes). `changes` must
+    * carry the snapshot's columns plus `opCol` ('I'/'U'/'D' — I and U are
+    * both upserts; D removes the key) and the `latestBy`/`tieBreakers`
+    * ordering columns; per key the LATEST change wins, then extras are
+    * dropped. Two shuffles on the key (last-change window + anti join),
+    * no driver state — at scale this is the standard "compact a CDC
+    * stream onto a snapshot" job shape.
+    */
+  def applyChangelog(
+      snapshot: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op",
+      latestBy: Option[String] = None,
+      tieBreakers: Seq[String] = Nil): DataFrame = {
+    val last = dedupByKey(changes, keys, latestBy, tieBreakers)
+    val payload = snapshot.columns.map(col).toIndexedSeq
+    snapshot.join(last.select(keys.map(col): _*), keys, "left_anti")
+      .unionByName(last.filter(col(opCol) =!= "D").select(payload: _*))
+  }
+
   /** Idempotent merge-by-key: rows from `updates` replace same-key rows in
     * `current` (the LOAD upsert, reference etl/load.py:388-460, re-expressed
     * as a distributed last-writer-wins merge — one shuffle on the key).

@@ -230,6 +230,51 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 54b: CDC changelog apply — a deterministic I/U/D changelog (derived
+    // from orders: P→delete, O→update, F→insert-new-key) compacted onto
+    // the customer snapshot via Transform.applyChangelog. Latest change
+    // per key wins (orderdate desc, then orderkey desc via the negated
+    // tiebreaker); deletes remove, I/U upsert.
+    Q("t_cdc_apply",
+      (s, dir) => {
+        val snap = Tables.customer(s, dir).select(
+          col("c_custkey").as("custkey"), col("c_acctbal").as("acctbal"),
+          lit("snapshot").as("src"))
+        val chg = Tables.orders(s, dir).select(
+          when(col("o_orderstatus") === "F", col("o_orderkey") + 1000000L)
+            .otherwise(col("o_custkey")).as("custkey"),
+          col("o_totalprice").as("acctbal"),
+          lit("changed").as("src"),
+          when(col("o_orderstatus") === "P", "D")
+            .when(col("o_orderstatus") === "O", "U").otherwise("I").as("op"),
+          col("o_orderdate").as("s1"), (-col("o_orderkey")).as("s2"))
+        graft.operators.Transform.applyChangelog(
+            snap, chg, keys = Seq("custkey"), opCol = "op",
+            latestBy = Some("s1"), tieBreakers = Seq("s2"))
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH snap AS (SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+                             'snapshot' AS src FROM customer),
+        chg AS (SELECT CASE WHEN o_orderstatus = 'F' THEN o_orderkey + 1000000
+                            ELSE o_custkey END AS custkey,
+                       o_totalprice AS acctbal, 'changed' AS src,
+                       CASE WHEN o_orderstatus = 'P' THEN 'D'
+                            WHEN o_orderstatus = 'O' THEN 'U' ELSE 'I' END AS op,
+                       o_orderdate AS s1, -o_orderkey AS s2
+                FROM orders),
+        last AS (SELECT * FROM (
+                   SELECT *, row_number() OVER (PARTITION BY custkey
+                     ORDER BY s1 DESC NULLS LAST, s2 ASC) AS rn FROM chg)
+                 WHERE rn = 1)
+        SELECT custkey, acctbal, src FROM snap
+        WHERE custkey NOT IN (SELECT custkey FROM last)
+        UNION ALL
+        SELECT custkey, acctbal, src FROM last WHERE op <> 'D'
+        ORDER BY custkey
+      """)),
+
+    // ------------------------------------------------------------------
     // 56b: unigram rarity score — the perplexity-proxy quality signal
     // (mean inverse unigram probability, the transcendental-free stand-in
     // for mean surprisal: rank order matches -log p for unigram models).

@@ -214,6 +214,31 @@ class EngineSpec extends AnyFunSuite {
       s"cosine-exact lost its broadcast:\n$cos")
   }
 
+  test("plans: runtime bloom filter prunes the probe side of a shuffled fact-fact join") {
+    val sfDir = "/root/testdata/sf0.01"
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Force the shuffle-join path (runtime filters only help there) and
+    // let the selective creation side qualify at test scale.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    try {
+      val li = graft.sources.Tables.lineitem(spark, sfDir)
+      val ord = graft.sources.Tables.orders(spark, sfDir).filter(col("o_totalprice") > 400000)
+      val plan = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)))
+        .queryExecution.executedPlan.toString
+      // InjectRuntimeFilter builds a bloom from the filtered orders keys
+      // and pushes might_contain into the lineitem scan stage — at 100 TB
+      // that's the difference between shuffling all of lineitem and
+      // shuffling only rows whose orderkey can match.
+      assert(plan.contains("bloom_filter_agg") && plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("plans: whole-stage codegen covers the transform pipeline projections") {
     val sfDir = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("t_norm_text")(spark, sfDir)
