@@ -55,4 +55,13 @@ package object functions {
 
   /** 16-hex-char content fingerprint (sha256 prefix) — stable across engines. */
   def fingerprint(c: Column): Column = substring(sha2(c, 256), 1, 16)
+
+  /** SpaceSaving heavy-hitters summary of a string column: array of
+    * (item, count_hi, count_lo) sorted by count_hi desc — approximate
+    * top frequent items with a constant-size mergeable sketch (see
+    * [[SpaceSavingAgg]]).
+    */
+  def heavyHitters(item: Column, capacity: Int): Column =
+    GraftBridge.column(
+      SpaceSavingAgg(GraftBridge.expression(item), capacity).toAggregateExpression())
 }

@@ -331,6 +331,31 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 56d: heavy hitters via the SpaceSaving sketch — one pass, constant
+    // `capacity`-counter summary per partition, associative merge; only
+    // 64 counters per partition cross the shuffle no matter the token
+    // cardinality. The oracle is the exact count (valid because the
+    // corpus vocabulary ≤ capacity, so the sketch is provably exact
+    // here); the sketch's soundness BOUNDS under overflow are spec'd
+    // separately in CurationSpec.
+    Q("x_heavy_hitters",
+      (s, dir) => Tables.documents(s, dir)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(graft.functions.heavyHitters(col("tok"), 64).as("hh"))
+        .select(posexplode(col("hh")).as(Seq("pos", "e")))
+        .filter(col("pos") < 10)
+        .select(col("e.item").as("item"), col("e.count_hi").as("count_hi"),
+          col("e.count_lo").as("count_lo"), (col("pos") + 1).cast("long").as("rk"))
+        .orderBy("rk"),
+      Some("""
+        WITH ex AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        cnt AS (SELECT tok, COUNT(*) AS c FROM ex GROUP BY tok)
+        SELECT tok AS item, c AS count_hi, c AS count_lo,
+               row_number() OVER (ORDER BY c DESC, tok) AS rk
+        FROM cnt ORDER BY rk LIMIT 10
+      """)),
+
+    // ------------------------------------------------------------------
     // 57: recursive CTE — calendar spine (month series spanning the order
     // history) left-joined to monthly order counts, empty months kept.
     // Exercises Spark 4's WITH RECURSIVE through the SQL surface.

@@ -85,6 +85,50 @@ class CurationSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // SpaceSaving heavy hitters
+  // ------------------------------------------------------------------
+
+  test("heavyHitters: exact when distinct items fit in capacity") {
+    val df = Seq.tabulate(300)(i => s"w${i % 7}").toDF("tok")
+    val out = df.agg(graft.functions.heavyHitters(col("tok"), 16).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.item", "e.count_hi", "e.count_lo")
+      .as[(String, Long, Long)].collect()
+    assert(out.length == 7)
+    // 300 = 42*7 + 6: w0..w5 get 43, w6 gets 42; hi == lo == exact.
+    out.foreach { case (item, hi, lo) =>
+      val exact = if (item == "w6") 42L else 43L
+      assert(hi == exact && lo == exact, s"$item: hi=$hi lo=$lo exact=$exact")
+    }
+  }
+
+  test("heavyHitters: bounds stay sound under overflow and partial-merge") {
+    // Skewed stream: heavy items far above the eviction floor, a tail
+    // wider than capacity, spread over partitions to force merges.
+    val rows = (Seq.fill(500)("hot1") ++ Seq.fill(300)("hot2") ++
+      (0 until 200).map(i => s"cold${i % 40}"))
+    val df = spark.sparkContext.parallelize(rows, 8).toDF("tok")
+    val exact = rows.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = df.agg(graft.functions.heavyHitters(col("tok"), 8).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select("e.item", "e.count_hi", "e.count_lo")
+      .as[(String, Long, Long)].collect()
+    // Soundness: lo <= true <= hi for every reported item.
+    out.foreach { case (item, hi, lo) =>
+      assert(lo <= exact(item) && exact(item) <= hi,
+        s"$item: [$lo, $hi] excludes true ${exact(item)}")
+    }
+    // The true heavy hitters are reported, in order, ahead of the tail.
+    val items = out.map(_._1).toSeq
+    assert(items.indexOf("hot1") == 0 && items.indexOf("hot2") == 1,
+      s"heavy hitters missing/misordered: $items")
+    // The hot counts are exact: they are never evicted, and the merge
+    // only inflates hi for items some summary missed.
+    val byItem = out.map(t => t._1 -> t).toMap
+    assert(byItem("hot1")._3 <= 500L && byItem("hot1")._2 >= 500L)
+  }
+
+  // ------------------------------------------------------------------
   // docChunk
   // ------------------------------------------------------------------
 
