@@ -396,6 +396,79 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 59: record linkage / fuzzy match — blocked edit-distance self-join
+    // (the ETL name-matching primitive). Blocking on a 16-char name
+    // prefix bounds every block, so the within-block pair explosion is
+    // capped and the levenshtein verify is distributed; no block, no
+    // O(n²). Output: pair counts per distance.
+    Q("t_fuzzy_match",
+      (s, dir) => {
+        // Explicit spread on the block key: the blocked frame is tiny in
+        // BYTES but the within-block pair explosion is CPU-heavy — AQE
+        // would coalesce it to a couple of tasks (measured 5.8 s vs
+        // 1.3 s at sf0.1); the identical repartition on both sides also
+        // co-partitions the self-join through one reused exchange.
+        val c = Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_name"),
+            substring(col("c_name"), 1, 16).as("blk"))
+          .repartition(32, col("blk"))
+        c.as("a").join(c.as("b"),
+            col("a.blk") === col("b.blk") && col("a.c_custkey") < col("b.c_custkey"))
+          .select(levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+          .filter(col("dist") <= 1)
+          .groupBy("dist").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("dist")
+      },
+      Some("""
+        WITH c AS (SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk FROM customer)
+        SELECT levenshtein(a.c_name, b.c_name) AS dist, COUNT(*) AS n_pairs
+        FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        GROUP BY 1 ORDER BY 1
+      """)),
+
+    // ------------------------------------------------------------------
+    // 60: resample + forward fill — hourly per-user spine over the event
+    // history with last-observation-carried-forward (gaps inherit the
+    // previous hour's decimal-exact sum; hours before the first
+    // observation stay NULL on both engines).
+    Q("q_ffill_resample",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).filter(col("user_id") < 10)
+        val bounds = Tables.events(s, dir).agg(
+          date_trunc("HOUR", min(col("ts"))).as("lo"),
+          date_trunc("HOUR", max(col("ts"))).as("hi"))
+        val spine = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+        val hourly = ev
+          .groupBy(col("user_id"), date_trunc("HOUR", col("ts")).as("hour"))
+          .agg(Q.dsum(col("value")).as("v"))
+        spine.join(hourly, Seq("user_id", "hour"), "left")
+          .withColumn("filled", last(col("v"), ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("hour")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select("user_id", "hour", "filled")
+          .orderBy("user_id", "hour")
+      },
+      Some("""
+        WITH b AS (SELECT CAST(min(date_trunc('hour', ts)) AS TIMESTAMP) AS lo,
+                          CAST(max(date_trunc('hour', ts)) AS TIMESTAMP) AS hi FROM events),
+        users AS (SELECT DISTINCT user_id FROM events WHERE user_id < 10),
+        spine AS (SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                  FROM users, b),
+        hourly AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+                   FROM events WHERE user_id < 10 GROUP BY 1, 2)
+        SELECT s.user_id, s.hour,
+               last_value(h.v IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        FROM spine s LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+        ORDER BY s.user_id, s.hour
+      """)),
+
+    // ------------------------------------------------------------------
     // 58: correlated LATERAL subquery with per-group ORDER BY + LIMIT —
     // top-3 suppliers by balance per nation through the SQL surface
     // (DataFrame twin is q_window_rank's rank-filter shape).

@@ -143,7 +143,67 @@ object StreamOps {
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
       keys: Seq[String], latestBy: Option[String] = None,
-      tieBreakers: Seq[String] = Nil, preDeduped: Boolean = false): Unit = {
+      tieBreakers: Seq[String] = Nil, preDeduped: Boolean = false): Unit =
+    mergeIntoParquet(batch, targetDir) { (spark, targetExists) =>
+      // preDeduped: the caller already ran the dedup window (e.g. to
+      // observe duplicate metrics on it) — re-running it here would add
+      // a second whole-batch shuffle for nothing.
+      val deduped =
+        if (preDeduped) batch else Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
+      if (targetExists)
+        // latestBy participates against the TARGET too: a re-delivered
+        // stale batch row must not regress a newer target row.
+        Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers, latestBy)
+      else deduped
+    }
+
+  /** foreachBatch CDC sink: compact each micro-batch's insert/update/
+    * delete changelog onto the parquet target via
+    * `Transform.applyChangelog` — the streaming LOAD path for sources
+    * that emit deletions (which `upsertSink` cannot express). Batch
+    * columns = target payload + `opCol` + the ordering columns; the
+    * latter two are dropped on write.
+    */
+  def cdcSink(
+      df: DataFrame,
+      targetDir: String,
+      checkpointDir: String,
+      keys: Seq[String],
+      opCol: String = "op",
+      latestBy: Option[String] = None,
+      tieBreakers: Seq[String] = Nil): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cdcIntoParquet(batch, targetDir, keys, opCol, latestBy, tieBreakers)
+      }
+      .start()
+
+  /** One CDC merge step (see [[cdcSink]]); batch mode callable. */
+  def cdcIntoParquet(batch: DataFrame, targetDir: String,
+      keys: Seq[String], opCol: String = "op",
+      latestBy: Option[String] = None, tieBreakers: Seq[String] = Nil): Unit =
+    mergeIntoParquet(batch, targetDir) { (spark, targetExists) =>
+      val payload = batch.columns
+        .filterNot(c => c == opCol || latestBy.contains(c) || tieBreakers.contains(c))
+      val snapshot =
+        if (targetExists) spark.read.parquet(targetDir)
+        else batch.select(payload.map(col).toIndexedSeq: _*).limit(0)
+      Transform.applyChangelog(snapshot, batch, keys, opCol, latestBy, tieBreakers)
+    }
+
+  /** Shared merge-and-swap skeleton: heal a half-finished previous swap,
+    * build the merged frame (given whether a target exists), write it to
+    * staging, then swap. Swap order is crash-recoverable: target → .old,
+    * staging → target, delete .old; a crash window leaves either the old
+    * target or a recoverable `.old` (healed on the next call). True
+    * atomicity needs a transactional table format — on object stores
+    * rename is copy+delete, so widen the maintenance window accordingly.
+    */
+  private def mergeIntoParquet(batch: DataFrame, targetDir: String)(
+      merge: (org.apache.spark.sql.SparkSession, Boolean) => DataFrame): Unit = {
     val spark = batch.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val target = new Path(targetDir)
@@ -151,24 +211,14 @@ object StreamOps {
     val fs = target.getFileSystem(hadoopConf)
     // Heal a crash between the two renames of a previous call.
     if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target)
-    // preDeduped: the caller already ran the dedup window (e.g. to observe
-    // duplicate metrics on it) — re-running it here would add a second
-    // whole-batch shuffle for nothing.
-    val deduped =
-      if (preDeduped) batch else Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
-    val merged =
-      if (fs.exists(target))
-        // latestBy participates against the TARGET too: a re-delivered
-        // stale batch row must not regress a newer target row.
-        Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers, latestBy)
-      else deduped
+    val merged = merge(spark, fs.exists(target))
     val tmp = new Path(targetDir + ".staging")
     merged.write.mode("overwrite").parquet(tmp.toString)
     // Hadoop rename/delete report failure by RETURNING false — every step
     // must be checked or a failed rename cascades into deleting the only
     // copy of the data.
     def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"upsertIntoParquet: $what failed for $targetDir")
+      if (!ok) throw new java.io.IOException(s"mergeIntoParquet: $what failed for $targetDir")
     if (fs.exists(old)) must(fs.delete(old, true), "delete stale .old")
     if (fs.exists(target)) must(fs.rename(target, old), "rename target -> .old")
     must(fs.rename(tmp, target), "rename .staging -> target")

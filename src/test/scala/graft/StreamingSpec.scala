@@ -153,4 +153,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("k") < 25 && col("v") === 1).count() == 25)
     assert(out.filter(col("k") >= 25 && col("v") === 2).count() == 50)
   }
+
+  test("foreachBatch CDC sink applies inserts, updates and deletes across batches") {
+    val dropDir = Files.createTempDirectory("graft-cdc-in").toString
+    val target = Files.createTempDirectory("graft-cdc-t").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-cdc-c").toString
+    val schema = "k LONG, v INT, op STRING, seq LONG"
+
+    def run(): Unit = {
+      val q = StreamOps.cdcSink(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dropDir),
+        target, ckpt, keys = Seq("k"), opCol = "op",
+        latestBy = Some("seq"))
+      q.awaitTermination()
+    }
+    // Batch 1: insert keys 0..9.
+    Seq.tabulate(10)(i => (i.toLong, 1, "I", i.toLong)).toDF("k", "v", "op", "seq")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    run()
+    assert(spark.read.parquet(target).count() == 10)
+
+    // Batch 2: update k=0..2 to v=9, delete k=5..9; within-batch
+    // conflict on k=0 (an older delete loses to the newer update).
+    (Seq((0L, 9, "U", 101L), (1L, 9, "U", 102L), (2L, 9, "U", 103L),
+      (0L, 0, "D", 100L)) ++ (5 until 10).map(i => (i.toLong, 0, "D", 110L + i)))
+      .toDF("k", "v", "op", "seq")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    run()
+
+    val out = spark.read.parquet(target)
+    assert(out.columns.toSet == Set("k", "v"), "op/seq must not reach the target")
+    assert(out.count() == 5) // 0..4 survive
+    assert(out.filter(col("v") === 9).count() == 3) // 0,1,2 updated (0's stale D lost)
+    assert(out.filter(col("k") === 3 && col("v") === 1).count() == 1)
+  }
 }
