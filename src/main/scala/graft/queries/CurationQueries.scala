@@ -396,6 +396,71 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 61: golden record / survivorship — field-level merge across a
+    // duplicate cluster: per user, the latest NON-NULL observation of
+    // each field (the MDM step after dedup identifies a cluster). One
+    // nulls-last window per field with a total tiebreak (ts desc,
+    // event_id desc) so the pick is deterministic on both engines —
+    // max_by/arg_max null semantics differ between engines, an explicit
+    // window does not.
+    Q("t_golden_record",
+      (s, dir) => {
+        val src = Tables.events(s, dir).select(
+          col("user_id"), col("ts"), col("event_id"),
+          when(col("value") > 50, col("value")).as("v_opt"),
+          when(col("event_type") =!= "view", col("event_type")).as("t_opt"))
+        def latest(c: String, as: String) = {
+          val w = Window.partitionBy("user_id").orderBy(
+            col(c).isNull.asc, col("ts").desc, col("event_id").desc)
+          src.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).select(col("user_id"), col(c).as(as))
+        }
+        latest("v_opt", "latest_value")
+          .join(latest("t_opt", "latest_type"), "user_id")
+          .join(src.groupBy("user_id").agg(count(lit(1)).as("n")), "user_id")
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH src AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN value > 50 THEN value END AS v_opt,
+                 CASE WHEN event_type <> 'view' THEN event_type END AS t_opt
+          FROM events),
+        lv AS (SELECT user_id, v_opt AS latest_value FROM src
+               QUALIFY row_number() OVER (PARTITION BY user_id
+                 ORDER BY (v_opt IS NULL), ts DESC, event_id DESC) = 1),
+        lt AS (SELECT user_id, t_opt AS latest_type FROM src
+               QUALIFY row_number() OVER (PARTITION BY user_id
+                 ORDER BY (t_opt IS NULL), ts DESC, event_id DESC) = 1),
+        n AS (SELECT user_id, COUNT(*) AS n FROM src GROUP BY user_id)
+        SELECT user_id, latest_value, latest_type, n
+        FROM lv JOIN lt USING (user_id) JOIN n USING (user_id)
+        ORDER BY user_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 62: JSON-lines sink + source round trip (same contract as
+    // t_csv_roundtrip for the JSON path).
+    Q("t_json_roundtrip",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+        docs.write.mode("overwrite").json(tmp)
+        s.read.schema(docs.schema).json(tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("bigint").as("chars"),
+            sum(conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long"))
+              .cast("bigint").as("hsum"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(('0x' || substr(sha256(text), 1, 8))::UBIGINT) AS BIGINT) AS hsum
+        FROM documents GROUP BY lang ORDER BY lang
+      """)),
+
+    // ------------------------------------------------------------------
     // 59: record linkage / fuzzy match — blocked edit-distance self-join
     // (the ETL name-matching primitive). Blocking on a 16-char name
     // prefix bounds every block, so the within-block pair explosion is
