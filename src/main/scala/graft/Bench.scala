@@ -18,7 +18,9 @@ object Bench {
     "q_session_window", "t_pipeline_e2e", "t_upsert", "st_windowed_agg",
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard",
     "d_dedup_ppjoin", "d_dedup_resolve", "s_cosine_topk", "s_ann_ivf",
-    "x_contamination", "x_gopher_filter")
+    "x_contamination", "x_gopher_filter",
+    "d_dedup_spans", "x_seq_pack", "x_heavy_hitters", "t_cdc_apply",
+    "t_fuzzy_match")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -132,6 +132,12 @@ class CurationSpec extends AnyFunSuite {
   // docChunk
   // ------------------------------------------------------------------
 
+  test("docChunk: empty text yields exactly one empty chunk") {
+    val out = Pack.docChunk(Seq((1L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, Long, String, Long)].collect()
+    assert(out.toSeq == Seq((1L, 0L, "", 0L)))
+  }
+
   test("docChunk: offsets stride correctly, full coverage, bounded length") {
     val docs = Seq((1L, "x" * 500), (2L, "y" * 150), (3L, "z")).toDF("doc_id", "text")
     val out = Pack.docChunk(docs, "doc_id", "text", size = 200, stride = 150)
