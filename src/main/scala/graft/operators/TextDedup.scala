@@ -50,17 +50,23 @@ object TextDedup {
     * span keys hash-distribute evenly, so neither stage has a skew
     * hazard at corpus scale — hot spans cap at one surviving row each.
     */
-  def spanDedup(df: DataFrame, idCol: String, textCol: String,
-      w: Int = 10): DataFrame = {
-    val toks = df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
-    val spans = toks
+  /** (doc_id, chunk_idx, ch): the corpus cut into `w`-word spans — the
+    * shared front half of batch [[spanDedup]] and the streaming twin
+    * (`StreamOps.spanDedupStream`). Narrow explode, no shuffle.
+    */
+  def spans(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
       .select(col("doc_id"), col("t"),
         expr(s"explode(sequence(0L, (size(t) + ${w - 1}) div $w - 1))").as("chunk_idx"))
       .select(col("doc_id"), col("chunk_idx"),
         expr(s"array_join(slice(t, CAST(chunk_idx * $w + 1 AS INT), $w), ' ')").as("ch"))
+
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame = {
+    val spans0 = spans(df, idCol, textCol, w)
     val firstSeen = org.apache.spark.sql.expressions.Window
       .partitionBy("ch").orderBy("doc_id", "chunk_idx")
-    spans.withColumn("rn", row_number().over(firstSeen))
+    spans0.withColumn("rn", row_number().over(firstSeen))
       .filter(col("rn") === 1)
       .groupBy("doc_id")
       .agg(

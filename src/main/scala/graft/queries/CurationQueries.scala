@@ -396,6 +396,67 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 63: gaps and islands — consecutive same-value runs per user via the
+    // two-row_number difference (grouping by VALUE runs, vs the TIME-gap
+    // grouping of sessionize). Both windows shuffle once on user_id and
+    // share the sort.
+    Q("q_value_islands",
+      (s, dir) => {
+        val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val wTyp = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        val ordered = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+          .withColumn("rn", row_number().over(wAll))
+          .withColumn("rnt", row_number().over(wTyp))
+        ordered
+          .groupBy(col("user_id"), col("event_type"), (col("rn") - col("rnt")).as("grp"))
+          .agg(count(lit(1)).as("run_len"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_runs"), max("run_len").as("longest_run"),
+            sum("run_len").cast("bigint").as("n_events"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ordered AS (
+          SELECT user_id, event_type, ts, event_id,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS rnt
+          FROM events),
+        islands AS (
+          SELECT user_id, event_type, rn - rnt AS grp, COUNT(*) AS run_len
+          FROM ordered GROUP BY user_id, event_type, rn - rnt)
+        SELECT user_id, COUNT(*) AS n_runs, max(run_len) AS longest_run,
+               CAST(sum(run_len) AS BIGINT) AS n_events
+        FROM islands GROUP BY user_id ORDER BY user_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 64: schema evolution — union an old-schema batch with a new-schema
+    // batch (added column), missing columns NULL-padded
+    // (unionByName(allowMissingColumns), the schema-drift staple of
+    // incremental ingestion).
+    Q("t_schema_evolve",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val oldBatch = cust.filter(col("c_custkey") % 2 === 0)
+          .select("c_custkey", "c_name")
+        val newBatch = cust.filter(col("c_custkey") % 2 === 1)
+          .select("c_custkey", "c_name", "c_mktsegment")
+        oldBatch.unionByName(newBatch, allowMissingColumns = true)
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH old AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+        new AS (SELECT c_custkey, c_name, c_mktsegment FROM customer
+                WHERE c_custkey % 2 = 1)
+        SELECT c_custkey, c_name, c_mktsegment FROM (
+          SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment FROM old
+          UNION ALL SELECT c_custkey, c_name, c_mktsegment FROM new)
+        ORDER BY c_custkey
+      """)),
+
+    // ------------------------------------------------------------------
     // 61: golden record / survivorship — field-level merge across a
     // duplicate cluster: per user, the latest NON-NULL observation of
     // each field (the MDM step after dedup identifies a cluster). One

@@ -94,6 +94,21 @@ object StreamOps {
     df.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming SPAN dedup — the incremental twin of
+    * `TextDedup.spanDedup`: documents explode into `w`-word spans and
+    * every span already seen earlier in the stream is dropped
+    * (first-seen survivor). State holds one key per distinct span —
+    * unbounded by design here; production corpora bound it with a
+    * watermark/TTL on an event-time column (as in
+    * [[dedupWithinWatermark]]). The SET of surviving spans equals the
+    * batch operator's; WHICH occurrence survives inside one micro-batch
+    * is arrival-order-dependent (the batch twin's (doc_id, position)
+    * rule needs a global sort a stream cannot see).
+    */
+  def spanDedupStream(docs: DataFrame, idCol: String, textCol: String,
+      w: Int = 10): DataFrame =
+    graft.operators.TextDedup.spans(docs, idCol, textCol, w).dropDuplicates("ch")
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key within `[l.ts, l.ts + window]`. Both
     * sides carry watermarks so join state is evicted once event time
