@@ -396,6 +396,60 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 65: column profiling — per-column counts/nulls/min/max/mean in ONE
+    // scan (16 aggregates in a single pass, then pivoted to one row per
+    // column) — the standalone data-profiling audit; at 100 TB the
+    // one-pass shape is the whole point (per-column queries would be N
+    // scans).
+    Q("t_column_profile",
+      (s, dir) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val li = Tables.lineitem(s, dir)
+        val aggs = cols.flatMap(c => Seq(
+          count(col(c)).as(s"nn_$c"),
+          count(when(col(c).isNull, 1)).as(s"nu_$c"),
+          min(col(c)).as(s"mn_$c"),
+          max(col(c)).as(s"mx_$c"),
+          Q.dsum(col(c)).as(s"sm_$c")))
+        li.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(cols.map(c => struct(
+            lit(c).as("col_name"),
+            col(s"nn_$c").as("n_nonnull"),
+            col(s"nu_$c").as("n_null"),
+            col(s"mn_$c").as("min_v"),
+            col(s"mx_$c").as("max_v"),
+            expr(s"CAST(floor(sm_$c / nn_$c * 1e6) AS BIGINT)").as("mean_e6")
+          )).toIndexedSeq: _*)).as("p"))
+          .select("p.*")
+          .orderBy("col_name")
+      },
+      Some("""
+        WITH s AS (SELECT
+          COUNT(l_quantity) AS nn_q, COUNT(*) - COUNT(l_quantity) AS nu_q,
+            min(l_quantity) AS mn_q, max(l_quantity) AS mx_q,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sm_q,
+          COUNT(l_extendedprice) AS nn_e, COUNT(*) - COUNT(l_extendedprice) AS nu_e,
+            min(l_extendedprice) AS mn_e, max(l_extendedprice) AS mx_e,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sm_e,
+          COUNT(l_discount) AS nn_d, COUNT(*) - COUNT(l_discount) AS nu_d,
+            min(l_discount) AS mn_d, max(l_discount) AS mx_d,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sm_d,
+          COUNT(l_tax) AS nn_t, COUNT(*) - COUNT(l_tax) AS nu_t,
+            min(l_tax) AS mn_t, max(l_tax) AS mx_t,
+            CAST(SUM(CAST(l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sm_t
+          FROM lineitem)
+        SELECT col_name, n_nonnull, n_null, min_v, max_v,
+               CAST(floor(sm / n_nonnull * 1e6) AS BIGINT) AS mean_e6
+        FROM (
+          SELECT 'l_quantity' AS col_name, nn_q AS n_nonnull, nu_q AS n_null,
+                 mn_q AS min_v, mx_q AS max_v, sm_q AS sm FROM s
+          UNION ALL SELECT 'l_extendedprice', nn_e, nu_e, mn_e, mx_e, sm_e FROM s
+          UNION ALL SELECT 'l_discount', nn_d, nu_d, mn_d, mx_d, sm_d FROM s
+          UNION ALL SELECT 'l_tax', nn_t, nu_t, mn_t, mx_t, sm_t FROM s)
+        ORDER BY col_name
+      """)),
+
+    // ------------------------------------------------------------------
     // 63: gaps and islands — consecutive same-value runs per user via the
     // two-row_number difference (grouping by VALUE runs, vs the TIME-gap
     // grouping of sessionize). Both windows shuffle once on user_id and
