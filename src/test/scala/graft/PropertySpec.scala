@@ -114,4 +114,78 @@ class PropertySpec extends AnyFunSuite {
       (curMap.keySet -- updMap.keySet).foreach(k => assert(onceMap(k) == curMap(k)))
     }
   }
+
+  test("applyChangelog matches a sequential map fold on random changelogs") {
+    val chgGen = Gen.listOfN(120, for {
+      k <- Gen.chooseNum(0L, 25L)
+      v <- Gen.alphaNumStr
+      op <- Gen.frequency(3 -> Gen.const("U"), 2 -> Gen.const("I"), 2 -> Gen.const("D"))
+    } yield (k, v, op))
+    val snapGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 25L), Gen.alphaNumStr))
+    samples(Gen.zip(snapGen, chgGen), 4).foreach { case (snapRows, chgRows) =>
+      val snapshot = Transform.dedupByKey(snapRows.toDF("k", "v"), Seq("k"), None, Seq("v"))
+      // seq gives each change a unique, total position.
+      val chg = chgRows.zipWithIndex
+        .map { case ((k, v, op), i) => (k, v, op, i.toLong) }
+        .toDF("k", "v", "op", "seq")
+      val got = Transform.applyChangelog(snapshot, chg, Seq("k"),
+          opCol = "op", latestBy = Some("seq"))
+        .as[(Long, String)].collect().toMap
+      // Reference: fold the changelog over the snapshot map in order.
+      val ref = chgRows.zipWithIndex.foldLeft(
+        snapshot.as[(Long, String)].collect().toMap) {
+        case (m, ((k, v, "D"), _)) => m - k
+        case (m, ((k, v, _), _)) => m.updated(k, v)
+      }
+      assert(got == ref, s"changelog fold mismatch: got=${got.size} ref=${ref.size}")
+    }
+  }
+
+  test("seqPack partitions the token stream: contiguous offsets, bins never overflow") {
+    val docsGen = Gen.listOfN(60, Gen.chooseNum(1, 40))
+    samples(Gen.zip(docsGen, Gen.chooseNum(8, 64)), 4).foreach { case (lens, cap) =>
+      val docs = lens.zipWithIndex
+        .map { case (n, i) => (i.toLong, Seq.fill(n)("w").mkString(" ")) }
+        .toDF("doc_id", "text")
+      val out = graft.operators.Pack.seqPack(docs, "doc_id", "text",
+          capacity = cap, bucketRows = 7)
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // Reconstruct the stream: each doc starts where the previous ended.
+      var cum = 0L
+      out.foreach { case (id, nTok, bin, binOff, nBins) =>
+        assert(bin == cum / cap && binOff == cum % cap, s"doc $id misplaced")
+        val end = cum + nTok
+        assert(nBins == (end - 1) / cap - cum / cap + 1, s"doc $id span wrong")
+        cum = end
+      }
+      assert(cum == lens.map(_.toLong).sum)
+    }
+  }
+
+  test("SpaceSaving bounds are sound on random skewed streams at any capacity") {
+    val streamGen = for {
+      nHot <- Gen.chooseNum(1, 3)
+      hot <- Gen.listOfN(nHot, Gen.chooseNum(50, 150))
+      tail <- Gen.listOfN(80, Gen.chooseNum(0, 30))
+    } yield hot.zipWithIndex.flatMap { case (n, i) => Seq.fill(n)(s"hot$i") } ++
+      tail.map(t => s"t$t")
+    samples(Gen.zip(streamGen, Gen.chooseNum(4, 12)), 4).foreach { case (items, cap) =>
+      val exact = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val out = spark.sparkContext.parallelize(items, 6).toDF("tok")
+        .agg(graft.functions.heavyHitters(col("tok"), cap).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select("e.item", "e.count_hi", "e.count_lo")
+        .as[(String, Long, Long)].collect()
+      out.foreach { case (item, hi, lo) =>
+        assert(lo <= exact(item) && exact(item) <= hi,
+          s"cap=$cap $item: [$lo,$hi] excludes ${exact(item)}")
+      }
+      // Every true heavy hitter (count > n/cap) must be reported.
+      val n = items.size
+      exact.filter(_._2 > n.toLong / cap).keys.foreach { h =>
+        assert(out.exists(_._1 == h), s"cap=$cap missed heavy hitter $h")
+      }
+    }
+  }
 }
