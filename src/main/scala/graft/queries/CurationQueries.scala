@@ -450,6 +450,34 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 66: exact per-group variance from DECIMAL components — sums and
+    // sums-of-squares are exact decimals (order-independent), converted
+    // to doubles only for the final identical-formula arithmetic, then
+    // floor-scaled. The streaming-friendly Welford/Chan Aggregator
+    // (functions.WelfordVar, the typed-Aggregator API tier) is spec'd
+    // against this exact formulation in CurationSpec.
+    Q("q_variance_exact",
+      (s, dir) => Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sx"),
+          sum((col("l_quantity") * col("l_quantity")).cast("decimal(28,4)"))
+            .cast("double").as("sxx"))
+        .select(col("l_returnflag"), col("n"),
+          expr("CAST(floor((sxx - sx * sx / n) / n * 1e6) AS BIGINT)").as("var_e6"))
+        .orderBy("l_returnflag"),
+      Some("""
+        WITH g AS (
+          SELECT l_returnflag, COUNT(*) AS n,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                 CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx
+          FROM lineitem GROUP BY l_returnflag)
+        SELECT l_returnflag, n,
+               CAST(floor((sxx - sx * sx / n) / n * 1e6) AS BIGINT) AS var_e6
+        FROM g ORDER BY l_returnflag
+      """)),
+
+    // ------------------------------------------------------------------
     // 63: gaps and islands — consecutive same-value runs per user via the
     // two-row_number difference (grouping by VALUE runs, vs the TIME-gap
     // grouping of sessionize). Both windows shuffle once on user_id and

@@ -129,6 +129,29 @@ class CurationSpec extends AnyFunSuite {
   }
 
   // ------------------------------------------------------------------
+  // WelfordVar
+  // ------------------------------------------------------------------
+
+  test("WelfordVar matches the exact decimal-component variance across partitionings") {
+    val xs = Seq.tabulate(500)(i => 100000.0 + (i % 37) * 0.25) // mean² >> var
+    val exact = {
+      val n = xs.size
+      val sx = xs.sum
+      val sxx = xs.map(x => x * x).sum
+      (sxx - sx * sx / n) / n
+    }
+    for (parts <- Seq(1, 7)) {
+      val ds = spark.createDataset(xs).repartition(parts)
+      val got = ds.select(graft.functions.WelfordVar.toColumn).head()
+      assert(math.abs(got - exact) < 1e-6,
+        s"parts=$parts welford=$got exact=$exact")
+    }
+    // Empty input → NaN, not a crash.
+    assert(spark.createDataset(Seq.empty[Double])
+      .select(graft.functions.WelfordVar.toColumn).head().isNaN)
+  }
+
+  // ------------------------------------------------------------------
   // docChunk
   // ------------------------------------------------------------------
 
