@@ -450,6 +450,20 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 67: custom DataSource V2 scan — the graft-synth connector
+    // (deterministic generated documents; doc_id pushdown narrows the
+    // GENERATED ranges, pruning drops unsynthesized columns). Rows-only:
+    // the generator isn't expressible in DuckDB SQL; determinism and
+    // pushdown are spec'd in SynthSourceSpec.
+    Q("src_synth_scan",
+      (s, dir) => s.read.format("graft-synth")
+        .option("rows", "20000").option("partitions", "8").load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 11000)
+        .groupBy("lang").agg(count(lit(1)).as("n"))
+        .orderBy("lang"),
+      None),
+
+    // ------------------------------------------------------------------
     // 66: exact per-group variance from DECIMAL components — sums and
     // sums-of-squares are exact decimals (order-independent), converted
     // to doubles only for the final identical-formula arithmetic, then

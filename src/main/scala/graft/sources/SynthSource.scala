@@ -1,0 +1,171 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic synthetic-documents DataSource V2 connector — the
+  * custom-connector tier of the engine (the Spark-native analog of the
+  * reference's CKAN resource reader: an external source behind a
+  * planned, prunable scan instead of a driver-side download loop).
+  *
+  * `spark.read.format("graft-synth").option("rows", N).option("partitions", P)`
+  * yields (doc_id, lang, source, text) rows generated deterministically
+  * from doc_id (splittable xxhash-style mix — no RNG state), so the same
+  * options always produce the same table on any cluster.
+  *
+  * Scale features, spec-asserted:
+  *  - PARTITION PLANNING: P independent InputPartitions, each generating
+  *    only its doc_id slice (the 100 TB story: generation parallelizes
+  *    with no driver materialization).
+  *  - FILTER PUSHDOWN (`SupportsPushDownFilters`): doc_id range/equality
+  *    predicates narrow the generated ranges themselves — pushed filters
+  *    don't just drop rows, they avoid CREATING them.
+  *  - COLUMN PRUNING (`SupportsPushDownRequiredColumns`): only requested
+  *    fields are synthesized (text is the expensive one).
+  */
+class SynthSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-synth"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SynthSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new SynthTable(
+      properties.getOrDefault("rows", "1000").toLong,
+      properties.getOrDefault("partitions", "4").toInt)
+}
+
+object SynthSource {
+  val schema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("lang", StringType, nullable = false),
+    StructField("source", StringType, nullable = false),
+    StructField("text", StringType, nullable = false)))
+
+  private val langs = Array("en", "es", "fr", "de", "zh")
+  private val vocab = Array("data", "spark", "table", "row", "scan", "join",
+    "hash", "merge", "filter", "batch", "query", "plan", "shuffle", "agg")
+
+  /** Deterministic 64-bit mix (splitmix64 finalizer). */
+  def mix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def textFor(id: Long): String = {
+    val n = 8 + math.floorMod(mix(id), 25).toInt
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(vocab(math.floorMod(mix(id * 31 + i), vocab.length).toInt))
+      i += 1
+    }
+    sb.toString
+  }
+
+  def langFor(id: Long): String = langs(math.floorMod(mix(id + 7), langs.length).toInt)
+  def sourceFor(id: Long): String = "src" + math.floorMod(mix(id + 13), 20)
+
+  /** Rows actually generated — test observability for pushdown claims. */
+  val generated = new java.util.concurrent.atomic.LongAdder
+}
+
+private class SynthTable(rows: Long, partitions: Int) extends Table with SupportsRead {
+  override def name(): String = s"graft_synth($rows)"
+  override def schema(): StructType = SynthSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SynthScanBuilder(rows, partitions)
+}
+
+private class SynthScanBuilder(rows: Long, partitions: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo = 0L // inclusive
+  private var hi = rows // exclusive
+  private var pushed = Array.empty[Filter]
+  private var required: StructType = SynthSource.schema
+
+  /** doc_id range/equality predicates narrow [lo, hi); everything else
+    * stays residual (returned for Spark to re-apply post-scan).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, residual) = filters.partition {
+      case GreaterThan("doc_id", _: Long) => true
+      case GreaterThanOrEqual("doc_id", _: Long) => true
+      case LessThan("doc_id", _: Long) => true
+      case LessThanOrEqual("doc_id", _: Long) => true
+      case EqualTo("doc_id", _: Long) => true
+      case _ => false
+    }
+    accepted.foreach {
+      case GreaterThan("doc_id", v: Long) => lo = math.max(lo, v + 1)
+      case GreaterThanOrEqual("doc_id", v: Long) => lo = math.max(lo, v)
+      case LessThan("doc_id", v: Long) => hi = math.min(hi, v)
+      case LessThanOrEqual("doc_id", v: Long) => hi = math.min(hi, v + 1)
+      case EqualTo("doc_id", v: Long) => lo = math.max(lo, v); hi = math.min(hi, v + 1)
+      case _ =>
+    }
+    pushed = accepted
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new SynthScan(lo, hi, partitions, required, pushed)
+}
+
+private case class SynthPartition(lo: Long, hi: Long) extends InputPartition
+
+private class SynthScan(lo: Long, hi: Long, partitions: Int,
+    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth [$lo,$hi) pushed=${pushed.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val n = math.max(0L, hi - lo)
+    if (n == 0) return Array.empty
+    val p = math.min(partitions.toLong, n).toInt
+    Array.tabulate(p) { i =>
+      SynthPartition(lo + n * i / p, lo + n * (i + 1) / p)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val SynthPartition(plo, phi) = partition.asInstanceOf[SynthPartition]
+        new PartitionReader[InternalRow] {
+          private var id = plo - 1
+          override def next(): Boolean = { id += 1; id < phi }
+          override def get(): InternalRow = {
+            SynthSource.generated.increment()
+            InternalRow.fromSeq(fields.toIndexedSeq.map {
+              case "doc_id" => id
+              case "lang" => UTF8String.fromString(SynthSource.langFor(id))
+              case "source" => UTF8String.fromString(SynthSource.sourceFor(id))
+              case "text" => UTF8String.fromString(SynthSource.textFor(id))
+            })
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+  }
+}

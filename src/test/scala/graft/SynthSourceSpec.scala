@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.SynthSource
+
+class SynthSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def synth(rows: Long, partitions: Int = 4) =
+    spark.read.format("graft-synth")
+      .option("rows", rows.toString).option("partitions", partitions.toString).load()
+
+  test("deterministic rows, planned across the requested partitions") {
+    val df = synth(1000, partitions = 8)
+    assert(df.count() == 1000)
+    assert(df.rdd.getNumPartitions == 8)
+    // Determinism: same options → identical table.
+    val a = df.orderBy("doc_id").collect()
+    val b = synth(1000, partitions = 3).orderBy("doc_id").collect()
+    assert(a.sameElements(b), "partitioning changed row content")
+    assert(a.head.getString(3).nonEmpty)
+  }
+
+  test("doc_id range filters are PUSHED and avoid generating rows at the source") {
+    SynthSource.generated.reset()
+    val filtered = synth(100000).filter(col("doc_id") >= 500 && col("doc_id") < 600)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(doc_id,500)") &&
+      plan.contains("LessThan(doc_id,600)"),
+      s"filters not pushed into the scan:\n$plan")
+    assert(filtered.count() == 100)
+    // The pushdown narrowed the GENERATED range — not a post-scan drop of
+    // 100k rows (allow the count's own evaluation overhead, not 1000x).
+    assert(SynthSource.generated.sum() <= 400,
+      s"source generated ${SynthSource.generated.sum()} rows for a 100-row slice")
+    // Residual (non-doc_id) predicates still evaluate correctly post-scan.
+    val res = synth(1000).filter(col("lang") === "en" && col("doc_id") < 100)
+    assert(res.count() == res.collect().length)
+  }
+
+  test("column pruning reaches the reader: only requested fields synthesized") {
+    val df = synth(500).select("doc_id", "lang")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("text"), s"text not pruned from scan:\n$plan")
+    assert(df.distinct().count() == 500)
+  }
+
+  test("synth source feeds the curation operators end to end") {
+    val docs = synth(2000).withColumnRenamed("doc_id", "doc_id")
+    val packed = graft.operators.Pack.seqPack(docs, "doc_id", "text", capacity = 128)
+    assert(packed.count() == 2000)
+    val hh = docs.select(explode(split(col("text"), " ")).as("tok"))
+      .agg(graft.functions.heavyHitters(col("tok"), 32).as("hh"))
+      .select(explode(col("hh"))).count()
+    assert(hh == 14L) // full 14-word vocabulary, sketch exact under capacity
+  }
+}
