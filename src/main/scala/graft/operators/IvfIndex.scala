@@ -90,4 +90,48 @@ object IvfIndex {
     transform(
       reverse(array_sort(array(scoredCells(model, vec): _*))),
       s => s.getField("cell"))
+
+  // ------------------------------------------------------------------
+  // Persistence: train once, reuse across queries / sessions
+  // ------------------------------------------------------------------
+
+  /** Persist the codebook and the inverted file. The codebook is a tiny
+    * (cell, centroid) parquet; the assigned corpus is written
+    * HIVE-PARTITIONED BY CELL, so a persisted probe prunes unprobed cells
+    * at the file-listing level — at 100 TB the search never opens the
+    * ~(k−nProbe)/k of the corpus it doesn't probe, and the k-means
+    * training cost is paid once, not per query batch.
+    */
+  def save(assigned: DataFrame, model: Model, path: String): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
+    Model(spark.read.parquet(s"$path/codebook")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toArray))
+
+  /** Probe a persisted index. The probe cell set (≤ |queries|·nProbe —
+    * query batches are driver-small by contract) is collected and pushed
+    * as a literal partition filter, so only the probed cell directories
+    * are listed/read; scoring then delegates to [[search]], which
+    * recomputes the same cells deterministically from the same codebook.
+    */
+  def searchPersisted(spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, idCol: String, vecCol: String,
+      k: Int = 5, nProbe: Int = 2): DataFrame = {
+    val model = loadModel(spark, path)
+    val probeCells = queries
+      .select(explode(slice(sortCells(model, col(vecCol)), 1, nProbe)).as("cell"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = spark.read.parquet(s"$path/index")
+      .filter(col("cell").isin(probeCells: _*))
+    search(pruned, queries, idCol, vecCol, model, k, nProbe)
+  }
 }

@@ -95,6 +95,23 @@ object TextDedup {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     GraftBridge.column(MinhashSig(GraftBridge.expression(shingles), numHashes))
 
+  /** Items with (estimated) frequency > maxDf via one SpaceSaving pass —
+    * the constant-shuffle alternative to an exact `groupBy(item).count`
+    * for skew-guard cuts. Uses count_hi (the sketch's upper bound), so
+    * every item truly above maxDf is returned (possibly plus near-hot
+    * ones); `capacity` must be ≥ totalRows/maxDf for that guarantee
+    * (standard SpaceSaving: any item with count > N/capacity is tracked).
+    * The result is driver-sized by construction: ≤ capacity entries.
+    */
+  def hotItemsSketch(df: DataFrame, item: Column, maxDf: Long,
+      capacity: Int): Array[String] = {
+    val summary = df.agg(graft.functions.heavyHitters(item, capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .filter(col("e.count_hi") > maxDf)
+      .select(col("e.item"))
+    summary.collect().map(_.getString(0))
+  }
+
   // ------------------------------------------------------------------
   // N-gram Jaccard set-similarity join
   // ------------------------------------------------------------------
@@ -119,9 +136,21 @@ object TextDedup {
     * unbounded array in one aggregation buffer. Both the df agg and the
     * anti-join shuffle on `shingle`, so the exchange is planned once and
     * reused; AQE broadcasts the hot set when it is small.
+    *
+    * `sketchCapacity > 0` switches the hot-set detection to the
+    * SpaceSaving heavy-hitters sketch ([[graft.functions.SpaceSavingAgg]]):
+    * one constant-size summary per partition instead of a
+    * distinct-shingle-sized partial-agg shuffle, and the cut becomes a
+    * driver-broadcast literal predicate (NOT-isin) — the posting build
+    * then plans exactly one exchange. Soundness: count_hi ≥ true df, so
+    * no true stop-shingle survives the cut; near-hot shingles may be
+    * over-cut (Jaccard stays the documented lower bound). With
+    * `sketchCapacity ≥ distinct shingles` the sketch is exact and the
+    * result is identical to the count-agg path (spec-asserted).
     */
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 20, maxDf: Int = 200): DataFrame = {
+      n: Int = 3, k: Int = 20, maxDf: Int = 200,
+      sketchCapacity: Int = 0): DataFrame = {
     // Shingling runs once: lineage-free cached blocks (see `cached`) feed
     // the df agg and the posting-list build.
     val sets = cached(
@@ -136,9 +165,18 @@ object TextDedup {
       sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle")),
       col("shingle"))
     // Shingles are distinct per doc, so count == document frequency.
-    val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
-      .filter(col("df_") > maxDf).select("shingle")
-    val postings = ex.join(hot, Seq("shingle"), "left_anti")
+    val cut: DataFrame => DataFrame =
+      if (sketchCapacity > 0) {
+        val hot = hotItemsSketch(
+          sets.select(explode(col("sh")).as("shingle")), col("shingle"),
+          maxDf, sketchCapacity)
+        e => if (hot.isEmpty) e else e.filter(!col("shingle").isin(hot: _*))
+      } else {
+        val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
+          .filter(col("df_") > maxDf).select("shingle")
+        e => e.join(hot, Seq("shingle"), "left_anti")
+      }
+    val postings = cut(ex)
       .groupBy("shingle")
       .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
       .filter(size(col("docs")) >= 2)

@@ -33,6 +33,25 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 31b: the same top-k join with the df-cut driven by the SpaceSaving
+    // heavy-hitter sketch instead of an exact count agg — constant-size
+    // summaries per partition instead of a distinct-shingle-wide partial-
+    // agg shuffle, hot set applied as a broadcast literal NOT-isin.
+    // Capacity is sized ≥ N/maxDf (soundness bound), so the hot set is a
+    // superset of the exact one; equality at ample capacity is spec'd in
+    // TextOpsSpec. NOTE perf: at sf0.1 this measures SLOWER than the
+    // exact cut (2.7 s vs 1.9 s) — the synthetic vocabulary keeps the
+    // distinct-shingle shuffle tiny while the sketch pays an extra corpus
+    // pass + a capacity-sized driver merge. The sketch is the plan that
+    // survives a high-cardinality (web-scale) shingle space, where the
+    // exact path's partial-agg shuffle is vocabulary-sized; exact stays
+    // the default.
+    Q("d_dedup_ngram_sketch",
+      (s, dir) => TextDedup.ngramJaccardTopK(Tables.documents(s, dir),
+        "doc_id", "text", sketchCapacity = 1 << 16),
+      None),
+
+    // ------------------------------------------------------------------
     // 31c: PPJoin-style EXACT thresholded Jaccard self-join (prefix
     // filtering under a rarest-first shingle order) — the exact-at-any-
     // scale sibling of the top-k variant. Rows-only; equality with the

@@ -164,4 +164,40 @@ class SessionizeIvfSpec extends AnyFunSuite {
     val recall = probed.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"recall $recall too low")
   }
+
+  test("persisted IVF index: saved codebook round-trips, probe prunes cell files") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    // 2 queries × nProbe 3 ≤ 6 < 8 cells: pruning MUST skip some cell dir.
+    val queries = emb.filter(col("vec_id") < 2)
+    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val assigned = IvfIndex.assign(emb, "vec_id", "embedding", model)
+    val path = java.nio.file.Files.createTempDirectory("ivf").toString
+    IvfIndex.save(assigned, model, path)
+
+    // Codebook round-trip is bit-exact (train once, reuse forever).
+    val loaded = IvfIndex.loadModel(spark, path)
+    assert(loaded.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+
+    // Persisted search == in-memory search at the same (k, nProbe).
+    val mem = IvfIndex.search(assigned, queries, "vec_id", "embedding", model,
+      k = 5, nProbe = 3).select("query_id", "id", "rk")
+      .as[(Long, Long, Int)].collect().toSet
+    val persisted = IvfIndex.searchPersisted(spark, path, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    assert(persisted.select("query_id", "id", "rk")
+      .as[(Long, Long, Int)].collect().toSet == mem)
+
+    // FILE-LEVEL pruning: the probe cells arrive at the index scan as a
+    // STATIC PartitionFilter (inputFiles would lie here — it lists the
+    // logical relation pre-pruning), so only probed cell directories are
+    // listed/read — at 100 TB the unprobed (k − nProbe)/k of the corpus
+    // is never touched.
+    val plan = persisted.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[cell.* IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(pf.isDefined, s"no static cell IN partition filter on the index scan:\n$plan")
+    val cellsProbed = pf.get.group(1).split(",").length
+    assert(cellsProbed > 0 && cellsProbed <= 6,
+      s"expected ≤ 2 queries × 3 probes cells in the partition filter, got $cellsProbed")
+  }
 }

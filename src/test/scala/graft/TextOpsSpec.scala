@@ -61,6 +61,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.head == ((1L, 2L, 1.0)))
   }
 
+  test("sketch df-cut == exact df-cut at ample capacity; hot set is sound") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // Capacity ≥ distinct shingles → SpaceSaving is exact → identical cut.
+    val exact = TextDedup.ngramJaccardTopK(docs, "doc_id", "text", maxDf = 50)
+      .as[(Long, Long, Double)].collect().toSeq
+    val sketch = TextDedup.ngramJaccardTopK(docs, "doc_id", "text", maxDf = 50,
+        sketchCapacity = 1 << 20)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(sketch == exact, "sketch-cut diverged from exact cut at ample capacity")
+
+    // Soundness at TIGHT capacity: every truly-hot shingle (df > maxDf)
+    // must be cut — the sketch may over-cut, never under-cut, provided
+    // capacity ≥ N/maxDf.
+    val sh = docs.select(explode(
+      TextDedup.wordShingles(col("text"), 3)).as("shingle"))
+    val n = sh.count()
+    val maxDf = 20L
+    val cap = (n / maxDf).toInt + 1
+    val hotSketch = TextDedup.hotItemsSketch(sh, col("shingle"), maxDf, cap).toSet
+    val hotExact = sh.groupBy("shingle").count().filter(col("count") > maxDf)
+      .select("shingle").as[String].collect().toSet
+    assert(hotExact.subsetOf(hotSketch),
+      s"sketch missed true heavy hitters: ${hotExact -- hotSketch}")
+  }
+
   test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")
