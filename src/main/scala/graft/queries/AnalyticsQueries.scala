@@ -259,6 +259,61 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Multi-query shared scan (`SharedAgg`): three independent filtered
+    // group-by reports over lineitem planned as ONE scan + ONE shuffle
+    // (grouping sets + conditional aggregation) — the N-reports-one-pass
+    // pattern a 100 TB nightly metrics sweep needs. The published frame is
+    // the tagged union of the three standalone results; the oracle runs
+    // them as three separate GROUP BYs (semantic equivalence is the whole
+    // claim). Plan shape (1 scan, 1 exchange) is asserted in SharedAggSpec.
+    Q("q_shared_metrics",
+      (s, dir) => {
+        import graft.operators.SharedAgg
+        import graft.operators.SharedAgg.{Metric, Spec}
+        val d18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,2)")
+        val specs = Seq(
+          Spec("by_flag", Seq("l_returnflag"),
+            col("l_shipdate") >= lit("1996-01-01").cast("timestamp"),
+            Seq(Metric("m_sum", "sum", d18(col("l_quantity"))),
+                Metric("m_n", "count", lit(1)))),
+          Spec("by_status", Seq("l_linestatus"), lit(true),
+            Seq(Metric("m_sum", "sum",
+              d18(col("l_extendedprice")) * (lit(1) - d18(col("l_discount")))),
+                Metric("m_n", "count", lit(1)))),
+          Spec("global", Seq.empty, col("l_discount") > 0.05,
+            Seq(Metric("m_sum", "sum", d18(col("l_extendedprice"))),
+                Metric("m_n", "count", lit(1)))))
+        val shared = SharedAgg.run(Tables.lineitem(s, dir), specs)
+        specs.map { sp =>
+          SharedAgg.split(shared, specs, sp.name).select(
+            lit(sp.name).as("qname"),
+            (if (sp.groupBy.isEmpty) lit("") else col(sp.groupBy.head)).as("grp"),
+            col("m_sum").cast("double"),
+            col("m_n"))
+        }.reduce(_ unionAll _).orderBy(col("qname"), col("grp"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT 'by_flag' AS qname, l_returnflag AS grp,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS m_sum,
+                 COUNT(*) AS m_n
+          FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY 2
+          UNION ALL
+          SELECT 'by_status', l_linestatus,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+                 COUNT(*)
+          FROM lineitem GROUP BY 2
+          UNION ALL
+          SELECT 'global', '',
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE),
+                 COUNT(*)
+          FROM lineitem WHERE l_discount > 0.05
+        ) ORDER BY qname, grp
+      """)),
+
+    // ------------------------------------------------------------------
     // RANGE-frame window: trailing 1-hour moving average per user, framed
     // by event-TIME distance (not row count) on the microsecond epoch.
     // Decimal-exact numerator → the double division is order-independent.

@@ -27,17 +27,22 @@ object TpchRestQueries {
     // supplier per part; the lineitem bridge stands in for partsupp).
     Q("q2_min_cost_supplier",
       (s, dir) => {
-        // Dedup AFTER the min-price filter: distinct() on the raw offer
-        // projection would shuffle all of lineitem; post-filter the pair
-        // set is tiny (one-ish row per qualifying part).
-        val li = Tables.lineitem(s, dir)
-        val minPrice = li.groupBy(col("l_partkey"))
-          .agg(min(col("l_extendedprice")).as("min_price"))
-        li.select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
-          .join(minPrice, Seq("l_partkey"))
-          .filter(col("l_extendedprice") === col("min_price"))
+        // The per-part min is unchanged by a filter on PART attributes, so
+        // prune lineitem against the qualifying parts FIRST (broadcast
+        // semi-side; p_size<10 keeps ~20%), then take the min via ONE
+        // window over the pruned rows — one lineitem scan and one ~20%
+        // shuffle, vs. the previous two full scans (full-table min agg +
+        // offer side) self-joined on l_partkey. Dedup stays AFTER the
+        // min filter: post-filter the pair set is tiny.
+        import org.apache.spark.sql.expressions.Window
+        val offers = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
           .join(broadcast(Tables.part(s, dir).filter(col("p_size") < 10)),
             col("l_partkey") === col("p_partkey"))
+        offers
+          .withColumn("min_price",
+            min(col("l_extendedprice")).over(Window.partitionBy(col("l_partkey"))))
+          .filter(col("l_extendedprice") === col("min_price"))
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
           .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("n_name"),
