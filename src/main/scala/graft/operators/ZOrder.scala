@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) clustering for multi-dimensional data skipping.
+  *
+  * Sorting a table by `(a, b)` lexicographically clusters files tightly on
+  * `a` but leaves each file covering the FULL range of `b` — a filter on
+  * `b` alone prunes nothing. Interleaving the bits of both columns'
+  * normalized ranks puts rows close in EVERY dimension into the same
+  * files, so parquet footer min/max stats (and any engine's file-skipping
+  * on them) stay selective for filters on any clustered column. This is
+  * the standard table-maintenance primitive for 100 TB fact tables
+  * (Delta/Iceberg `OPTIMIZE ZORDER BY`), built here from first principles
+  * on public bit-interleave math.
+  *
+  * Everything is `Column` arithmetic (shifts/masks — whole-stage codegen;
+  * no UDF): values are min/max-normalized to `bits`-bit integers using a
+  * single tiny driver-collected min/max agg (two doubles per column —
+  * O(1) driver state at any table size), then round-robin bit-interleaved
+  * into one long. The write is `repartitionByRange` on the z-value (range
+  * exchange = the one shuffle) + an in-partition sort.
+  */
+object ZOrder {
+
+  /** Per-column (min, max) for normalization — ONE pass, driver-tiny. */
+  def ranges(df: DataFrame, colNames: Seq[String]): Map[String, (Double, Double)] = {
+    val aggs = colNames.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"mn_$c"),
+      max(col(c).cast("double")).as(s"mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    colNames.zipWithIndex.map { case (c, i) =>
+      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+    }.toMap
+  }
+
+  /** `v` scaled into [0, 2^bits) as a long column; NULL → 0 (sorts first,
+    * same contract as NULLS FIRST clustering).
+    */
+  private def normalized(c: Column, mn: Double, mx: Double, bits: Int): Column = {
+    val span = if (mx > mn) mx - mn else 1.0
+    val maxv = (1L << bits) - 1
+    coalesce(
+      least(lit(maxv), greatest(lit(0L),
+        floor((c.cast("double") - lit(mn)) / lit(span) * lit(maxv.toDouble))
+          .cast("long"))),
+      lit(0L))
+  }
+
+  /** Round-robin bit interleave of pre-normalized `bits`-bit longs: output
+    * bit `i * n + j` is bit `i` of input `j` — the Morton code. Built as a
+    * balanced OR tree of shift/mask terms (≤ 64 terms, codegen-friendly).
+    */
+  def interleave(normCols: Seq[Column], bits: Int): Column = {
+    val n = normCols.size
+    require(n * bits <= 63, s"z-value needs $n*$bits bits; max 63")
+    val terms = for {
+      i <- 0 until bits
+      (c, j) <- normCols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** The z-value column for `colNames` given precomputed ranges. */
+  def zvalue(rangesByCol: Map[String, (Double, Double)], colNames: Seq[String],
+      bits: Int): Column =
+    interleave(colNames.map { c =>
+      val (mn, mx) = rangesByCol(c)
+      normalized(col(c), mn, mx, bits)
+    }, bits)
+
+  /** Cluster `df` on `colNames` and write parquet: one range shuffle on
+    * the z-value (`numFiles` output files), in-partition z-sort, z column
+    * dropped from the files. Footer min/max per file then stays narrow in
+    * EVERY clustered dimension (asserted in ZOrderSpec).
+    */
+  def writeClustered(df: DataFrame, colNames: Seq[String], path: String,
+      numFiles: Int, bits: Int = 16): Unit = {
+    val z = zvalue(ranges(df, colNames), colNames, bits)
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+      .write.mode("overwrite").parquet(path)
+  }
+}

@@ -618,6 +618,61 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 62b: ORC sink + source round trip (same contract as t_csv_roundtrip
+    // / t_json_roundtrip) — the third on-disk format, exercising Spark's
+    // vectorized ORC reader/writer; schema carried by the file, not
+    // re-imposed like CSV/JSON. Oracle reads the parquet original: equal
+    // per-group checksums prove the ORC hop lossless.
+    Q("t_orc_roundtrip",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+        docs.write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("bigint").as("chars"),
+            sum(conv(substring(sha2(col("text"), 256), 1, 8), 16, 10).cast("long"))
+              .cast("bigint").as("hsum"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars,
+               CAST(sum(('0x' || substr(sha256(text), 1, 8))::UBIGINT) AS BIGINT) AS hsum
+        FROM documents GROUP BY lang ORDER BY lang
+      """)),
+
+    // ------------------------------------------------------------------
+    // 62c: z-order clustered rewrite + read-back (`ZOrder`): lineitem keys
+    // Morton-interleaved into a 16-file layout, then queried through a
+    // SECONDARY-dimension filter — the dim a lexicographic sort leaves
+    // unclustered. Footer min/max selectivity in both dims is asserted in
+    // ZOrderSpec; the oracle (same filter on the original table) proves
+    // the clustered rewrite lossless and filter-transparent.
+    Q("t_zorder_cluster",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+        graft.operators.ZOrder.writeClustered(
+          li, Seq("l_partkey", "l_suppkey"), tmp, numFiles = 16)
+        s.read.parquet(tmp)
+          .filter(col("l_suppkey").between(2, 7))
+          .groupBy(col("l_suppkey"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_partkey")).cast("bigint").as("sum_pk"),
+            Q.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy(col("l_suppkey"))
+      },
+      Some("""
+        SELECT l_suppkey, COUNT(*) AS n,
+               CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem WHERE l_suppkey BETWEEN 2 AND 7
+        GROUP BY 1 ORDER BY l_suppkey
+      """)),
+
+    // ------------------------------------------------------------------
     // 59: record linkage / fuzzy match — blocked edit-distance self-join
     // (the ETL name-matching primitive). Blocking on a 16-char name
     // prefix bounds every block, so the within-block pair explosion is
