@@ -306,6 +306,60 @@ object CurationQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 56e: BM25 keyword ranking (`TextRank.bm25`) — terms cut BEFORE any
+    // shuffle, corpus stats + per-term dfs reduced to broadcast rows, and
+    // the score summed in a FIXED term order. Oracle uses the log-free
+    // odds-ratio idf (ranking-monotone; libm ln isn't bit-identical
+    // cross-engine, +,-,*,/ are); the classic ln-idf variant is spec'd
+    // against a driver reference in TextOpsSpec.
+    Q("x_bm25_rank",
+      (s, dir) => graft.operators.TextRank.bm25(
+          Tables.documents(s, dir), "doc_id", "text",
+          terms = Seq("join", "merge", "query"), topK = 10, lnIdf = false)
+        .select(col("id").as("doc_id"), col("dl"),
+          expr("CAST(floor(score * 1e6) AS BIGINT)").as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id")),
+      Some("""
+        WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                             string_split(text, ' ') AS tk FROM documents),
+        stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                         CAST(SUM(dl) AS BIGINT) AS tot_dl FROM toks),
+        ex AS (SELECT doc_id, dl, unnest(tk) AS tok FROM toks),
+        tf AS (SELECT doc_id, dl, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+               FROM ex WHERE tok IN ('join', 'merge', 'query') GROUP BY 1, 2, 3),
+        dfs AS (SELECT
+                  CAST(coalesce(SUM(CASE WHEN tok = 'join' THEN 1 END), 0) AS DOUBLE) AS df_join,
+                  CAST(coalesce(SUM(CASE WHEN tok = 'merge' THEN 1 END), 0) AS DOUBLE) AS df_merge,
+                  CAST(coalesce(SUM(CASE WHEN tok = 'query' THEN 1 END), 0) AS DOUBLE) AS df_query
+                FROM tf),
+        piv AS (SELECT doc_id, dl,
+                       MAX(CASE WHEN tok = 'join' THEN tf END) AS tf_join,
+                       MAX(CASE WHEN tok = 'merge' THEN tf END) AS tf_merge,
+                       MAX(CASE WHEN tok = 'query' THEN tf END) AS tf_query
+                FROM tf GROUP BY 1, 2),
+        scored AS (SELECT doc_id, dl,
+            (n_docs - df_join + 0.5) / (df_join + 0.5)
+              * (coalesce(tf_join, 0.0) * (1.2 + 1.0))
+              / (coalesce(tf_join, 0.0)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(tot_dl AS DOUBLE) / n_docs)))
+          + (n_docs - df_merge + 0.5) / (df_merge + 0.5)
+              * (coalesce(tf_merge, 0.0) * (1.2 + 1.0))
+              / (coalesce(tf_merge, 0.0)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(tot_dl AS DOUBLE) / n_docs)))
+          + (n_docs - df_query + 0.5) / (df_query + 0.5)
+              * (coalesce(tf_query, 0.0) * (1.2 + 1.0))
+              / (coalesce(tf_query, 0.0)
+                 + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+                          / (CAST(tot_dl AS DOUBLE) / n_docs))) AS score
+          FROM piv, dfs, stats)
+        SELECT doc_id, dl, CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+        FROM (SELECT * FROM scored ORDER BY score DESC, doc_id LIMIT 10)
+        ORDER BY score_e6 DESC, doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 56c: CSV sink + source round trip — documents (free text, quoted)
     // written through the CSV writer and read back with an explicit
     // schema, then aggregated per language with a content checksum. The

@@ -116,11 +116,18 @@ object StreamOps {
     */
   def intervalJoin(
       left: DataFrame, right: DataFrame, key: String,
-      watermark: String = "1 hour", windowExpr: String = "INTERVAL 1 HOUR"): DataFrame = {
+      watermark: String = "1 hour", windowExpr: String = "INTERVAL 1 HOUR",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", watermark).alias("l")
     val r = right.withWatermark("ts", watermark).alias("r")
+    // The two-sided time bound + both watermarks is exactly what lets
+    // Spark age out join state AND — for the outer variants — declare a
+    // left row unmatchable once the right watermark passes l.ts + window,
+    // at which point the null-padded row is emitted. Without the bound an
+    // outer stream-stream join would have to hold state forever.
     l.join(r,
-      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + $windowExpr"))
+      expr(s"l.$key = r.$key AND r.ts >= l.ts AND r.ts <= l.ts + $windowExpr"),
+      joinType)
   }
 
   /** foreachBatch upsert sink: merge each micro-batch into a parquet

@@ -101,6 +101,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 100)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched lefts null-pad once the watermark passes") {
+    val ldir = Files.createTempDirectory("graft-ssl").toString
+    val rdir = Files.createTempDirectory("graft-ssr").toString
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // Left: two signups at 10:00. Right drop 1: a click matching user 1
+    // at 10:30. Right drop 2 (later file): a far-future click that pushes
+    // the right watermark past 10:00 + 1h + delay, EXPIRING user 2's join
+    // state — only then may the engine emit its null-padded row.
+    Seq((1L, ts("2024-01-01 10:00:00"), "s1"), (2L, ts("2024-01-01 10:00:00"), "s2"))
+      .toDF("user_id", "ts", "l_id").coalesce(1).write.mode("append").parquet(ldir)
+    Seq((1L, ts("2024-01-01 10:30:00"), "c1"))
+      .toDF("user_id", "ts", "r_id").coalesce(1).write.mode("append").parquet(rdir)
+    Thread.sleep(1100) // file-source batches follow mtime order
+    Seq((99L, ts("2024-01-01 16:00:00"), "c9"))
+      .toDF("user_id", "ts", "r_id").coalesce(1).write.mode("append").parquet(rdir)
+    // The query watermark is the MIN across BOTH watermarked inputs — a
+    // stalled left source would hold the join state open forever, so the
+    // left must advance too (its late row stays in state, not yet
+    // expirable, and must NOT be emitted as unmatched).
+    Seq((98L, ts("2024-01-01 16:00:00"), "s9"))
+      .toDF("user_id", "ts", "l_id").coalesce(1).write.mode("append").parquet(ldir)
+
+    val left = spark.readStream.schema("user_id LONG, ts TIMESTAMP, l_id STRING")
+      .parquet(ldir)
+    val right = spark.readStream.schema("user_id LONG, ts TIMESTAMP, r_id STRING")
+      .option("maxFilesPerTrigger", 1).parquet(rdir)
+    val joined = StreamOps.intervalJoin(left, right, key = "user_id",
+        watermark = "10 minutes", joinType = "left_outer")
+      .select(col("l.l_id"), col("r.r_id"))
+    val q = joined.writeStream.format("memory").queryName("ssouter")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.table("ssouter").as[(String, Option[String])].collect().toSet
+    assert(got.contains(("s1", Some("c1"))), s"matched pair missing: $got")
+    assert(got.contains(("s2", None)),
+      s"expired unmatched left not null-padded: $got")
+    assert(!got.exists(_._1 == "s9"),
+      s"not-yet-expired left row leaked a premature unmatched emit: $got")
+  }
+
   test("stream-stream interval join pairs signups with same-user follow-up clicks") {
     val dir = stageDrops(2)
     val ev = Tables.events(spark, sfDir)

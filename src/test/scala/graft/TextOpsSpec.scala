@@ -86,6 +86,44 @@ class TextOpsSpec extends AnyFunSuite {
       s"sketch missed true heavy hitters: ${hotExact -- hotSketch}")
   }
 
+  test("bm25 (ln idf) matches a driver-side reference on a hand corpus") {
+    val docs = Seq(
+      (1L, "join merge join scan"),
+      (2L, "merge query filter sort window"),
+      (3L, "scan filter sort"),
+      (4L, "join join join query merge")).toDF("doc_id", "text")
+    val terms = Seq("join", "merge", "query")
+    val got = graft.operators.TextRank
+      .bm25(docs, "doc_id", "text", terms, topK = 4, lnIdf = true)
+      .as[(Long, Int, Double)].collect()
+
+    val corpus = Map(
+      1L -> Seq("join", "merge", "join", "scan"),
+      2L -> Seq("merge", "query", "filter", "sort", "window"),
+      3L -> Seq("scan", "filter", "sort"),
+      4L -> Seq("join", "join", "join", "query", "merge"))
+    val n = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size).sum.toDouble / n
+    def score(id: Long): Double = {
+      val dl = corpus(id).size.toDouble
+      terms.map { t =>
+        val df = corpus.values.count(_.contains(t)).toDouble
+        val tf = corpus(id).count(_ == t).toDouble
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      }.sum
+    }
+    val expected = corpus.keys.toSeq
+      .map(id => (id, corpus(id).size, score(id)))
+      .sortBy { case (id, _, s) => (-s, id) }
+    got.zip(expected).foreach { case ((gi, gdl, gs), (ei, edl, es)) =>
+      assert(gi == ei && gdl == edl, s"rank order: got $gi expected $ei")
+      assert(math.abs(gs - es) < 1e-9, s"score $gs vs reference $es")
+    }
+    // Docs with no query term never rank (doc 3 carries none).
+    assert(!got.exists(_._1 == 3L))
+  }
+
   test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")
