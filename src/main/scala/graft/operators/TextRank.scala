@@ -28,26 +28,43 @@ import org.apache.spark.sql.functions._
   */
 object TextRank {
 
+  /** Tokenized corpus projection: (id, dl, tk). */
+  private[operators] def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), split(col(textCol), " ").as("tk"))
+      .select(col("id"), size(col("tk")).as("dl"), col("tk"))
+
+  /** One broadcast row: N and total doc length (avgdl derived
+    * in-expression so both engines divide the same exact integers).
+    */
+  private[operators] def corpusStats(toks: DataFrame): DataFrame =
+    toks.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      sum(col("dl")).cast("bigint").as("tot_dl"))
+
   def bm25(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
       topK: Int = 10, lnIdf: Boolean = true): DataFrame = {
     require(terms.nonEmpty, "empty term list")
-    val toks = docs.select(col(idCol).as("id"),
-        split(col(textCol), " ").as("tk"))
-      .select(col("id"), size(col("tk")).as("dl"), col("tk"))
-
-    // One broadcast row: N and total doc length (avgdl derived in-expression
-    // so both engines divide the same exact integers).
-    val stats = toks.agg(
-      count(lit(1)).cast("double").as("n_docs"),
-      sum(col("dl")).cast("bigint").as("tot_dl"))
-
+    val toks = tokenized(docs, idCol, textCol)
     val tf = toks
       .select(col("id"), col("dl"), explode(col("tk")).as("tok"))
       .filter(col("tok").isin(terms: _*))
       .groupBy(col("id"), col("dl"), col("tok"))
       .agg(count(lit(1)).cast("double").as("tf"))
+    scoreTf(tf, corpusStats(toks), terms, k1, b, topK, lnIdf)
+  }
 
+  /** Score a prepared term-frequency frame — `tf` rows are
+    * (id, dl, tok, tf: double), distinct per (id, tok) and already cut to
+    * `terms` (the corpus path filters pre-shuffle; the persisted-index
+    * path reads only the probed buckets). Shared by [[bm25]] and
+    * [[TextIndex.search]] so both produce BIT-IDENTICAL scores: the dfs,
+    * pivot and fixed-order term chain are literally the same expressions.
+    */
+  private[operators] def scoreTf(tf: DataFrame, stats: DataFrame,
+      terms: Seq[String], k1: Double, b: Double, topK: Int,
+      lnIdf: Boolean): DataFrame = {
     // One broadcast row of per-term dfs (tf is distinct per (id, tok)).
     val dfs = tf.agg(
       terms.map(t => coalesce(sum(when(col("tok") === t, lit(1))), lit(0))

@@ -124,6 +124,28 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("persisted text index: bucket-pruned search == corpus bm25 bit-for-bit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("tix").toString
+    graft.operators.TextIndex.build(docs, "doc_id", "text", path, nBuckets = 64)
+
+    val terms = Seq("join", "merge", "query")
+    val fromIndex = graft.operators.TextIndex.search(spark, path, terms, topK = 10)
+    val fromCorpus = graft.operators.TextRank
+      .bm25(docs, "doc_id", "text", terms, topK = 10)
+    // Bit-identical, not approximately equal: both paths run the same
+    // scoring expressions over the same (id, dl, tok, tf) rows.
+    assert(fromIndex.as[(Long, Int, Double)].collect().toSeq ==
+      fromCorpus.as[(Long, Int, Double)].collect().toSeq)
+
+    // Static bucket pruning: only the query terms' bucket directories are
+    // listed/read (3 terms → ≤ 3 of 64 buckets in the partition filter).
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[bucket.* IN \\(([^)]*)\\)".r.findFirstMatchIn(plan)
+    assert(pf.isDefined, s"no static bucket IN partition filter on the postings scan:\n$plan")
+    assert(pf.get.group(1).split(",").length <= terms.size)
+  }
+
   test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")
