@@ -278,6 +278,45 @@ object TransformQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 17b: incremental aggregate maintenance (`IncrementalAgg`): orders
+    // arrive in three batches, each reduced to per-key partials and merged
+    // into a persisted state table through the crash-recoverable swap —
+    // history is never re-scanned (per-batch cost O(batch), state =
+    // |keys|). Decimal sums make the fold order-insensitive, so the final
+    // state hash-matches the oracle's one-shot GROUP BY exactly.
+    Q("t_incremental_agg",
+      (s, dir) => {
+        import graft.operators.IncrementalAgg
+        import graft.operators.IncrementalAgg.AggCol
+        val stateDir =
+          s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg/state"
+        // Fresh fold per invocation — leftover state would double-count.
+        val p = new org.apache.hadoop.fs.Path(stateDir)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p.getParent)) fs.delete(p.getParent, true)
+        val orders = Tables.orders(s, dir)
+        val aggs = Seq(
+          AggCol("n", "count", lit(1)),
+          AggCol("sum_price", "sum", col("o_totalprice").cast("decimal(18,2)")),
+          AggCol("max_date", "max", col("o_orderdate")))
+        (0 until 3).foreach { i =>
+          IncrementalAgg.updateParquet(
+            orders.filter(col("o_orderkey") % 3 === i),
+            stateDir, Seq("o_custkey"), aggs)
+        }
+        s.read.parquet(stateDir)
+          .select(col("o_custkey"), col("n"),
+            col("sum_price").cast("double"), col("max_date"))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""
+        SELECT o_custkey, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               MAX(o_orderdate) AS max_date
+        FROM orders GROUP BY 1 ORDER BY o_custkey
+      """)),
+
+    // ------------------------------------------------------------------
     // 17: incremental-state extract analog: only rows past the stored
     // watermark, plus the new per-partition watermark for the next run
     Q("t_incremental_state",

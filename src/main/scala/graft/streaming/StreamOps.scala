@@ -224,7 +224,7 @@ object StreamOps {
     * atomicity needs a transactional table format — on object stores
     * rename is copy+delete, so widen the maintenance window accordingly.
     */
-  private def mergeIntoParquet(batch: DataFrame, targetDir: String)(
+  private[graft] def mergeIntoParquet(batch: DataFrame, targetDir: String)(
       merge: (org.apache.spark.sql.SparkSession, Boolean) => DataFrame): Unit = {
     val spark = batch.sparkSession
     val hadoopConf = spark.sparkContext.hadoopConfiguration

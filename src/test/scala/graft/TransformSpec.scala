@@ -148,4 +148,36 @@ class TransformSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("id", "keep", "extras"))
     assert(out.select("extras").as[String].head() == """{"x1":"e1","x2":7}""")
   }
+
+  test("incremental agg state equals one-shot recompute under any batch split") {
+    import graft.operators.IncrementalAgg
+    import graft.operators.IncrementalAgg.AggCol
+    val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+    val aggs = Seq(
+      AggCol("n", "count", lit(1)),
+      AggCol("sum_v", "sum", col("value").cast("decimal(18,2)")),
+      AggCol("min_v", "min", col("value")),
+      AggCol("max_ts", "max", col("ts")))
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("incragg").toString + "/state"
+    // Uneven split (hash mod 4): batches of different sizes, some keys
+    // absent from some batches.
+    (0 until 4).foreach { i =>
+      IncrementalAgg.updateParquet(
+        ev.filter(abs(hash(col("event_id"))) % 4 === i),
+        stateDir, Seq("user_id"), aggs)
+    }
+    val state = spark.read.parquet(stateDir)
+      .select("user_id", "n", "sum_v", "min_v", "max_ts")
+      .collect().map(_.toSeq).toSet
+    val direct = ev.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_v"),
+        min(col("value")).as("min_v"),
+        max(col("ts")).as("max_ts"))
+      .select(col("user_id"), col("n"),
+        col("sum_v").cast("decimal(38,2)"), col("min_v"), col("max_ts"))
+      .collect().map(_.toSeq).toSet
+    assert(state == direct)
+  }
 }
