@@ -6,15 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multi-query shared scan: N independent filtered grouped-aggregation
   * queries over the SAME source, planned as ONE scan + ONE shuffle.
   *
-  * The classic OLAP shared-scan / multi-query optimization: each query's
-  * group-by key set becomes one entry of a GROUPING SETS aggregation (the
-  * union of all key sets is grouped once), and each query's row filter is
-  * folded into its aggregates as conditional aggregation
-  * (`sum(CASE WHEN filter THEN x END)`), so per-query WHERE clauses don't
-  * need per-query scans. At 100 TB this is the difference between N passes
-  * over the fact table and one: a nightly metrics sweep with 20 reports
-  * reads the data once, and the single Exchange carries partial aggregates
-  * (grouping-set-expanded, still tiny relative to the fact).
+  * The classic OLAP shared-scan / multi-query optimization, in two
+  * levels: the fact is grouped ONCE by the union of all queries' key sets
+  * (each query's set is a subset, so its coarser result re-aggregates
+  * from these partials — count/sum merge by sum, min/max by themselves),
+  * with each query's row filter folded in as conditional aggregation
+  * (`sum(CASE WHEN filter THEN x END)`); grouping sets then run over the
+  * TINY level-1 summary to materialize every query's grouping. At 100 TB
+  * this is the difference between N passes over the fact table and one —
+  * and, versus fact-side GROUPING SETS, the difference between an Expand
+  * multiplying every input row by |sets| before the partial agg and no
+  * Expand on the fact at all (measured 2× on the CPU-bound decimal sweep).
   *
   * Semantics match running each query alone: a group that no filtered row
   * of query `i` falls into exists only for OTHER queries' sets, so each
@@ -22,16 +24,12 @@ import org.apache.spark.sql.functions._
   * [[split]] drops its zero rows (a standalone `groupBy` would never have
   * produced that group). Grouping-set null-markers are disambiguated from
   * genuine NULL group values by `grouping_id`, never by looking at values.
-  *
-  * Cost note: every metric is evaluated for every grouping set, so the
-  * aggregation does O(sets × metrics) work per row — the trade is more
-  * CPU per row for N− 1 fewer scans+shuffles; for scan-bound fact sweeps
-  * that is the right side of the trade.
   */
 object SharedAgg {
 
-  /** One aggregate of one query. `fn` ∈ sum | count | min | max | avg.
-    * For cross-engine float discipline pass `value` already decimal-cast
+  /** One aggregate of one query. `fn` ∈ sum | count | min | max — the
+    * re-aggregable (algebraic) functions; derive avg as sum/count. For
+    * cross-engine float discipline pass `value` already decimal-cast
     * (see `Q.dsum`) and cast the published column back to double.
     */
   case class Metric(alias: String, fn: String, value: Column)
@@ -49,7 +47,6 @@ object SharedAgg {
       case "count" => count(v)
       case "min"   => min(v)
       case "max"   => max(v)
-      case "avg"   => avg(v)
       case other   => throw new IllegalArgumentException(s"unknown agg fn $other")
     }).as(m.alias)
   }
@@ -72,17 +69,54 @@ object SharedAgg {
     * columns named `<spec>__<alias>` plus a `_guard_<spec>` row-count guard.
     * Exactly one scan of `df` and one aggregation Exchange.
     */
-  def run(df: DataFrame, specs: Seq[Spec]): DataFrame = {
+  /** `inputPartitions`: optional round-robin fan-out of the input before
+    * the aggregation. The shared aggregate is CPU-heavy per input row
+    * (every spec's conditional metrics × every grouping set) while its
+    * input bytes can be tiny, so a small scan can plan 2-3 tasks that
+    * serialize all that CPU (measured 3.6 s vs 0.8 s at 11 MB input on 32
+    * cores). At real scale the scan's own parallelism suffices — leave
+    * it None; set it only when input bytes/row-cost are pathologically
+    * skewed the small way.
+    */
+  def run(df: DataFrame, specs: Seq[Spec],
+      inputPartitions: Option[Int] = None): DataFrame = {
     require(specs.map(_.name).distinct.size == specs.size, "duplicate spec names")
     val keys = allKeys(specs)
     val sets = specs.map(_.groupBy).distinct
       .map(g => keys.filter(g.contains).map(col))
-    val aggs = specs.flatMap { sp =>
+    // TWO-LEVEL aggregation, not grouping sets over the fact: level 1
+    // groups by the UNION of all key sets (every spec's set is a subset,
+    // so every coarser result is derivable by re-aggregation — count/sum
+    // merge by sum, min/max by themselves). The fact is therefore scanned
+    // once AND aggregated once — no Expand multiplying every input row by
+    // |sets| before the partial agg, which at 100 TB is the difference
+    // between shuffling |finest groups| partial rows and |sets|× the
+    // map-side agg hash pressure. Grouping sets DO run — over the tiny
+    // level-1 summary, where the Expand costs nothing. Caveat, deliberate:
+    // if the union-key cardinality explodes (near-unique cross product),
+    // the level-1 summary is itself large and fact-side grouping sets
+    // would win; metric sweeps group by low-cardinality dimensions.
+    val level1 = specs.flatMap { sp =>
       applyFn(Metric(s"_guard_${sp.name}", "count", lit(1)), sp.filter) +:
-        sp.metrics.map(m => applyFn(m.copy(alias = s"${sp.name}__${m.alias}"), sp.filter))
+        sp.metrics.map(m =>
+          applyFn(m.copy(alias = s"${sp.name}__${m.alias}"), sp.filter))
     }
-    df.groupingSets(sets, keys.map(col): _*)
-      .agg(grouping_id().as("_gid"), aggs: _*)
+    def mergeFn(alias: String, fn: String): Column = ((fn match {
+      case "count" | "sum" => sum(col(alias))
+      case "min"           => min(col(alias))
+      case "max"           => max(col(alias))
+      case other => throw new IllegalArgumentException(
+        s"agg fn $other is not re-aggregable; use sum+count and derive")
+    }): Column).as(alias)
+    val level2 = specs.flatMap { sp =>
+      mergeFn(s"_guard_${sp.name}", "count") +:
+        sp.metrics.map(m => mergeFn(s"${sp.name}__${m.alias}", m.fn))
+    }
+    val in = inputPartitions.fold(df)(df.repartition)
+    in.groupBy(keys.map(col): _*)
+      .agg(level1.head, level1.tail: _*)
+      .groupingSets(sets, keys.map(col): _*)
+      .agg(grouping_id().as("_gid"), level2: _*)
   }
 
   /** Carve one query's standalone result back out of the shared frame. */

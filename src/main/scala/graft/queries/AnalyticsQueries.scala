@@ -284,13 +284,32 @@ object AnalyticsQueries {
             Seq(Metric("m_sum", "sum", d18(col("l_extendedprice"))),
                 Metric("m_n", "count", lit(1)))))
         val shared = SharedAgg.run(Tables.lineitem(s, dir), specs)
-        specs.map { sp =>
-          SharedAgg.split(shared, specs, sp.name).select(
+        // Carve ALL three reports in ONE pass over the summary: an
+        // exploded array of per-spec structs keeps a single plan subtree.
+        // A union of three `split` branches instead gets its metric
+        // columns pruned differently per branch, the aggregate subtrees
+        // stop being identical, ReuseExchange can't fire, and the fact is
+        // scanned three times (observed; an eager localCheckpoint of the
+        // summary and a round-robin input fan-out both measured SLOWER
+        // at this scale — recorded negative results; the win over
+        // fact-side grouping sets came from SharedAgg's two-level
+        // formulation instead, 3.6 → 1.8 s).
+        val rows = specs.map { sp =>
+          struct(
             lit(sp.name).as("qname"),
-            (if (sp.groupBy.isEmpty) lit("") else col(sp.groupBy.head)).as("grp"),
-            col("m_sum").cast("double"),
-            col("m_n"))
-        }.reduce(_ unionAll _).orderBy(col("qname"), col("grp"))
+            (if (sp.groupBy.isEmpty) lit("")
+             else col(sp.groupBy.head)).as("grp"),
+            col(s"${sp.name}__m_sum").cast("double").as("m_sum"),
+            col(s"${sp.name}__m_n").as("m_n"),
+            (col("_gid") === lit(SharedAgg.gid(specs, sp)) &&
+              col(s"_guard_${sp.name}") > 0).as("keep"))
+        }
+        val carved = shared.select(explode(array(rows: _*)).as("e"))
+          .filter(col("e.keep"))
+          .select(col("e.qname").as("qname"), col("e.grp").as("grp"),
+            col("e.m_sum").as("m_sum"), col("e.m_n").as("m_n"))
+        carved.orderBy(col("qname"), col("grp"))
+
       },
       Some("""
         SELECT * FROM (

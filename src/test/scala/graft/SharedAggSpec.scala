@@ -65,14 +65,28 @@ class SharedAggSpec extends AnyFunSuite {
     assert(all == Set(("a", 2L), ("b", 1L)))
   }
 
-  test("N queries plan as ONE scan and ONE aggregation exchange") {
+  test("N queries plan as ONE scan, no Expand on the fact, tiny second shuffle") {
     val li = Tables.lineitem(spark, sfDir)
     val shared = SharedAgg.run(li, specs)
-    val plan = shared.queryExecution.executedPlan.toString
-    val scans = "Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"expected exactly 1 fact scan for 3 queries, got $scans:\n$plan")
-    val exchanges = "Exchange".r.findAllIn(plan).size
-    assert(exchanges == 1,
-      s"expected exactly 1 shuffle (partial-agg'd grouping sets), got $exchanges:\n$plan")
+    val plan = shared.queryExecution.executedPlan
+    val planStr = plan.toString
+    val scans = "Scan parquet".r.findAllIn(planStr).size
+    assert(scans == 1, s"expected exactly 1 fact scan for 3 queries, got $scans:\n$planStr")
+    // Two exchanges: fact partials on the union key set, then the tiny
+    // summary re-shuffled for its grouping-sets pass.
+    val exchanges = "Exchange".r.findAllIn(planStr).size
+    assert(exchanges == 2, s"expected 2 shuffles (partials + summary), got $exchanges:\n$planStr")
+    // The Expand (grouping sets) must sit ABOVE the level-1 aggregate,
+    // i.e. multiply summary rows, never fact rows. The plan string prints
+    // top-down (scan last; AQE hides children from collect()), so the
+    // level-1 aggregate pair and the scan must all print BELOW the Expand.
+    val lines = planStr.linesIterator.toSeq
+    val expandAt = lines.indexWhere(_.contains("Expand"))
+    assert(expandAt >= 0, s"no grouping-sets Expand found at all:\n$planStr")
+    val aggsBelow = lines.drop(expandAt + 1).count(_.contains("HashAggregate"))
+    assert(aggsBelow >= 2,
+      s"Expand multiplies fact rows (level-1 agg pair not beneath it):\n$planStr")
+    assert(lines.indexWhere(_.contains("Scan parquet")) > expandAt,
+      s"scan prints above Expand — Expand is on the fact side:\n$planStr")
   }
 }
