@@ -294,3 +294,58 @@ case class VecDot(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** Content-defined chunk boundaries (LBFS/FastCDC family, public
+  * rolling-hash math): cut where a polynomial rolling hash of the last
+  * `window` chars has its low `maskBits` bits zero, bounded by
+  * [minLen, maxLen]. Because a boundary depends only on the LOCAL window
+  * content, inserting or deleting text re-synchronizes the cut points a
+  * few chunks downstream — unlike fixed-size chunking, where one inserted
+  * char shifts every later boundary and defeats chunk-level dedup. One
+  * tight O(chars) loop per row; concatenating the chunks reproduces the
+  * input exactly.
+  */
+case class CdcChunks(child: Expression, window: Int, maskBits: Int,
+    minLen: Int, maxLen: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(window >= 2 && minLen >= window && maxLen > minLen,
+    s"need window >= 2 <= minLen < maxLen; got w=$window min=$minLen max=$maxLen")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private val mask: Long = (1L << maskBits) - 1
+  // Remove-term multiplier: POLY^(window-1) for h = h*POLY + c.
+  private val POLY = 1099511628211L // FNV-64 prime — any odd 64-bit works
+  private val powW: Long = {
+    var p = 1L; var i = 0
+    while (i < window - 1) { p *= POLY; i += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    val n = s.length
+    val out = mutable.ArrayBuffer.empty[UTF8String]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i).toLong
+      h = h * POLY + c
+      if (i - start + 1 > window) h -= s.charAt(i - window).toLong * powW * POLY
+      val len = i - start + 1
+      if (len >= maxLen || (len >= minLen && (h & mask) == 0L)) {
+        out += UTF8String.fromString(s.substring(start, i + 1))
+        start = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (start < n) out += UTF8String.fromString(s.substring(start, n))
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}

@@ -64,4 +64,12 @@ package object functions {
   def heavyHitters(item: Column, capacity: Int): Column =
     GraftBridge.column(
       SpaceSavingAgg(GraftBridge.expression(item), capacity).toAggregateExpression())
+
+  /** Content-defined chunks of `text` (rolling-hash boundaries, see
+    * [[CdcChunks]]): shift-robust, concatenation-lossless.
+    */
+  def cdcChunks(text: Column, window: Int = 16, maskBits: Int = 5,
+      minLen: Int = 32, maxLen: Int = 128): Column =
+    GraftBridge.column(
+      CdcChunks(GraftBridge.expression(text), window, maskBits, minLen, maxLen))
 }

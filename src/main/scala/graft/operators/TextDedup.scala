@@ -76,6 +76,35 @@ object TextDedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Content-defined chunk dedup: like [[spanDedup]] but with
+    * ROLLING-HASH boundaries ([[graft.functions.cdcChunks]]) instead of
+    * fixed word windows — an insertion or deletion re-synchronizes chunk
+    * cuts a few chunks downstream, so shifted copies still dedup (the
+    * fixed-grid span cut shares ~nothing once content slides; spec'd).
+    * First occurrence of each chunk (by document, then position) wins;
+    * documents reassemble from their surviving chunks by position.
+    * Same shuffle shape as spanDedup: one explode, one chunk-keyed
+    * window, one per-doc agg.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, maskBits: Int = 5, minLen: Int = 32,
+      maxLen: Int = 128): DataFrame = {
+    val chunks = df.select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.cdcChunks(
+          col(textCol), window, maskBits, minLen, maxLen))
+          .as(Seq("chunk_idx", "ch")))
+    val firstSeen = org.apache.spark.sql.expressions.Window
+      .partitionBy("ch").orderBy("doc_id", "chunk_idx")
+    chunks.withColumn("rn", row_number().over(firstSeen))
+      .filter(col("rn") === 1)
+      .groupBy("doc_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("chunk_idx"), col("ch")))),
+            x => x.getField("ch")), "").as("text_clean"),
+        count(lit(1)).as("n_kept"))
+  }
+
   // ------------------------------------------------------------------
   // Shingling helpers (narrow, codegen'd — no UDFs)
   // ------------------------------------------------------------------

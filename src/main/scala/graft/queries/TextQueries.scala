@@ -33,6 +33,16 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 43j: content-defined chunk dedup — rolling-hash boundaries
+    // (CdcChunks) instead of d_dedup_spans' fixed word grid, so SHIFTED
+    // copies still dedup (insertion re-syncs cuts; spec'd in TextOpsSpec).
+    // Rolling hash isn't SQL-expressible → rows-only.
+    Q("d_dedup_cdc",
+      (s, dir) => TextDedup.cdcDedup(Tables.documents(s, dir), "doc_id", "text")
+        .orderBy("doc_id"),
+      None),
+
+    // ------------------------------------------------------------------
     // 31b: the same top-k join with the df-cut driven by the SpaceSaving
     // heavy-hitter sketch instead of an exact count agg — constant-size
     // summaries per partition instead of a distinct-shingle-wide partial-

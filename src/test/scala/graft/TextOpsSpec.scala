@@ -146,6 +146,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(pf.get.group(1).split(",").length <= terms.size)
   }
 
+  test("cdc chunks: lossless, bounded, and shift-robust where a fixed grid is not") {
+    import graft.functions.cdcChunks
+    val base = (1 to 60).map(i => s"tok$i word$i item$i").mkString(" ") // ~900 chars
+    val shifted = "INSERTED PREAMBLE SLIDES EVERYTHING " + base
+
+    val out = Seq(base, shifted).toDF("t")
+      .select(cdcChunks(col("t")).as("ch")).as[Seq[String]].collect()
+    val (chBase, chShift) = (out(0), out(1))
+
+    // Lossless + bounded.
+    assert(chBase.mkString("") == base)
+    assert(chShift.mkString("") == shifted)
+    assert(chBase.forall(_.length <= 128))
+    assert(chBase.count(_.length >= 32) >= chBase.size - 1) // only the tail may be short
+
+    // Shift robustness: the insertion only disturbs the first chunk(s);
+    // boundaries re-synchronize and most content chunks are SHARED.
+    val shared = chBase.toSet.intersect(chShift.toSet).size.toDouble / chBase.size
+    assert(shared >= 0.5, s"cdc chunks did not re-sync after insertion: $shared")
+    // The fixed grid shares (almost) nothing once content slides.
+    def grid(s: String) = s.grouped(64).toSeq
+    val gridShared = grid(base).toSet.intersect(grid(shifted).toSet).size
+    assert(gridShared <= 1, s"fixed grid unexpectedly survived the shift: $gridShared")
+  }
+
+  test("cdcDedup: identical documents collapse to the first") {
+    val df = Seq(
+      (1L, (1 to 40).map(i => s"alpha$i beta$i").mkString(" ")),
+      (2L, (1 to 40).map(i => s"alpha$i beta$i").mkString(" ")),
+      (3L, (1 to 40).map(i => s"gamma$i delta$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextDedup.cdcDedup(df, "doc_id", "text")
+      .orderBy("doc_id").as[(Long, String, Long)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 3L), s"dup doc not collapsed: ${out.toSeq}")
+    assert(out(0)._2 == (1 to 40).map(i => s"alpha$i beta$i").mkString(" "))
+  }
+
   test("cosine: identical vectors → 1.0, orthogonal → 0.0") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
       .toDF("a", "b", "c")
