@@ -146,6 +146,26 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 36e: product-quantized ADC search (`PqIndex`): 64 float dims → 8
+    // codes (32× footprint cut), candidate distance = 8 table lookups in
+    // a fixed chain, multi-query batch in ONE pass over the codes.
+    // Recall/reconstruction bounds spec'd in SessionizeIvfSpec.
+    Q("s_pq_adc",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = graft.operators.PqIndex.train(
+          emb, "embedding", m = 8, k = 16, maxIter = 5)
+        val encoded = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", model)
+        val queries = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+        graft.operators.PqIndex.searchADC(encoded, queries, model, topK = 5)
+          .withColumn("est_d2", round(col("est_d2"), 6))
+          .orderBy(col("query_id"), col("rk"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // 37b: BPE-style pre-tokenizer count (GPT-2 pattern family, RE2-safe
     // subset so the DuckDB oracle matches; real BPE merges happen
     // downstream of pre-tokenization)

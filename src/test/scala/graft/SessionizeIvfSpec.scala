@@ -165,6 +165,43 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("PQ: codes compress 32x, reconstruction is sane, ADC recall beats chance") {
+    import graft.operators.PqIndex
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    val model = PqIndex.train(emb, "embedding", m = 8, k = 64)
+    assert(model.m == 8 && model.k == 64 && model.subDim == 8)
+
+    val encoded = PqIndex.encode(emb, "vec_id", "embedding", model)
+    val codes = encoded.as[(Long, Seq[Int])].collect().toMap
+    assert(codes.values.forall(c => c.size == 8 && c.forall(j => j >= 0 && j < 64)))
+
+    // Reconstruction error must be well under the trivial zero-codebook
+    // baseline (= mean squared norm) — i.e. the codebooks learned SOMETHING.
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap
+    def mse(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum / a.size
+    val reconErr = vecs.keys.map(id =>
+      mse(vecs(id), PqIndex.decode(model, codes(id)).toSeq)).sum / vecs.size
+    val zeroErr = vecs.values.map(v => mse(v, Seq.fill(v.size)(0.0))).sum / vecs.size
+    assert(reconErr < zeroErr * 0.7, s"recon MSE $reconErr vs zero baseline $zeroErr")
+
+    // ADC recall@10 vs exact L2 top-10 (self excluded on both sides).
+    val queries = vecs.toSeq.sortBy(_._1).take(5)
+      .map { case (id, v) => (id, v.toArray) }
+    val got = PqIndex.searchADC(encoded, queries, model, topK = 10)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = queries.map { case (qid, q) =>
+      val exact = vecs.filter(_._1 != qid).toSeq
+        .sortBy { case (_, v) => mse(v, q.toSeq) }.take(10).map(_._1).toSet
+      got(qid).intersect(exact).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.4, s"mean ADC recall@10 $mean below 0.4: $recalls")
+  }
+
   test("persisted IVF index: saved codebook round-trips, probe prunes cell files") {
     val sfDir = "/root/testdata/sf0.001"
     val emb = Tables.embeddings(spark, sfDir)
