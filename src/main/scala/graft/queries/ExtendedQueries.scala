@@ -36,6 +36,43 @@ object ExtendedQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // FULL OUTER reconciliation: per-customer activity in two periods,
+    // customers present in either side survive with zero-defaults — the
+    // snapshot-diff shape (closes the outer-join coverage next to
+    // q_outer_agg's left-outer).
+    Q("q_full_outer",
+      (s, dir) => {
+        def side(y: String, alias: String) = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+                  col("o_orderdate") < lit(s"${y.toInt + 1}-01-01").cast("timestamp"))
+          .groupBy(col("o_custkey").as(s"${alias}_key"))
+          .agg(count(lit(1)).as(s"n_$alias"))
+        side("1995", "a").join(side("1996", "b"),
+            col("a_key") === col("b_key"), "full_outer")
+          .select(
+            coalesce(col("a_key"), col("b_key")).as("custkey"),
+            coalesce(col("n_a"), lit(0L)).as("n_1995"),
+            coalesce(col("n_b"), lit(0L)).as("n_1996"),
+            (coalesce(col("n_b"), lit(0L)) - coalesce(col("n_a"), lit(0L)))
+              .as("delta"))
+          .orderBy(col("custkey"))
+      },
+      Some("""
+        WITH a AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1),
+             b AS (SELECT o_custkey AS k, COUNT(*) AS n FROM orders
+                   WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                     AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00' GROUP BY 1)
+        SELECT coalesce(a.k, b.k) AS custkey,
+               coalesce(a.n, 0) AS n_1995,
+               coalesce(b.n, 0) AS n_1996,
+               coalesce(b.n, 0) - coalesce(a.n, 0) AS delta
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        ORDER BY custkey
+      """)),
+
+    // ------------------------------------------------------------------
     // Pivot: events day × event_type counts (explicit value list keeps the
     // plan a single pass; dynamic pivot would need a values scan first).
     Q("q_pivot",

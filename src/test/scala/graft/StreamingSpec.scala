@@ -101,6 +101,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("dedup").count() == 100)
   }
 
+  test("transformWithState version stamp: contiguous per-key versions across micro-batches") {
+    val dir = Files.createTempDirectory("graft-vstamp").toString
+    def ts(ms: Long) = new java.sql.Timestamp(1700000000000L + ms)
+    // Drop 1: u1 × 2, u2 × 1. Drop 2: u1 × 1, u2 × 2 — versions must
+    // CONTINUE from drop-1 state (4th u1 event → version 3, etc.).
+    Seq(graft.streaming.Sessionize.Event(1L, ts(0), "a"),
+      graft.streaming.Sessionize.Event(1L, ts(1000), "b"),
+      graft.streaming.Sessionize.Event(2L, ts(2000), "a"))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+    Thread.sleep(1100)
+    Seq(graft.streaming.Sessionize.Event(1L, ts(9000), "c"),
+      graft.streaming.Sessionize.Event(2L, ts(8000), "b"),
+      graft.streaming.Sessionize.Event(2L, ts(8500), "c"))
+      .toDF().coalesce(1).write.mode("append").parquet(dir)
+
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = graft.streaming.VersionStamp.stamp(
+        spark.readStream.schema(Seq.empty[graft.streaming.Sessionize.Event].toDF().schema)
+          .option("maxFilesPerTrigger", 1).parquet(dir)
+          .as[graft.streaming.Sessionize.Event])
+      val q = stream.writeStream.format("memory").queryName("vstamp")
+        .outputMode("append").start()
+      q.processAllAvailable(); q.stop()
+
+      val got = spark.table("vstamp")
+        .select("user_id", "event_type", "version")
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == Set(
+        (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L),
+        (2L, "a", 1L), (2L, "b", 2L), (2L, "c", 3L)), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched lefts null-pad once the watermark passes") {
     val ldir = Files.createTempDirectory("graft-ssl").toString
     val rdir = Files.createTempDirectory("graft-ssr").toString
