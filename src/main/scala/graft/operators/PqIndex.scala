@@ -67,7 +67,7 @@ object PqIndex {
   /** Per-subspace nearest-code column (argmin ‖x−c‖² ≙ argmax x·c − ‖c‖²/2,
     * centroids inlined as literals — the [[IvfIndex.cellId]] trick).
     */
-  private def code(model: Model, vec: Column, subIdx: Int): Column = {
+  private[operators] def code(model: Model, vec: Column, subIdx: Int): Column = {
     val x = sub(vec, subIdx, model.subDim)
     greatest(model.codebooks(subIdx).zipWithIndex.map { case (c, j) =>
       val half = c.map(v => v * v).sum / 2.0
