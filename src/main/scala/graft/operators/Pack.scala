@@ -10,19 +10,58 @@ import org.apache.spark.sql.functions._
   */
 object Pack {
 
+  /** Distributed exclusive prefix sum of `valCol` over `keyCol` order
+    * (keys must be non-negative: bucketing uses truncating `div`).
+    * Returns (keyCol, "off") where off = sum of valCol over all rows with
+    * strictly smaller keys.
+    *
+    * Recursive two-phase split: keys group into super-buckets of `fanout`
+    * consecutive key values, so every within-super window partition holds
+    * at most `fanout` rows; the super-bucket totals frame (≤ n/1 of the
+    * input, typically n/fanout) recurses until one bucket's worth
+    * remains. Depth is log_fanout(n); the ONLY unpartitioned window runs
+    * over ≤ `fanout` rows at the recursion floor; level joins are keyed
+    * on the super-bucket the window already partitioned by (exchange
+    * reuse), with no forced broadcast — AQE may still choose one when a
+    * level's offsets frame is genuinely small.
+    *
+    * Each level's input is materialized so the per-level row count (the
+    * recursion guard) is a cheap driver action, not a recompute.
+    */
+  private[graft] def exclusivePrefix(totals: DataFrame, keyCol: String,
+      valCol: String, fanout: Int): DataFrame = {
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val t = Materialize(totals.select(
+      col(keyCol).cast("long").as("k"), col(valCol).cast("long").as("v")))
+    if (t.count() <= fanout) {
+      val w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+      t.select(col("k").as(keyCol), coalesce(sum("v").over(w), lit(0L)).as("off"))
+    } else {
+      val withSb = t.withColumn("sb", expr(s"k div $fanout"))
+      val within = Window.partitionBy("sb").orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val inner = withSb.withColumn("woff", coalesce(sum("v").over(within), lit(0L)))
+      val superOff = exclusivePrefix(
+          withSb.groupBy("sb").agg(sum("v").as("sv")), "sb", "sv", fanout)
+        .withColumnRenamed("off", "soff")
+      inner.join(superOff, "sb")
+        .select(col("k").as(keyCol), (col("soff") + col("woff")).as("off"))
+    }
+  }
+
   /** Concatenate-and-split sequence packing: documents are laid out in
     * `idCol` order as one virtual token stream, which is then cut into
     * fixed-`capacity` training bins. Per document: its first bin, offset
     * inside that bin, and how many bins it spans.
     *
-    * Scale posture: the global prefix sum is TWO-PHASE — within-bucket
-    * cumulative sums partition by a row-bucket key (`idCol div
-    * bucketRows`, an all-parallel window), and only the per-bucket totals
-    * (rows/bucketRows of them) go through the small global-order window,
-    * whose output broadcasts back. No single-partition pass ever sees
-    * more than `bucketRows` rows or the bucket-total frame; at 100 TB the
-    * bucket-total frame (~rows/1e3) would recurse through the same
-    * two-phase split once more.
+    * Scale posture: the global prefix sum is fully recursive — within-
+    * bucket cumulative sums partition by a row-bucket key (`idCol div
+    * bucketRows`, an all-parallel window), and the per-bucket totals run
+    * through [[exclusivePrefix]], which keeps splitting until one
+    * bucket's worth of rows remains. No single-task pass ever sees more
+    * than `bucketRows` rows, and no broadcast grows with the input (the
+    * offsets join back to the per-doc frame on the bucket key the window
+    * already partitioned by).
     */
   def seqPack(df: DataFrame, idCol: String, textCol: String,
       capacity: Int = 256, bucketRows: Int = 50): DataFrame = {
@@ -32,15 +71,11 @@ object Pack {
     val within = Window.partitionBy("bkt").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withinCum = toks.withColumn("wcum", sum("n_tok").over(within))
-    val bucketTotals = toks.groupBy("bkt").agg(sum("n_tok").as("btok"))
-    // Exclusive prefix over bucket totals: tiny frame (rows/bucketRows),
-    // the only global-order window in the op.
-    val exclusive = Window.orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketTotals
-      .withColumn("boff", coalesce(sum("btok").over(exclusive), lit(0L)))
-      .select("bkt", "boff")
-    withinCum.join(broadcast(offsets), "bkt")
+    val offsets = exclusivePrefix(
+        toks.groupBy("bkt").agg(sum("n_tok").as("btok")), "bkt", "btok",
+        fanout = bucketRows)
+      .withColumnRenamed("off", "boff")
+    withinCum.join(offsets, "bkt")
       .withColumn("cum_end", col("boff") + col("wcum"))
       .select(col("doc_id"), col("n_tok"),
         expr(s"(cum_end - n_tok) div $capacity").as("bin"),

@@ -55,9 +55,9 @@ object CurationQueries {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
                 FROM toks)
         SELECT doc_id, n_tok,
-               (cum_end - n_tok) // 256 AS bin,
-               (cum_end - n_tok) % 256 AS bin_off,
-               (cum_end - 1) // 256 - (cum_end - n_tok) // 256 + 1 AS n_bins
+               CAST((cum_end - n_tok) // 256 AS BIGINT) AS bin,
+               CAST((cum_end - n_tok) % 256 AS BIGINT) AS bin_off,
+               CAST((cum_end - 1) // 256 - (cum_end - n_tok) // 256 + 1 AS BIGINT) AS n_bins
         FROM cum ORDER BY doc_id
       """)),
 

@@ -196,11 +196,15 @@ class EngineSpec extends AnyFunSuite {
     val chunkPlan = chunk.queryExecution.executedPlan.toString
     assert(!chunkPlan.contains("Exchange hashpartitioning"),
       s"docChunk gained a hash shuffle:\n$chunkPlan")
-    // seqPack: the only global-order window runs over the tiny bucket
-    // frame; the per-doc window partitions by bucket; offsets broadcast.
+    // seqPack: the recursive prefix sum leaves exactly ONE single-
+    // partition pass in the whole plan — the recursion-floor window over
+    // ≤ bucketRows rows. A second SinglePartition exchange would mean an
+    // unpartitioned window crept back over a data-sized frame.
     val pack = SparkEntry.queries("x_seq_pack")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(pack.contains("BroadcastHashJoin"), s"seqPack offsets not broadcast:\n$pack")
+    val singles = "Exchange SinglePartition".r.findAllIn(pack).length
+    assert(singles == 1,
+      s"seqPack should have exactly 1 SinglePartition exchange (recursion floor), got $singles:\n$pack")
     // rarity: the vocabulary-sized tf table reaches the probe side as a
     // broadcast, never a shuffle join.
     val rar = SparkEntry.queries("x_rarity_score")(spark, sfDir)
