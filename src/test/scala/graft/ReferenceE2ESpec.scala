@@ -104,4 +104,34 @@ class ReferenceE2ESpec extends AnyFunSuite {
     assert(Audit.readResources(spark, auditDir).count() == 2)
     assert(t2.filter(length(col("surrogate_id")) === 64).count() == 4)
   }
+
+  test("saveState promotes atomically: every crash window still loads a consistent state") {
+    val base = Files.createTempDirectory("graft-state").toString
+    val statePath = base + "/state.properties"
+    Ingest.saveState(spark, statePath, Map("r1" -> 100L))
+
+    // Crash window A: killed mid-.tmp-write — a torn .tmp sits next to an
+    // untouched state file. Load must ignore it; the next save overwrites.
+    java.nio.file.Files.write(java.nio.file.Paths.get(statePath + ".tmp"),
+      "r1=torn-garbag".getBytes("UTF-8"))
+    assert(Ingest.loadState(spark, statePath) == Map("r1" -> 100L))
+    Ingest.saveState(spark, statePath, Map("r1" -> 200L))
+    assert(Ingest.loadState(spark, statePath) == Map("r1" -> 200L))
+
+    // Crash window B: killed between "state -> .old" and ".tmp -> state"
+    // — only .old remains. Load heals it back to the previous complete
+    // state (the save never completed, so the caller re-extracts — the
+    // incremental contract, not data loss).
+    assert(new java.io.File(statePath)
+      .renameTo(new java.io.File(statePath + ".old")))
+    assert(!new java.io.File(statePath).exists())
+    assert(Ingest.loadState(spark, statePath) == Map("r1" -> 200L))
+    assert(new java.io.File(statePath).exists(), "heal must restore the state file")
+
+    // A clean save after healing leaves no residue files behind.
+    Ingest.saveState(spark, statePath, Map("r1" -> 300L, "r2" -> 1L))
+    assert(Ingest.loadState(spark, statePath) == Map("r1" -> 300L, "r2" -> 1L))
+    assert(!new java.io.File(statePath + ".old").exists())
+    assert(!new java.io.File(statePath + ".tmp").exists())
+  }
 }
