@@ -15,8 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    reference round-trips state.json through object storage).
   *  - Resources are files matched by glob + prefix (the reference filters
   *    CKAN resources by name prefix; same role).
-  *  - Excel is out of scope (no such input in this environment); formats are
-  *    the Spark-native parquet/csv/json readers.
+  *  - Formats are the Spark-native parquet/csv/json readers plus "xlsx"
+  *    via [[Xlsx]] (sheet selection + blacklist + header promotion, the
+  *    reference's actual input path).
   *
   * For continuous pipelines prefer StreamOps.readParquetStream (checkpointed
   * file source); this module is the batch/cron-shaped equivalent, like the
@@ -25,12 +26,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Ingest {
 
   final case class SourceCfg(
-      format: String, // parquet | csv | json
+      format: String, // parquet | csv | json | xlsx
       dir: String,
       glob: String = "*",
       prefix: String = "",
-      /** Resource-name substrings to skip (the reference's SHEET_BLACKLIST). */
+      /** Resource (file) name substrings to skip. */
       blacklist: Seq[String] = Nil,
+      /** Sheet names to skip inside xlsx resources (the reference's
+        * SHEET_BLACKLIST, matched accent-stripped + lowercased).
+        */
+      sheetBlacklist: Seq[String] = Nil,
       options: Map[String, String] = Map.empty)
 
   /** resource path → last-seen modification time (epoch millis). */
@@ -135,6 +140,14 @@ object Ingest {
         case "parquet" => reader.parquet(paths: _*)
         case "csv" => reader.option("header", "true").csv(paths: _*)
         case "json" => reader.json(paths: _*)
+        case "xlsx" =>
+          // Each spreadsheet parses driver-side (an xlsx is one
+          // unsplittable zip — same unit of work as the reference's
+          // per-resource pandas parse); files union by promoted header.
+          paths.map(p => Xlsx.read(spark, p, cfg.sheetBlacklist))
+            .filter(_.columns.nonEmpty)
+            .reduceOption((a, b) => a.unionByName(b, allowMissingColumns = true))
+            .getOrElse(spark.emptyDataFrame)
         case other => throw new IllegalArgumentException(s"unsupported format: $other")
       }
       Some((df, advanced))

@@ -1,0 +1,263 @@
+package graft.sources
+
+import java.util.zip.ZipFile
+
+import scala.collection.mutable
+
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.operators.FixHeader
+
+/** Minimal .xlsx ingestion — the reference pipeline's ACTUAL input format
+  * (reference etl/extract.py:240-289: `_pick_excel_sheets` + pandas
+  * `ExcelFile`/`parse` with a sheet blacklist). An xlsx is a zip of XML
+  * parts; this reads workbook/sharedStrings/worksheet parts with StAX —
+  * no spreadsheet library exists in this environment, and none is needed
+  * for the reference's usage (untyped cell grids + header promotion).
+  *
+  * Scale posture: one spreadsheet is a single zip — inherently unsplittable
+  * — so each resource parses driver-side exactly like the reference's
+  * per-resource pandas parse; cluster parallelism comes from fanning out
+  * ACROSS resources (Ingest lists many files per run) and from everything
+  * downstream of the parallelize. Cells surface as raw strings ("30.5",
+  * booleans as "0"/"1", dates as Excel serial numbers) — typing is
+  * TRANSFORM's job (t_coerce_types), same division of labor as the
+  * reference.
+  */
+object Xlsx {
+
+  // Hardened against XXE: spreadsheet inputs are untrusted.
+  private lazy val xif: XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
+  /** Accent-strip + lowercase + trim, the reference's `_normalize`
+    * (extract.py:228-232) used for blacklist matching.
+    */
+  private[sources] def norm(s: String): String =
+    java.text.Normalizer.normalize(Option(s).getOrElse("").trim,
+        java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", "").toLowerCase
+
+  /** Sheet names in workbook order. */
+  def sheetNames(path: String): Seq[String] = {
+    val zf = new ZipFile(path)
+    try sheetEntries(zf).map(_._1)
+    finally zf.close()
+  }
+
+  /** Reference `_pick_excel_sheets` (extract.py:240-253): purely-numeric
+    * sheet names not in the blacklist; else the first non-blacklisted
+    * sheet; else the first sheet.
+    */
+  def pickSheets(names: Seq[String], blacklist: Seq[String]): Seq[String] = {
+    val bl = blacklist.map(norm).toSet
+    val numeric = names.filter(s => s.trim.nonEmpty &&
+      s.trim.forall(_.isDigit) && !bl.contains(norm(s)))
+    if (numeric.nonEmpty) numeric
+    else names.find(s => !bl.contains(norm(s))).map(Seq(_))
+      .getOrElse(names.take(1))
+  }
+
+  /** One sheet as a dense string grid (null = empty cell), rows in
+    * document order, each padded to the sheet's max width.
+    */
+  def readSheetRows(path: String, sheet: String): Seq[Array[String]] = {
+    val zf = new ZipFile(path)
+    try {
+      val entries = sheetEntries(zf)
+      val rid = entries.collectFirst { case (n, r) if n == sheet => r }
+        .getOrElse(throw new IllegalArgumentException(
+          s"no sheet named '$sheet' in $path (have ${entries.map(_._1).mkString(", ")})"))
+      val target = relTargets(zf).getOrElse(rid,
+        throw new IllegalArgumentException(s"no relationship $rid in $path"))
+      val part = if (target.startsWith("/")) target.drop(1) else "xl/" + target
+      val shared = sharedStrings(zf)
+      val rows = parseSheet(zf, part, shared)
+      val width = rows.iterator.map(_.length).maxOption.getOrElse(0)
+      rows.map(r => if (r.length == width) r else r.padTo(width, null: String))
+    } finally zf.close()
+  }
+
+  /** Read an xlsx resource the way the reference does: pick sheets per
+    * `_pick_excel_sheets`, promote each sheet's header (FixHeader = the
+    * reference's `_fix_header`), then concat aligning columns by name
+    * (pandas `concat` semantics).
+    */
+  def read(spark: SparkSession, path: String,
+      sheetBlacklist: Seq[String] = Nil): DataFrame = {
+    val (local, isStaged) = localCopy(spark, path)
+    try {
+      val picked = pickSheets(sheetNames(local), sheetBlacklist)
+      val frames = picked.iterator.map(s => sheetDF(spark, local, s))
+        .filter(_.columns.nonEmpty).map(FixHeader(_)).toSeq
+      frames match {
+        case Seq() => spark.emptyDataFrame
+        case fs => fs.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      }
+    } finally if (isStaged) new java.io.File(local).delete()
+  }
+
+  /** ZipFile needs a real local file: unwrap file: URIs, stage any other
+    * Hadoop-readable scheme to a temp file first (the reference does the
+    * same — `_download_raw` stages remote resources to disk before
+    * pandas parses them, extract.py:258-276).
+    */
+  private def localCopy(spark: SparkSession, path: String): (String, Boolean) =
+    if (path.startsWith("file:")) (new java.net.URI(path).getPath, false)
+    else if (!path.contains(":/")) (path, false)
+    else {
+      val src = new org.apache.hadoop.fs.Path(path)
+      val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = java.nio.file.Files.createTempFile("graft-xlsx-", ".xlsx")
+      fs.copyToLocalFile(false, src,
+        new org.apache.hadoop.fs.Path(tmp.toString), true)
+      (tmp.toString, true)
+    }
+
+  /** One sheet as an untyped `_c0.._cN` frame (no header promotion). */
+  def sheetDF(spark: SparkSession, path: String, sheet: String): DataFrame = {
+    val rows = readSheetRows(path, sheet)
+    val width = rows.headOption.map(_.length).getOrElse(0)
+    val schema = StructType((0 until width)
+      .map(i => StructField(s"_c$i", StringType, nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => Row.fromSeq(r.toIndexedSeq)),
+        math.max(1, math.min(rows.size, 4))),
+      schema)
+  }
+
+  // ------------------------------------------------------------------
+  // XML part parsers
+  // ------------------------------------------------------------------
+
+  private def withPart[A](zf: ZipFile, name: String)(f: XMLStreamReader => A): Option[A] =
+    Option(zf.getEntry(name)).map { e =>
+      val in = zf.getInputStream(e)
+      val r = xif.createXMLStreamReader(in)
+      try f(r)
+      finally { r.close(); in.close() }
+    }
+
+  /** (sheet name, relationship id) in workbook order. */
+  private def sheetEntries(zf: ZipFile): Seq[(String, String)] =
+    withPart(zf, "xl/workbook.xml") { r =>
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          var name: String = null; var rid: String = null
+          (0 until r.getAttributeCount).foreach { i =>
+            r.getAttributeLocalName(i) match {
+              case "name" => name = r.getAttributeValue(i)
+              case "id" => rid = r.getAttributeValue(i) // r:id (namespaced)
+              case _ =>
+            }
+          }
+          if (name != null && rid != null) out += ((name, rid))
+        }
+      }
+      out.toSeq
+    }.getOrElse(throw new IllegalArgumentException(s"$zf: not an xlsx (no xl/workbook.xml)"))
+
+  /** relationship id → part target (relative to xl/). */
+  private def relTargets(zf: ZipFile): Map[String, String] =
+    withPart(zf, "xl/_rels/workbook.xml.rels") { r =>
+      val out = mutable.Map.empty[String, String]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          var id: String = null; var tgt: String = null
+          (0 until r.getAttributeCount).foreach { i =>
+            r.getAttributeLocalName(i) match {
+              case "Id" => id = r.getAttributeValue(i)
+              case "Target" => tgt = r.getAttributeValue(i)
+              case _ =>
+            }
+          }
+          if (id != null && tgt != null) out(id) = tgt
+        }
+      }
+      out.toMap
+    }.getOrElse(Map.empty)
+
+  /** Shared string table; rich-text runs concatenate their `<t>` parts. */
+  private def sharedStrings(zf: ZipFile): IndexedSeq[String] =
+    withPart(zf, "xl/sharedStrings.xml") { r =>
+      val out = mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inSi = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
+            inSi = true; sb.clear()
+          case XMLStreamConstants.START_ELEMENT if inSi && r.getLocalName == "t" =>
+            sb.append(r.getElementText)
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
+            inSi = false; out += sb.toString
+          case _ =>
+        }
+      }
+      out.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+  /** "BC12" → 0-based column index 54. */
+  private[graft] def colIndex(ref: String): Int = {
+    val letters = ref.takeWhile(_.isLetter)
+    letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
+  }
+
+  private def parseSheet(zf: ZipFile, part: String,
+      shared: IndexedSeq[String]): Seq[Array[String]] =
+    withPart(zf, part) { r =>
+      val rows = mutable.ArrayBuffer.empty[Array[String]]
+      val cells = mutable.Map.empty[Int, String]
+      var lastCol = -1
+      var cellCol = -1
+      var cellType = ""
+      var inIs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "row" => cells.clear(); lastCol = -1
+            case "c" =>
+              val ref = Option(r.getAttributeValue(null, "r"))
+              cellCol = ref.map(colIndex).getOrElse(lastCol + 1)
+              lastCol = cellCol
+              cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              inIs = false
+            case "is" => inIs = true
+            case "v" =>
+              val raw = r.getElementText
+              val v =
+                if (cellType == "s")
+                  shared.lift(raw.trim.toInt).getOrElse(raw)
+                else raw
+              if (cellCol >= 0) cells(cellCol) = v
+            case "t" if inIs =>
+              if (cellCol >= 0) cells(cellCol) = r.getElementText
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+            case "row" =>
+              if (cells.nonEmpty) {
+                val width = cells.keys.max + 1
+                val arr = new Array[String](width)
+                cells.foreach { case (i, v) => arr(i) = v }
+                rows += arr
+              } else rows += Array.empty[String]
+            case "is" => inIs = false
+            case "c" => cellCol = -1
+            case _ =>
+          }
+          case _ =>
+        }
+      }
+      rows.toSeq
+    }.getOrElse(throw new IllegalArgumentException(s"missing worksheet part $part"))
+}
