@@ -381,6 +381,28 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Scale-path deciles: q_ntile's answer WITHOUT the global sort. One
+    // mergeable sketch agg yields the 9 boundary values (bounded: 9
+    // doubles broadcast), then a fully parallel scan buckets every row
+    // by boundary comparison. This is how the decile question survives
+    // 100 TB; exact ntile above exists for its semantics. Rows-only
+    // (sketch families differ across engines); error bound vs exact
+    // asserted in DataPipelineSpec.
+    Q("q_ntile_approx",
+      (s, dir) => {
+        val cust = Tables.customer(s, dir)
+        val bounds = cust.agg(percentile_approx(col("c_acctbal"),
+          array((1 to 9).map(i => lit(i / 10.0)): _*), lit(10000)).as("bs"))
+        cust.crossJoin(broadcast(bounds))
+          .withColumn("decile",
+            (size(filter(col("bs"), b => col("c_acctbal") > b)) + 1).cast("int"))
+          .groupBy(col("decile"))
+          .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("sum_bal"))
+          .orderBy(col("decile"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // Approximate aggregates — the sketches a 100 TB engine actually
     // runs: HLL++ distinct counts and t-digest-style percentiles. Not
     // cross-engine matchable (different sketch families) → rows-only;

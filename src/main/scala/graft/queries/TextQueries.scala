@@ -27,10 +27,36 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // 31: char-4-gram Jaccard set-similarity join, top-20 pairs
+    // 31: word-3-gram Jaccard set-similarity join, top-20 pairs. Oracle-
+    // checked: the corpus is ASCII/lowercase/single-spaced, so the native
+    // tokenizer reduces to string_split and the whole posting/df-cut/
+    // pair-count pipeline is exact integer arithmetic on both engines;
+    // the only double (shared / union) divides identical ints.
     Q("d_dedup_ngram_jaccard",
-      (s, dir) => TextDedup.ngramJaccardTopK(Tables.documents(s, dir), "doc_id", "text"),
-      None),
+      (s, dir) => TextDedup.ngramJaccardTopK(Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(jaccard * 1e9) AS BIGINT)").as("jaccard_e9")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+        cutx AS (SELECT * FROM ex WHERE shingle NOT IN
+                   (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) > 200)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+                  FROM cutx a JOIN cutx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        shared AS (SELECT id_a, id_b, sz_a, sz_b, COUNT(*) AS shared
+                   FROM pairs GROUP BY 1, 2, 3, 4),
+        scored AS (SELECT id_a, id_b,
+                          CAST(shared AS DOUBLE) / (sz_a + sz_b - shared) AS jaccard
+                   FROM shared)
+        SELECT id_a, id_b, CAST(floor(jaccard * 1e9) AS BIGINT) AS jaccard_e9
+        FROM scored ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+      """)),
 
     // ------------------------------------------------------------------
     // 43j: content-defined chunk dedup — rolling-hash boundaries
@@ -64,15 +90,36 @@ object TextQueries {
     // ------------------------------------------------------------------
     // 31c: PPJoin-style EXACT thresholded Jaccard self-join (prefix
     // filtering under a rarest-first shingle order) — the exact-at-any-
-    // scale sibling of the top-k variant. Rows-only; equality with the
-    // brute-force join is spec'd in TextOpsSpec.
+    // scale sibling of the top-k variant. Oracle = brute-force DuckDB
+    // join (candidates by any shared shingle, exact intersection over the
+    // full sets); equality with brute force also spec'd in TextOpsSpec.
     Q("d_dedup_ppjoin",
       (s, dir) => TextDedup.ngramJaccardJoin(
           Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
         .groupBy()
         .agg(count(lit(1)).as("n_pairs"),
-          Q.dsum(col("jaccard")).as("sum_jaccard")),
-      None),
+          sum(expr("CAST(floor(jaccard * 1e9) AS BIGINT)")).as("sum_jaccard_e9")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        scored AS (SELECT c.id_a, c.id_b,
+                          CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+                   FROM cand c
+                   JOIN sh a ON a.doc_id = c.id_a
+                   JOIN sh b ON b.doc_id = c.id_b)
+        SELECT COUNT(*) AS n_pairs,
+               CAST(sum(CAST(floor(jaccard * 1e9) AS BIGINT)) AS BIGINT) AS sum_jaccard_e9
+        FROM scored WHERE jaccard >= 0.8
+      """)),
 
     // ------------------------------------------------------------------
     // 32: MinHash + LSH banding, top-20 candidates by estimated Jaccard
@@ -94,15 +141,38 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
-    // 35: brute-force cosine top-5 neighbors for 10 query vectors
+    // 35: brute-force cosine top-5 neighbors for 10 query vectors, on the
+    // fast native VecDot path. Oracle-checked: VecDot is a left-to-right
+    // accumulate from 0.0, exactly DuckDB's list_reduce left fold
+    // (0.0 + e1 == e1), and cosine divides by sqrt(na)*sqrt(nb) on both
+    // sides — so the NATIVE expression is verified bit-level against the
+    // portable fold, not just row counts.
     Q("s_cosine_topk",
       (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-          .withColumn("cosine", round(col("cosine"), 6))
+          .select(col("query_id"), col("id"),
+            expr("CAST(floor(cosine * 1e9) AS BIGINT)").as("cosine_e9"),
+            col("rk").cast("long").as("rk"))
           .orderBy(col("query_id"), col("rk"))
       },
-      None),
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM v),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        pairs AS (
+          SELECT query_id, n.vec_id AS id,
+                 list_reduce(list_transform(range(1, 65), i -> v[i] * qv[i]), (a, b) -> a + b)
+                   / (qnrm * nrm) AS cosine
+          FROM q, n WHERE n.vec_id <> query_id),
+        ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, id) AS rk FROM pairs)
+        SELECT query_id, id, CAST(floor(cosine * 1e9) AS BIGINT) AS cosine_e9, rk
+        FROM ranked WHERE rk <= 5 ORDER BY query_id, rk
+      """)),
 
     // ------------------------------------------------------------------
     // 36: ANN via wider LSH buckets (4 planes → coarser, higher recall)

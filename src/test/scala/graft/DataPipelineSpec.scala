@@ -105,6 +105,27 @@ class DataPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("approx deciles track exact ntile within tolerance, with no global sort") {
+    val approx = SparkEntry.queries("q_ntile_approx")(spark, sfDir)
+    // Scale shape: no global-order Window (that's q_ntile's cost), and
+    // the only SinglePartition exchange is the sketch merge — crossed by
+    // one constant-size partial buffer per partition, not by data rows.
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"q_ntile_approx must not use a window:\n$plan")
+    val singles = "Exchange SinglePartition".r.findAllIn(plan).length
+    assert(singles == 1 && plan.contains("partial_percentile_approx"),
+      s"q_ntile_approx: only the partial-sketch merge may be single-partition:\n$plan")
+    val a = approx.select("decile", "n").as[(Int, Long)].collect().toMap
+    val exact = SparkEntry.queries("q_ntile")(spark, sfDir)
+      .select("decile", "n").as[(Int, Long)].collect().toMap
+    assert(a.keySet == (1 to 10).toSet)
+    val n = exact.values.sum
+    (1 to 10).foreach { d =>
+      assert(math.abs(a(d) - exact(d)).toDouble / (n / 10.0) <= 0.05,
+        s"decile $d: approx ${a(d)} vs exact ${exact(d)}")
+    }
+  }
+
   test("x_ngram_freq is a deterministic top-20 by document frequency") {
     val a = q("x_ngram_freq").as[(String, Long)].collect()
     val b = q("x_ngram_freq").as[(String, Long)].collect()
