@@ -47,15 +47,27 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
+    // Locale-pinned formatting: f"" uses the JVM default locale, and a
+    // comma-decimal locale would emit unparseable JSON numbers.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def jmap(m: Iterable[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      m.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println("BENCH_DETAIL " + jmap(results))
     val head = headline.flatMap(k => results.get(k).map(k -> _))
     // Final line LAST and < ~1 KB: the driver's captured tail is 2000
     // chars, so a full 100+-query map gets its front truncated and fails
     // to parse (rounds 1-2 shipped "parsed": null because of this).
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}"""
+    println(line)
+    // Also persisted to a file so the result never depends on how much
+    // of stdout the harness keeps.
+    try {
+      val w = new java.io.PrintWriter("bench.json", "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
     spark.stop()
   }
 }

@@ -30,7 +30,8 @@ object DedupResolve {
     * corpus (that is the point of LSH); below `driverThreshold` edges the
     * graph is solved with driver-side union-find in one collect instead of
     * O(log n) distributed rounds of join+agg jobs (measured ~0.5 s of
-    * scheduler overhead per round). Above it, min-label propagation runs
+    * scheduler overhead per round). Above it, alternating large-star/
+    * small-star rounds ([[starComponents]], diameter-independent) run
     * distributed.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,

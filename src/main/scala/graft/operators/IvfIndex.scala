@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,8 +34,8 @@ object IvfIndex {
     val base = if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
     // Normalize the element type first: the rest of the module (VecDot)
     // accepts float OR double arrays, so training must too.
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
-    val feats = base.select(toVec(col(vecCol).cast("array<double>")).as("features"))
+    val feats = base.select(org.apache.spark.ml.functions.array_to_vector(
+      col(vecCol).cast("array<double>")).as("features"))
     // Seeded random init: k-means|| costs ~5 extra distributed passes and
     // an IVF codebook over a uniform sample doesn't need it.
     val km = new KMeans().setK(k).setSeed(seed).setMaxIter(maxIter).setTol(1e-3)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -47,7 +46,6 @@ object PqIndex {
     val dim = base.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val subDim = dim / m
-    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
     // One cheap pass materializes all m slices; each sub-training reads
     // its own narrow column of the cached slice frame.
     val sliced = base.select((0 until m).map(s =>
@@ -57,7 +55,8 @@ object PqIndex {
       val books = (0 until m).map { s =>
         val km = new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
           .setTol(1e-3).setInitMode("random")
-        km.fit(sliced.select(toVec(col(s"s$s")).as("features")))
+        km.fit(sliced.select(org.apache.spark.ml.functions.array_to_vector(
+            col(s"s$s")).as("features")))
           .clusterCenters.map(_.toArray)
       }.toArray
       Model(books)

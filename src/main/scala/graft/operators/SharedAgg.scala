@@ -82,8 +82,11 @@ object SharedAgg {
       inputPartitions: Option[Int] = None): DataFrame = {
     require(specs.map(_.name).distinct.size == specs.size, "duplicate spec names")
     val keys = allKeys(specs)
-    val sets = specs.map(_.groupBy).distinct
-      .map(g => keys.filter(g.contains).map(col))
+    // Canonicalize (key-order) BEFORE distinct: two specs grouping by the
+    // same keys in different Seq order must share one grouping set, or
+    // split() would hand both specs every result row twice.
+    val sets = specs.map(_.groupBy).map(g => keys.filter(g.contains)).distinct
+      .map(_.map(col))
     // TWO-LEVEL aggregation, not grouping sets over the fact: level 1
     // groups by the UNION of all key sets (every spec's set is a subset,
     // so every coarser result is derivable by re-aggregation — count/sum

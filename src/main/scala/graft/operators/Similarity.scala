@@ -80,9 +80,16 @@ object Similarity {
     * inlined as literals, making assignment a narrow broadcast-free pass.
     * Returns (label, assigned, n): the label-vs-nearest-centroid confusion
     * counts.
+    *
+    * Bounded by construction: the collect + literal inlining assume a
+    * CLASS-LABEL-sized label space (tens to hundreds — codebooks,
+    * language ids, source buckets). `maxLabels` makes the bound explicit:
+    * a high-cardinality label column (user ids…) would inline a
+    * plan-sized expression per label and must go through a join-based
+    * assignment instead.
     */
   def labelCentroidAssign(corpus: DataFrame, idCol: String, vecCol: String,
-      labelCol: String): DataFrame = {
+      labelCol: String, maxLabels: Int = 1024): DataFrame = {
     // Generic over the label type (any orderable, lit-able value);
     // null-label rows contribute no centroid but are still assigned.
     val centroids = corpus
@@ -97,6 +104,9 @@ object Similarity {
       .map(r => r.get(0) -> r.getSeq[Double](1))
       .sortWith((a, b) => a._1.asInstanceOf[Comparable[Any]].compareTo(b._1) < 0)
     require(centroids.nonEmpty, "labelCentroidAssign needs at least one non-null label")
+    require(centroids.length <= maxLabels,
+      s"labelCentroidAssign: ${centroids.length} labels exceeds maxLabels=$maxLabels " +
+        "(literal-inlined centroids need a class-label-sized label space)")
     val scored = centroids.map { case (lbl, cvec) =>
       struct(cosine(col(vecCol), typedlit(cvec)).as("score"), lit(lbl).as("cl"))
     }

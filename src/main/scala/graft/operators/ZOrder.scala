@@ -31,7 +31,12 @@ object ZOrder {
       max(col(c).cast("double")).as(s"mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     colNames.zipWithIndex.map { case (c, i) =>
-      c -> (row.getDouble(2 * i), row.getDouble(2 * i + 1))
+      // Empty input or an all-NULL column yields NULL aggregates — fall
+      // back to a degenerate (0, 0) range (all rows normalize to 0, the
+      // NULLS FIRST contract) instead of an NPE.
+      val mn = if (row.isNullAt(2 * i)) 0.0 else row.getDouble(2 * i)
+      val mx = if (row.isNullAt(2 * i + 1)) 0.0 else row.getDouble(2 * i + 1)
+      c -> (mn, mx)
     }.toMap
   }
 
