@@ -45,19 +45,10 @@ object Ingest {
   // State file (reference etl/get_status.py: ensure_state_locally)
   // ------------------------------------------------------------------
 
-  /** Restore the state file from a half-finished [[saveState]] swap: a
-    * crash between "state → .old" and ".tmp → state" leaves only `.old`,
-    * which still holds the previous complete state (reference
-    * etl/load.py `_promote_state_atomic`'s recovery window).
-    */
-  private def healState(fs: org.apache.hadoop.fs.FileSystem,
-      p: Path, old: Path): Unit =
-    if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
-
   def loadState(spark: SparkSession, statePath: String): IngestState = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    healState(fs, p, new Path(statePath + ".old"))
+    StateFiles.heal(fs, p)
     if (!fs.exists(p)) Map.empty
     else {
       val in = fs.open(p)
@@ -72,32 +63,22 @@ object Ingest {
   }
 
   /** Atomic state promotion (reference etl/load.py:534-606,
-    * `_promote_state_atomic`): the new state is fully written to `.tmp`
-    * first, then promoted by rename, so a crash at any point leaves
-    * either the previous complete state, a recoverable `.old` (healed by
-    * the next load/save), or the new complete state — never a torn file.
-    * A plain overwrite of the watermark file would corrupt ALL
-    * incremental progress on a mid-write crash.
+    * `_promote_state_atomic`, via [[StateFiles.atomicWriteWith]]): the new
+    * state is fully written to `.tmp` first, then promoted by rename, so
+    * a crash at any point leaves either the previous complete state, a
+    * recoverable `.old` (healed by the next load/save), or the new
+    * complete state — never a torn file. A plain overwrite of the
+    * watermark file would corrupt ALL incremental progress on a
+    * mid-write crash.
     */
   def saveState(spark: SparkSession, statePath: String, state: IngestState): Unit = {
     val p = new Path(statePath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(statePath + ".tmp")
-    val old = new Path(statePath + ".old")
-    healState(fs, p, old)
-    val out = fs.create(tmp, true)
-    try {
+    StateFiles.atomicWriteWith(fs, p) { out =>
       val props = new java.util.Properties()
       state.foreach { case (k, v) => props.setProperty(k, v.toString) }
       props.store(out, "graft ingest state")
-    } finally out.close()
-    // Hadoop rename/delete report failure by RETURNING false.
-    def must(ok: Boolean, what: String): Unit =
-      if (!ok) throw new java.io.IOException(s"saveState: $what failed for $statePath")
-    if (fs.exists(old)) must(fs.delete(old, false), "delete stale .old")
-    if (fs.exists(p)) must(fs.rename(p, old), "rename state -> .old")
-    must(fs.rename(tmp, p), "rename .tmp -> state")
-    if (fs.exists(old)) must(fs.delete(old, false), "delete .old")
+    }
   }
 
   // ------------------------------------------------------------------

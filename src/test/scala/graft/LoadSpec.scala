@@ -85,17 +85,25 @@ object LoadSinks {
   val sleepLog = new java.lang.StringBuffer()
   val failFirst = new AtomicInteger(0)
   val failEveryOther = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val maxSeenBatch = new AtomicInteger(0)
   private val calls = new AtomicInteger(0)
 
   def reset(): Unit = {
     landed.clear(); sleeps.set(0); sleepLog.setLength(0)
     failFirst.set(0); failEveryOther.set(false); calls.set(0)
+    maxSeenBatch.set(0)
   }
 
   val recordSleep: Int => Unit = s => { sleeps.incrementAndGet(); sleepLog.append(s"$s,") }
 
   private def land(rows: Seq[Row]): Unit =
     rows.foreach(r => landed.put(r.getLong(0), r.getString(1)))
+
+  /** Healthy sink that just records rows and the largest batch seen. */
+  val collecting: Load.BatchWriter = rows => {
+    maxSeenBatch.getAndUpdate(m => math.max(m, rows.size))
+    land(rows)
+  }
 
   /** Rejects payloads over 50 rows (the oversize/413 shape). */
   val maxBatch50: Load.BatchWriter = rows => {
