@@ -269,6 +269,82 @@ object DataPipelineQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM s GROUP BY user_id, sid
         ORDER BY user_id, session_start
+      """)),
+
+    // ------------------------------------------------------------------
+    // TF-IDF top terms per document, INTEGER-EXACT: idf is the scaled
+    // integer ratio (N*1e6) div df — rank-equivalent to log-idf for
+    // per-doc ordering and exact on both engines (ln() is libm-dependent
+    // and can differ by an ulp across engines). Two shuffles: the tf agg
+    // keyed by (doc, term) and the per-doc top-k window; the df table is
+    // vocabulary-sized and broadcasts. Ties break by term asc.
+    Q("x_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+        val ex = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        val tf = ex.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("tok"))
+        tf.join(broadcast(dfreq), "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("idf_e6", expr("(n_docs * 1000000) div df"))
+          .withColumn("tfidf", col("tf") * col("idf_e6"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("tok"), col("tf"), col("idf_e6"),
+            col("tfidf"), col("rk"))
+          .orderBy(col("doc_id"), col("rk"))
+      },
+      Some("""
+        WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+        dfreq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT doc_id, tok, tf,
+                 (n_docs * 1000000) // df AS idf_e6,
+                 tf * ((n_docs * 1000000) // df) AS tfidf
+          FROM tf JOIN dfreq USING (tok), n)
+        SELECT doc_id, tok, tf, idf_e6, tfidf, rk FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok) AS rk
+          FROM scored) WHERE rk <= 3
+        ORDER BY doc_id, rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // Dataset card: the per-source summary a curation run publishes
+    // (docs, bytes, languages, exact-dup rate, token volume) in ONE pass
+    // over the corpus plus a token count — all integer-exact. The
+    // "how much of each source survives and how big is it really"
+    // artifact every training-data pipeline reports.
+    Q("x_dataset_card",
+      (s, dir) => Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(sha2(col("text"), 256)).as("n_uniq_texts"),
+          sum(graft.functions.tokenCount(col("text"))).as("total_toks"))
+        .withColumn("toks_per_doc", expr("total_toks div n_docs"))
+        .withColumn("dup_pm", expr("((n_docs - n_uniq_texts) * 1000000) div n_docs"))
+        .orderBy(col("source")),
+      Some("""
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               COUNT(DISTINCT lang) AS n_langs,
+               COUNT(DISTINCT sha256(text)) AS n_uniq_texts,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_toks,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                 // COUNT(*) AS toks_per_doc,
+               ((COUNT(*) - COUNT(DISTINCT sha256(text))) * 1000000)
+                 // COUNT(*) AS dup_pm
+        FROM documents GROUP BY source ORDER BY source
       """))
   )
 }

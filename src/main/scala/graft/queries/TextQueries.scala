@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupResolve, Multimodal, Similarity, TextDedup, TextStats}
+import graft.operators.{DedupResolve, IvfIndex, Multimodal, SemDedup, Similarity, TextDedup, TextStats}
 import graft.sources.Tables
 
 /** LLM-training-data operators (SURVEY.md §2.3) wired to the driver tables.
@@ -479,6 +479,46 @@ object TextQueries {
     Q("s_label_centroids",
       (s, dir) => Similarity.labelCentroidAssign(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
+      None),
+
+    // ------------------------------------------------------------------
+    // 30c: the full fuzzy-dedup production path composed end-to-end:
+    // MinHash-LSH candidates → connected components → min-id survivor →
+    // anti-join the corpus (the SlimPajama/CCNet-style pipeline). Every
+    // stage is an operator already verified on its own (d_dedup_minhash
+    // _lsh, d_dedup_resolve, d_dedup_apply); this registers their
+    // COMPOSITION, which is what a user actually runs. Rows-only
+    // (minhash family not SQL-expressible); end-to-end collapse
+    // semantics spec'd in TextOpsSpec.
+    Q("d_dedup_fuzzy_apply",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val pairs = TextDedup.minhashLshTopK(docs, "doc_id", "text", k = 500)
+          .filter(col("est_jaccard") >= 0.5)
+          .select("id_a", "id_b")
+        DedupResolve.dropDuplicates(docs, "doc_id", pairs)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), Q.dsum(col("n_chars")).as("chars_kept"))
+          .orderBy(col("source"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // 34c: SemDeDup — semantic (embedding-space) dedup, cluster-bounded:
+    // k-means cells confine the quadratic compare, oversized cells
+    // refine by hyperplane sign bits (operators/SemDedup.scala). The
+    // codebook is the same IVF training path the ANN index uses.
+    // Rows-only (k-means + float cosine); collapse semantics and the
+    // oversized-cell guard spec'd in SessionizeIvfSpec.
+    Q("d_dedup_semantic",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val model = IvfIndex.train(emb, "embedding", k = 16, seed = 42L)
+        SemDedup.semanticDedup(emb, "vec_id", "embedding", model, tau = 0.99)
+          .groupBy(col("label"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("label"))
+      },
       None)
   )
 }

@@ -165,6 +165,39 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"recall $recall too low")
   }
 
+  test("SemDeDup: scaled/near copies collapse within cells, distinct vectors survive") {
+    import graft.operators.SemDedup
+    val dim = 8
+    def v(xs: Double*): Seq[Float] =
+      (xs ++ Seq.fill(dim - xs.size)(0.0)).map(_.toFloat)
+    val emb = Seq(
+      (1L, v(1.0)), (2L, v(0.9)), // scaled copy: cosine 1.0
+      (3L, v(0.99, 0.01)), // near copy of 1: cosine ≈ 0.9999
+      (10L, v(0.0, 1.0)), (11L, v(0.0, 0.8)), // second dup group
+      (20L, v(0.0, 0.0, 1.0)), // distinct singles
+      (21L, v(0.0, 0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val model = IvfIndex.train(emb, "embedding", k = 3, seed = 42L)
+
+    val kept = SemDedup.semanticDedup(emb, "vec_id", "embedding", model, tau = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 10L, 20L, 21L),
+      "min id survives each semantic group; distinct vectors untouched")
+
+    // Oversized-cell guard: with maxCell=1 every cell refines by
+    // hyperplane sign bits — identical-direction vectors share the
+    // sub-bucket by construction, so true duplicate pairs still surface.
+    val pairs = SemDedup.semanticPairs(emb, "vec_id", "embedding", model,
+      tau = 0.99, maxCell = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "scaled copies survive the refinement")
+    // And the refinement stays a strict subset of the unguarded pairs.
+    val full = SemDedup.semanticPairs(emb, "vec_id", "embedding", model,
+      tau = 0.99, maxCell = 1000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.subsetOf(full))
+  }
+
   test("PQ: codes compress 32x, reconstruction is sane, ADC recall beats chance") {
     import graft.operators.PqIndex
     val sfDir = "/root/testdata/sf0.001"

@@ -36,6 +36,24 @@ class TextOpsSpec extends AnyFunSuite {
     assert(top.head == ((1L, 2L, 1.0)))
   }
 
+  test("fuzzy dedup end-to-end: LSH pairs → components → min-id survivors") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val docs = Seq(
+      (1L, base, "web"),
+      (2L, base, "web"), // exact dup of 1
+      (3L, base + " tomorrow", "web"), // near dup of 1/2 → same component
+      (4L, "completely different words occupy this unrelated document body here", "book"),
+      (5L, "another entirely distinct passage with its own vocabulary set", "book")
+    ).toDF("doc_id", "text", "source")
+    val pairs = TextDedup.minhashLshTopK(docs, "doc_id", "text", k = 100, maxBucket = 10)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val kept = DedupResolve.dropDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L),
+      "the {1,2,3} component keeps its min id; distinct docs survive")
+  }
+
   test("simhash: identical → hamming 0; sketch is deterministic") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "omega psi chi phi")).toDF("doc_id", "text")
