@@ -105,6 +105,76 @@ class ReferenceE2ESpec extends AnyFunSuite {
     assert(t2.filter(length(col("surrogate_id")) === 64).count() == 4)
   }
 
+  test("remote catalog -> xlsx download -> ingest -> transform -> load -> promote, incrementally") {
+    import graft.sources.{Catalog, Xlsx}
+    val base = Files.createTempDirectory("graft-cat-e2e").toString
+    val rawDir = base + "/raw"
+    val catState = base + "/catalog_state.json"
+    val ingState = base + "/ingest_state.properties"
+    val target = base + "/table"
+    val auditDir = base + "/audit"
+
+    // The remote resource: a two-sheet xlsx (numeric data sheets + a
+    // blacklisted notes sheet), served by a scripted fetcher — the
+    // reference's CKAN package with one spreadsheet resource.
+    val xlsxPath = base + "/fixture.xlsx"
+    XlsxFixture.writeXlsx(xlsxPath, Seq(
+      "1" -> Seq(
+        Seq("Código", "Edad", "Fecha"),
+        Seq("A1", 30, "2024-01-10 00:00:00"),
+        Seq("A2", 41, "2024-02-02 00:00:00")),
+      "Notas" -> Seq(Seq("junk"))))
+    val xlsxBytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(xlsxPath))
+    def pkg(lastMod: String) =
+      s"""{"success": true, "result": {"resources": [
+         |  {"id": "r1", "name": "detenciones", "url": "http://x/d1",
+         |   "format": "XLSX", "last_modified": "$lastMod", "size": ${xlsxBytes.length}}
+         |]}}""".stripMargin
+    def fetcher(lastMod: String) = new Catalog.Fetcher {
+      override def get(url: String, params: Map[String, String]): Catalog.FetchResponse =
+        url match {
+          case "api" => Catalog.FetchResponse(200, pkg(lastMod).getBytes("UTF-8"))
+          case "http://x/d1" => Catalog.FetchResponse(200, xlsxBytes)
+          case other => fail(s"unexpected fetch: $other")
+        }
+    }
+
+    // Pass 1: catalog sync stages the xlsx; ingest + pipeline + load.
+    val s1 = Catalog.sync(spark, fetcher("2024-03-01T00:00:00"), "api", "pkg",
+      "deten", rawDir, catState)
+    assert(s1.downloaded == Seq(s"$rawDir/detenciones.xlsx"))
+    val srcCfg = Ingest.SourceCfg(format = "xlsx", dir = rawDir, glob = "*.xlsx",
+      sheetBlacklist = Seq("notas"))
+    val (raw1, st1) = Ingest.extractUpdated(spark, srcCfg, ingState).get
+    val res1 = Runner.run(spark, Map("detenciones" -> raw1), cfg, target, auditDir, "run_c1")
+    assert(res1.status == "ok" && res1.rowsInTotal == 2)
+    // Promote BOTH states only after the load landed (reference contract).
+    Ingest.saveState(spark, ingState, st1)
+    Catalog.saveCatalogState(spark, catState, s1.state)
+    assert(spark.read.parquet(target).count() == 2)
+
+    // Pass 2, nothing changed upstream: no download, no re-extract.
+    val s2 = Catalog.sync(spark, fetcher("2024-03-01T00:00:00"), "api", "pkg",
+      "deten", rawDir, catState)
+    assert(s2.downloaded.isEmpty && s2.unchanged == 1)
+    assert(Ingest.extractUpdated(spark, srcCfg, ingState).isEmpty)
+
+    // Pass 3, resource republished (new last_modified): the full chain
+    // re-runs and the upsert keeps the table idempotent.
+    val s3 = Catalog.sync(spark, fetcher("2024-04-01T00:00:00"), "api", "pkg",
+      "deten", rawDir, catState)
+    assert(s3.downloaded.size == 1 &&
+      s3.reasons == Seq(Catalog.DiffReason("r1", "last_modified")))
+    val (raw3, st3) = Ingest.extractUpdated(spark, srcCfg, ingState).get
+    val res3 = Runner.run(spark, Map("detenciones" -> raw3), cfg, target, auditDir, "run_c2")
+    assert(res3.status == "ok")
+    Ingest.saveState(spark, ingState, st3)
+    Catalog.saveCatalogState(spark, catState, s3.state)
+    assert(spark.read.parquet(target).count() == 2, "upsert on same keys stays 2 rows")
+    assert(Audit.readRuns(spark, auditDir)
+      .filter(col("run_id").startsWith("run_c")).count() == 2)
+  }
+
   test("saveState promotes atomically: every crash window still loads a consistent state") {
     val base = Files.createTempDirectory("graft-state").toString
     val statePath = base + "/state.properties"

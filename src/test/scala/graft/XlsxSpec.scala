@@ -18,76 +18,7 @@ import graft.sources.{Ingest, Xlsx}
   */
 class XlsxSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
-
-  // ------------------------------------------------------------------
-  // Fixture builder
-  // ------------------------------------------------------------------
-
-  /** Marks a cell to be written as an inline string (t="inlineStr"). */
-  private case class Inline(s: String)
-
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
-
-  private def colRef(i: Int): String = {
-    var n = i + 1; val sb = new StringBuilder
-    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
-    sb.toString
-  }
-
-  /** Writes a minimal-but-valid xlsx: workbook + rels + sharedStrings +
-    * one worksheet part per sheet. Cell values: String → shared string,
-    * Inline → inline string, Int/Double → number, null → omitted cell.
-    */
-  private def writeXlsx(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
-    val strings = mutable.LinkedHashMap.empty[String, Int]
-    def sidx(s: String): Int = strings.getOrElseUpdate(s, strings.size)
-    val sheetXmls = sheets.map { case (_, rows) =>
-      val rowsXml = rows.zipWithIndex.map { case (cells, ri) =>
-        val cellsXml = cells.zipWithIndex.collect {
-          case (v, ci) if v != null =>
-            val ref = s"${colRef(ci)}${ri + 1}"
-            v match {
-              case s: String => s"""<c r="$ref" t="s"><v>${sidx(s)}</v></c>"""
-              case Inline(s) => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
-              case n => s"""<c r="$ref"><v>$n</v></c>"""
-            }
-        }.mkString
-        s"""<row r="${ri + 1}">$cellsXml</row>"""
-      }.mkString
-      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-        "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
-        s"<sheetData>$rowsXml</sheetData></worksheet>"
-    }
-    val workbook = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-      "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
-      "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\"><sheets>" +
-      sheets.zipWithIndex.map { case ((name, _), i) =>
-        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
-      }.mkString + "</sheets></workbook>"
-    val rels = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-      "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
-      sheets.indices.map { i =>
-        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
-      }.mkString + "</Relationships>"
-    val sst = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
-      s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">""" +
-      strings.keys.map(s => s"<si><t>${esc(s)}</t></si>").mkString + "</sst>"
-
-    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
-    def put(name: String, content: String): Unit = {
-      zos.putNextEntry(new ZipEntry(name))
-      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
-    }
-    try {
-      put("xl/workbook.xml", workbook)
-      put("xl/_rels/workbook.xml.rels", rels)
-      put("xl/sharedStrings.xml", sst)
-      sheetXmls.zipWithIndex.foreach { case (xml, i) =>
-        put(s"xl/worksheets/sheet${i + 1}.xml", xml)
-      }
-    } finally zos.close()
-  }
+  import XlsxFixture.{writeXlsx, Inline}
 
   private def fixture(dir: String, name: String): String = {
     val p = s"$dir/$name"
@@ -155,5 +86,78 @@ class XlsxSpec extends AnyFunSuite {
     Ingest.saveState(spark, statePath, st)
     assert(Ingest.extractUpdated(spark, cfg, statePath).isEmpty,
       "unchanged xlsx must not re-extract")
+  }
+}
+
+/** Hand-built xlsx fixtures (zip + XML written directly): the same OOXML
+  * shapes real files carry — shared strings, inline strings, sparse rows,
+  * multiple sheets, rels indirection. Shared across specs.
+  */
+object XlsxFixture {
+
+  /** Marks a cell to be written as an inline string (t="inlineStr"). */
+  case class Inline(s: String)
+
+  private def esc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  /** Writes a minimal-but-valid xlsx: workbook + rels + sharedStrings +
+    * one worksheet part per sheet. Cell values: String → shared string,
+    * Inline → inline string, Int/Double → number, null → omitted cell.
+    */
+  def writeXlsx(path: String, sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
+    val strings = mutable.LinkedHashMap.empty[String, Int]
+    def sidx(s: String): Int = strings.getOrElseUpdate(s, strings.size)
+    val sheetXmls = sheets.map { case (_, rows) =>
+      val rowsXml = rows.zipWithIndex.map { case (cells, ri) =>
+        val cellsXml = cells.zipWithIndex.collect {
+          case (v, ci) if v != null =>
+            val ref = s"${colRef(ci)}${ri + 1}"
+            v match {
+              case s: String => s"""<c r="$ref" t="s"><v>${sidx(s)}</v></c>"""
+              case Inline(s) => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
+              case n => s"""<c r="$ref"><v>$n</v></c>"""
+            }
+        }.mkString
+        s"""<row r="${ri + 1}">$cellsXml</row>"""
+      }.mkString
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+        s"<sheetData>$rowsXml</sheetData></worksheet>"
+    }
+    val workbook = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
+      "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\"><sheets>" +
+      sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString + "</sheets></workbook>"
+    val rels = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+      sheets.indices.map { i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+      }.mkString + "</Relationships>"
+    val sst = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      s"""<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="${strings.size}" uniqueCount="${strings.size}">""" +
+      strings.keys.map(s => s"<si><t>${esc(s)}</t></si>").mkString + "</sst>"
+
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", rels)
+      put("xl/sharedStrings.xml", sst)
+      sheetXmls.zipWithIndex.foreach { case (xml, i) =>
+        put(s"xl/worksheets/sheet${i + 1}.xml", xml)
+      }
+    } finally zos.close()
   }
 }
