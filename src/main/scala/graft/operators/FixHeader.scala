@@ -24,14 +24,16 @@ object FixHeader {
     c.isEmpty || c.toLowerCase.startsWith("unnamed") || c.matches("_c\\d+")
 
   /** Scores a candidate header row exactly like the reference:
-    * non-empty strings ×2 + non-nulls − numeric-likes ×0.5.
+    * non-empty strings ×2 + non-nulls − numeric-likes ×0.5. The
+    * cell-level form is shared with the xlsx connector's per-sheet
+    * header detection (sources/XlsxSource.scala).
     */
-  private def score(r: Row): Double = {
+  private[graft] def scoreCells(vals: Seq[String]): Double = {
     var strNonEmpty = 0; var nonNull = 0; var numericLike = 0
-    (0 until r.length).foreach { i =>
-      if (!r.isNullAt(i)) {
+    vals.foreach { v0 =>
+      if (v0 != null) {
         nonNull += 1
-        val v = r.get(i).toString.trim
+        val v = v0.trim
         if (v.nonEmpty) {
           if (scala.util.Try(v.toDouble).isSuccess) numericLike += 1
           else strNonEmpty += 1
@@ -40,6 +42,10 @@ object FixHeader {
     }
     strNonEmpty * 2.0 + nonNull - numericLike * 0.5
   }
+
+  private def score(r: Row): Double =
+    scoreCells((0 until r.length).map(i =>
+      if (r.isNullAt(i)) null else r.get(i).toString))
 
   def apply(df: DataFrame, lookahead: Int = 5): DataFrame = {
     if (df.isEmpty) return df

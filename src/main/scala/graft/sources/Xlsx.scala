@@ -23,9 +23,13 @@ import graft.operators.FixHeader
   * per-resource pandas parse; cluster parallelism comes from fanning out
   * ACROSS resources (Ingest lists many files per run) and from everything
   * downstream of the parallelize. Cells surface as raw strings ("30.5",
-  * booleans as "0"/"1", dates as Excel serial numbers) — typing is
-  * TRANSFORM's job (t_coerce_types), same division of labor as the
-  * reference.
+  * booleans as "0"/"1") — typing is TRANSFORM's job (t_coerce_types),
+  * same division of labor as the reference. The one typed exception is
+  * DATES: Excel stores them as style-flagged numeric serials, so a date
+  * cell's raw value ("45321") is meaningless once the style is dropped —
+  * date-styled numerics are rendered to "yyyy-MM-dd HH:mm:ss" here
+  * (matching pandas' read + the reference's to_iso_local shape), which
+  * TRY_CASTs cleanly downstream.
   */
 object Xlsx {
 
@@ -79,7 +83,7 @@ object Xlsx {
         throw new IllegalArgumentException(s"no relationship $rid in $path"))
       val part = if (target.startsWith("/")) target.drop(1) else "xl/" + target
       val shared = sharedStrings(zf)
-      val rows = parseSheet(zf, part, shared)
+      val rows = parseSheet(zf, part, shared, dateStyleFlags(zf), date1904(zf))
       val width = rows.iterator.map(_.length).maxOption.getOrElse(0)
       rows.map(r => if (r.length == width) r else r.padTo(width, null: String))
     } finally zf.close()
@@ -212,14 +216,93 @@ object Xlsx {
     letters.foldLeft(0)((acc, c) => acc * 26 + (c.toUpper - 'A' + 1)) - 1
   }
 
-  private def parseSheet(zf: ZipFile, part: String,
-      shared: IndexedSeq[String]): Seq[Array[String]] =
+  // ------------------------------------------------------------------
+  // Date-styled numerics (OOXML styles.xml)
+  // ------------------------------------------------------------------
+
+  /** Built-in numFmtIds that render as dates/times (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Custom format-code date heuristic (the Apache-POI-style test, public
+    * knowledge): after dropping bracketed sections, quoted literals and
+    * escaped chars, any remaining y/m/d/h/s token means date/time.
+    */
+  private[graft] def isDateFormatCode(code: String): Boolean = {
+    val cleaned = code
+      .replaceAll("\\[[^\\]]*\\]", "") // [$-409], [Red], [h] sections
+      .replaceAll("\"[^\"]*\"", "") // quoted literals
+      .replaceAll("\\\\.", "") // escaped single chars
+    cleaned.toLowerCase.exists("ymdhs".contains(_))
+  }
+
+  /** Per-cellXf "is a date style" flags, indexed by the `s` attribute of
+    * a cell. Missing styles part (fixtures, minimal writers) → all false.
+    */
+  private def dateStyleFlags(zf: ZipFile): IndexedSeq[Boolean] =
+    withPart(zf, "xl/styles.xml") { r =>
+      val customDate = mutable.Set.empty[Int]
+      val flags = mutable.ArrayBuffer.empty[Boolean]
+      var inCellXfs = false
+      while (r.hasNext) {
+        r.next() match {
+          case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            case "numFmt" =>
+              val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+              val code = Option(r.getAttributeValue(null, "formatCode")).getOrElse("")
+              if (id.isDefined && isDateFormatCode(code)) customDate += id.get
+            case "cellXfs" => inCellXfs = true
+            case "xf" if inCellXfs =>
+              val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+                .map(_.toInt).getOrElse(0)
+              flags += (BuiltinDateFmts.contains(fmt) || customDate.contains(fmt))
+            case _ =>
+          }
+          case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+            inCellXfs = false
+          case _ =>
+        }
+      }
+      flags.toIndexedSeq
+    }.getOrElse(IndexedSeq.empty)
+
+  /** Whether the workbook uses the 1904 (classic-Mac) date epoch. */
+  private def date1904(zf: ZipFile): Boolean =
+    withPart(zf, "xl/workbook.xml") { r =>
+      var found = false
+      while (r.hasNext && !found) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904")).getOrElse("false")
+          found = v == "1" || v == "true"
+        }
+      }
+      found
+    }.getOrElse(false)
+
+  /** Excel serial → "yyyy-MM-dd HH:mm:ss". The 1900 epoch anchors at
+    * 1899-12-30, which absorbs Excel's phantom 1900-02-29 for every
+    * modern serial (> 60) — the same convention pandas/openpyxl use.
+    * Sub-day fractions are clock time, rounded to whole seconds.
+    */
+  private[graft] def serialToIso(serial: Double, epoch1904: Boolean): String = {
+    val base = if (epoch1904) java.time.LocalDateTime.of(1904, 1, 1, 0, 0, 0)
+      else java.time.LocalDateTime.of(1899, 12, 30, 0, 0, 0)
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    base.plusDays(days).plusSeconds(secs)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+  }
+
+  private def parseSheet(zf: ZipFile, part: String, shared: IndexedSeq[String],
+      dateFlags: IndexedSeq[Boolean], epoch1904: Boolean): Seq[Array[String]] =
     withPart(zf, part) { r =>
       val rows = mutable.ArrayBuffer.empty[Array[String]]
       val cells = mutable.Map.empty[Int, String]
       var lastCol = -1
       var cellCol = -1
       var cellType = ""
+      var cellDateStyle = false
       var inIs = false
       while (r.hasNext) {
         r.next() match {
@@ -230,6 +313,8 @@ object Xlsx {
               cellCol = ref.map(colIndex).getOrElse(lastCol + 1)
               lastCol = cellCol
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
+              cellDateStyle = Option(r.getAttributeValue(null, "s"))
+                .flatMap(s => dateFlags.lift(s.trim.toInt)).getOrElse(false)
               inIs = false
             case "is" => inIs = true
             case "v" =>
@@ -237,6 +322,10 @@ object Xlsx {
               val v =
                 if (cellType == "s")
                   shared.lift(raw.trim.toInt).getOrElse(raw)
+                else if (cellDateStyle && (cellType == "" || cellType == "n"))
+                  // Date-styled numeric: render the serial, else downstream
+                  // typing sees a meaningless number. Unparseable → raw.
+                  raw.trim.toDoubleOption.map(serialToIso(_, epoch1904)).getOrElse(raw)
                 else raw
               if (cellCol >= 0) cells(cellCol) = v
             case "t" if inIs =>

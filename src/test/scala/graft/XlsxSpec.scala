@@ -38,6 +38,40 @@ class XlsxSpec extends AnyFunSuite {
 
   // ------------------------------------------------------------------
 
+  test("date-styled numerics render as timestamps; plain and non-date-styled stay raw") {
+    import XlsxFixture.{CustomDate, DateSerial, StyledNum}
+    val dir = Files.createTempDirectory("graft-xlsx-dates").toString
+    val p = s"$dir/dates.xlsx"
+    XlsxFixture.writeXlsx(p, Seq(
+      "1" -> Seq(
+        Seq("Código", "Fecha", "Cuando", "Monto", "Serial"),
+        Seq("A1", DateSerial(45321), CustomDate(45321.5), StyledNum(45321), 45321))))
+    val rows = Xlsx.readSheetRows(p, "1")
+    assert(rows(1).toSeq == Seq("A1",
+      "2024-01-30 00:00:00", // built-in date style (numFmtId 14)
+      "2024-01-30 12:00:00", // custom dd/mm/yyyy hh:mm, fraction = time
+      "45321.0", // styled NON-date numeric stays a raw serial
+      "45321")) // unstyled numeric untouched
+  }
+
+  test("isDateFormatCode: quoted/bracketed/escaped sections don't fake dates") {
+    assert(Xlsx.isDateFormatCode("dd/mm/yyyy"))
+    assert(Xlsx.isDateFormatCode("[$-409]d-mmm-yy"))
+    assert(Xlsx.isDateFormatCode("hh:mm:ss"))
+    assert(!Xlsx.isDateFormatCode("#,##0.00"))
+    assert(!Xlsx.isDateFormatCode("General"))
+    assert(!Xlsx.isDateFormatCode("0.00%"))
+    assert(!Xlsx.isDateFormatCode("\"yes\"0;\"no\"0")) // quoted y/s literals
+    assert(!Xlsx.isDateFormatCode("[Red]0.0")) // bracketed d
+  }
+
+  test("serialToIso: 1900 and 1904 epochs") {
+    assert(Xlsx.serialToIso(45321.0, epoch1904 = false) == "2024-01-30 00:00:00")
+    assert(Xlsx.serialToIso(0.75, epoch1904 = false) == "1899-12-30 18:00:00")
+    // Same instant expressed in the 1904 epoch is 1462 days earlier.
+    assert(Xlsx.serialToIso(45321.0 - 1462.0, epoch1904 = true) == "2024-01-30 00:00:00")
+  }
+
   test("pickSheets follows the reference: numeric sheets, blacklist, fallbacks") {
     assert(Xlsx.pickSheets(Seq("1", "2", "Notas"), Seq("notas")) == Seq("1", "2"))
     assert(Xlsx.pickSheets(Seq("1", "2", "Notas"), Nil) == Seq("1", "2"))
@@ -98,6 +132,15 @@ object XlsxFixture {
   /** Marks a cell to be written as an inline string (t="inlineStr"). */
   case class Inline(s: String)
 
+  /** Numeric cell carrying a BUILT-IN date style (numFmtId 14). */
+  case class DateSerial(serial: Double)
+
+  /** Numeric cell carrying a CUSTOM date format (numFmtId 164). */
+  case class CustomDate(serial: Double)
+
+  /** Numeric cell with a non-date style (numFmtId 4, "#,##0.00"). */
+  case class StyledNum(v: Double)
+
   private def esc(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
@@ -122,6 +165,9 @@ object XlsxFixture {
             v match {
               case s: String => s"""<c r="$ref" t="s"><v>${sidx(s)}</v></c>"""
               case Inline(s) => s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
+              case DateSerial(d) => s"""<c r="$ref" s="1"><v>$d</v></c>"""
+              case CustomDate(d) => s"""<c r="$ref" s="2"><v>$d</v></c>"""
+              case StyledNum(d) => s"""<c r="$ref" s="3"><v>$d</v></c>"""
               case n => s"""<c r="$ref"><v>$n</v></c>"""
             }
         }.mkString
@@ -151,10 +197,18 @@ object XlsxFixture {
       zos.putNextEntry(new ZipEntry(name))
       zos.write(content.getBytes("UTF-8")); zos.closeEntry()
     }
+    // Styles: xf index 1 → built-in date (14), 2 → custom 164 (a date
+    // format code), 3 → non-date numeric format.
+    val styles = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<styleSheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+      """<numFmts count="1"><numFmt numFmtId="164" formatCode="dd/mm/yyyy hh:mm"/></numFmts>""" +
+      """<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/>""" +
+      """<xf numFmtId="164"/><xf numFmtId="4"/></cellXfs></styleSheet>"""
     try {
       put("xl/workbook.xml", workbook)
       put("xl/_rels/workbook.xml.rels", rels)
       put("xl/sharedStrings.xml", sst)
+      put("xl/styles.xml", styles)
       sheetXmls.zipWithIndex.foreach { case (xml, i) =>
         put(s"xl/worksheets/sheet${i + 1}.xml", xml)
       }
