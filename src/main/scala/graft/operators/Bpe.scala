@@ -87,21 +87,21 @@ object Bpe {
   /** BPE token count of a text column under the learned merges. */
   def tokenCount(text: Column, merges: Seq[(String, String)]): Column =
     GraftBridge.column(BpeTokenCount(GraftBridge.expression(text), merges))
-}
 
-/** Token count after greedy rank-ordered BPE merges (the standard apply
-  * loop: repeatedly merge the lowest-rank adjacent pair). Tokenization
-  * matches the trainer's (SketchHash.tokenize).
-  */
-case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+  /** BPE token IDS of a text column — what the packing/training step
+    * actually consumes. Stable id scheme with no separate vocab file:
+    * single-char symbols use their codepoint, merged symbols use
+    * 0x110000 + merge rank (above the Unicode range, so the two spaces
+    * never collide). Deterministic for a given merge list.
+    */
+  def encodeIds(text: Column, merges: Seq[(String, String)]): Column =
+    GraftBridge.column(BpeEncode(GraftBridge.expression(text), merges))
 
-  override def dataType: DataType = LongType
-
-  @transient private lazy val ranks: Map[(String, String), Int] =
-    merges.zipWithIndex.toMap
-
-  private def countWord(w: String): Int = {
+  /** The greedy rank-ordered merge loop shared by count/encode: repeatedly
+    * merge the lowest-rank adjacent pair until none applies.
+    */
+  private[operators] def mergeWord(w: String,
+      ranks: Map[(String, String), Int]): Array[String] = {
     var syms = w.map(_.toString).toArray
     var done = false
     while (!done && syms.length >= 2) {
@@ -124,17 +124,71 @@ case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
         syms = out
       }
     }
-    syms.length
+    syms
   }
+}
+
+/** Token count after greedy rank-ordered BPE merges (the standard apply
+  * loop: repeatedly merge the lowest-rank adjacent pair). Tokenization
+  * matches the trainer's (SketchHash.tokenize).
+  */
+case class BpeTokenCount(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
 
   override def nullSafeEval(input: Any): Any = {
     val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String].toString)
     var total = 0L
     var i = 0
-    while (i < toks.length) { total += countWord(toks(i)); i += 1 }
+    while (i < toks.length) { total += Bpe.mergeWord(toks(i), ranks).length; i += 1 }
     java.lang.Long.valueOf(total)
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+/** BPE symbol IDS after the same greedy merge loop (array<long>):
+  * codepoint for single-char symbols, 0x110000 + rank for merged ones.
+  * One narrow shuffle-free pass like the counter; ids concatenate back
+  * to the tokenized text losslessly (spec'd).
+  */
+case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val ranks: Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  @transient private lazy val symbolId: Map[String, Long] =
+    merges.zipWithIndex.map { case ((a, b), r) => (a + b) -> (0x110000L + r) }.toMap
+
+  private def idOf(sym: String): Long =
+    if (sym.length == 1) sym.charAt(0).toLong
+    else symbolId.getOrElse(sym,
+      // Multi-char symbol not in the merge table cannot be produced by
+      // the loop; guard anyway (surrogate pairs arrive as 2 chars).
+      sym.codePointAt(0).toLong)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = SketchHash.tokenize(input.asInstanceOf[UTF8String].toString)
+    val out = mutable.ArrayBuilder.make[Long]
+    var i = 0
+    while (i < toks.length) {
+      val syms = Bpe.mergeWord(toks(i), ranks)
+      var j = 0
+      while (j < syms.length) { out += idOf(syms(j)); j += 1 }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.result())
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncode =
     copy(child = newChild)
 }

@@ -472,6 +472,23 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 37h: BPE ENCODE — token ids (codepoint / 0x110000+rank scheme),
+    // the array the packing step actually consumes. Same learned merges
+    // as x_bpe_learned; one narrow pass. Rows-only (no BPE in DuckDB);
+    // lossless-decode contract spec'd in SessionizeIvfSpec.
+    Q("x_tokenize_ids",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val merges = graft.operators.Bpe.trainFromCorpus(
+          docs, "text", numMerges = 50, maxWords = 2000)
+        docs.select(col("doc_id"),
+            graft.operators.Bpe.encodeIds(col("text"), merges).as("ids"))
+          .withColumn("n_ids", size(col("ids")))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // 36c: per-label centroids (decimal-exact mean per dimension — order-
     // independent, so the result is bit-stable under any shuffle) and
     // nearest-centroid assignment: the k-means-iteration primitive the

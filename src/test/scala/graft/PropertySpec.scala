@@ -22,6 +22,51 @@ class PropertySpec extends AnyFunSuite {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     Iterator.continually(g.sample).flatten.take(n).toSeq
 
+  test("diffResources partitions the catalog: down ∪ unchanged == all, reasons align") {
+    import graft.sources.Catalog
+    import graft.sources.Catalog.ResourceMeta
+    val genMeta = for {
+      id <- Gen.choose(0, 19).map(i => s"r$i")
+      url <- Gen.oneOf("u1", "u2", "u3")
+      fmt <- Gen.oneOf("CSV", "XLSX", "")
+      lm <- Gen.oneOf("", "2024-01-01T00:00:00Z", "2024-06-01T00:00:00Z")
+      size <- Gen.choose(0L, 3L)
+    } yield ResourceMeta(id, s"name-$id", url, fmt, lm, size)
+    val genCase = for {
+      cur0 <- Gen.listOfN(12, genMeta)
+      prev0 <- Gen.listOfN(12, genMeta)
+    } yield (cur0.distinctBy(_.id), prev0.distinctBy(_.id).map(m => m.id -> m).toMap)
+
+    samples(genCase, 200).foreach { case (cur, prev) =>
+      val (down, same, reasons) = Catalog.diffResources(cur, prev)
+      // Partition: every current resource lands in exactly one bucket.
+      assert((down ++ same).sortBy(_.id) == cur.sortBy(_.id))
+      // Reasons: one per download, "new" iff absent from prev, field
+      // names iff the fingerprint actually changed.
+      assert(reasons.map(_.id) == down.map(_.id))
+      reasons.zip(down).foreach { case (r, m) =>
+        prev.get(m.id) match {
+          case None => assert(r.reason == "new")
+          case Some(old) =>
+            assert(r.reason.nonEmpty && r.reason != "new")
+            r.reason.split(",").foreach {
+              case "last_modified" => assert(m.lastModified != old.lastModified)
+              case "size" => assert(m.size != old.size)
+              case "url" => assert(m.url != old.url)
+              case "format" => assert(m.format != old.format)
+              case other => fail(s"unknown reason field $other")
+            }
+        }
+      }
+      // Unchanged really means fingerprint-identical.
+      same.foreach { m =>
+        val old = prev(m.id)
+        assert(m.lastModified == old.lastModified && m.size == old.size &&
+          m.url == old.url && m.format == old.format)
+      }
+    }
+  }
+
   test("normColname is idempotent and emits only [a-z0-9_]") {
     samples(Gen.asciiPrintableStr, 500).foreach { s =>
       val once = normColname(s)

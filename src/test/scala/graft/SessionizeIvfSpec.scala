@@ -196,6 +196,16 @@ class SessionizeIvfSpec extends AnyFunSuite {
       tau = 0.99, maxCell = 1000)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.subsetOf(full))
+
+    // Plan shape: candidates come from an EQUI-join on (cell, subcell) —
+    // never a cartesian/nested-loop pass over the corpus — and the
+    // k-sized cell-count side broadcasts.
+    val plan = SemDedup.semanticPairs(emb, "vec_id", "embedding", model, tau = 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"quadratic plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"cell counts should broadcast:\n$plan")
   }
 
   test("PQ: codes compress 32x, reconstruction is sane, ADC recall beats chance") {

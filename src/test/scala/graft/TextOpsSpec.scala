@@ -318,6 +318,34 @@ class TextOpsSpec extends AnyFunSuite {
     assert(shrunk == 0L)
   }
 
+  test("BPE encode: ids agree with the counter and decode losslessly") {
+    import graft.operators.Bpe
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val merges = Bpe.trainFromCorpus(docs, "text", 30, 500)
+
+    // id count == token count on every document (same merge loop).
+    val mismatch = docs.select(
+        size(Bpe.encodeIds(col("text"), merges)).cast("long").as("n_ids"),
+        Bpe.tokenCount(col("text"), merges).as("n"))
+      .filter(col("n_ids") =!= col("n")).count()
+    assert(mismatch == 0L)
+
+    // Lossless decode: map ids back to symbols and re-join — must equal
+    // the tokenized text. Merged-symbol ids live above the Unicode range.
+    val idToSym: Map[Long, String] =
+      merges.zipWithIndex.map { case ((a, b), r) => (0x110000L + r) -> (a + b) }.toMap
+    val sample = Seq((1L, "the quick brown fox"), (2L, "ababab xyz"))
+      .toDF("doc_id", "text")
+    val rows = sample.select(col("text"), Bpe.encodeIds(col("text"), merges).as("ids"))
+      .as[(String, Seq[Long])].collect()
+    rows.foreach { case (text, ids) =>
+      val decoded = ids.map(id =>
+        idToSym.getOrElse(id, new String(Character.toChars(id.toInt)))).mkString
+      val tokenized = graft.functions.SketchHash.tokenize(text).mkString
+      assert(decoded == tokenized, s"decode mismatch for '$text'")
+    }
+  }
+
   test("star contraction equals driver union-find on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
