@@ -85,7 +85,7 @@ object IvfIndex {
   }
 
   /** Cell ids sorted by descending affinity to `vec`. */
-  private def sortCells(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def sortCells(model: Model, vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     transform(
       reverse(array_sort(array(scoredCells(model, vec): _*))),
       s => s.getField("cell"))

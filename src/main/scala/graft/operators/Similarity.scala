@@ -120,6 +120,42 @@ object Similarity {
       .orderBy(col("label"), col("assigned"))
   }
 
+  /** JOIN-based nearest-centroid assignment — the high-cardinality
+    * companion to [[labelCentroidAssign]] (whose literal-inlined
+    * centroids require a class-label-sized space). Here `centroids` is a
+    * DATAFRAME (centroidId, vec) of any size: a coarse IVF quantizer is
+    * trained over the CENTROIDS (small k-means — centroids ≪ corpus),
+    * each corpus vector probes its `nProbe` nearest coarse cells, and
+    * candidate (vector, centroid) pairs meet in an equi-join on coarse
+    * cell — never a corpus × centroids cross join, and nothing inlined
+    * into the plan. Exact argmax within candidates; nProbe = coarseK
+    * recovers the exact assignment (spec'd).
+    *
+    * Returns (id, assigned, cosine) — one row per corpus vector that
+    * found a candidate (every vector does when nProbe ≥ 1, since every
+    * coarse cell holds ≥ 0 centroids and probes fan out in affinity
+    * order; a vector can only miss if some probed cells are empty, which
+    * `nProbe > 1` absorbs in practice).
+    */
+  def centroidAssignJoin(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, centroidIdCol: String, centroidVecCol: String,
+      coarseK: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    val coarse = IvfIndex.train(centroids, centroidVecCol, coarseK, seed = seed)
+    val cAssigned = IvfIndex.assign(
+        centroids.select(col(centroidIdCol).as("cid"), col(centroidVecCol).as("cvec")),
+        "cid", "cvec", coarse)
+      .select(col("id").as("cid"), col("vec").as("cvec"), col("cell"))
+    val probed = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", explode(
+        slice(IvfIndex.sortCells(coarse, col("vec")), 1, nProbe)))
+    probed.join(cAssigned, Seq("cell"))
+      .withColumn("cosine", cosine(col("vec"), col("cvec")))
+      .groupBy(col("id"))
+      .agg(max(struct(col("cosine"), col("cid"))).as("best"))
+      .select(col("id"), col("best.cid").as("assigned"), col("best.cosine").as("cosine"))
+  }
+
   /** LSH-bucketed approximate top-k: candidates share the full bucket key
     * (all `numPlanes` sign bits). Exact cosine is recomputed only within
     * buckets.

@@ -125,23 +125,21 @@ object Catalog {
 
   /** Normalize a catalog datetime to `YYYY-MM-DDTHH:MM:SSZ` (reference
     * extract.py:85-95 `_normalize_dt`): naive timestamps are assumed UTC,
-    * zoned ones convert to UTC; empty/absent → "".
+    * zoned ones convert to UTC; empty/absent → "". A date that parses as
+    * NOTHING comes back verbatim — the fingerprint only needs change
+    * COMPARABILITY, and one weird date must not sink the whole sync.
     */
   def normalizeDt(s: String): String = {
     val in = Option(s).getOrElse("").trim
     if (in.isEmpty) return ""
-    val utc =
-      try OffsetDateTime.parse(in).withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime
-      catch {
-        case _: Exception =>
-          try LocalDateTime.parse(in)
-          catch {
-            case _: Exception =>
-              try LocalDateTime.parse(in.replace(' ', 'T'))
-              catch { case _: Exception => LocalDate.parse(in).atStartOfDay() }
-          }
-      }
-    utc.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "Z"
+    def attempt(f: => LocalDateTime): Option[LocalDateTime] =
+      try Some(f) catch { case _: Exception => None }
+    attempt(OffsetDateTime.parse(in).withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime)
+      .orElse(attempt(LocalDateTime.parse(in)))
+      .orElse(attempt(LocalDateTime.parse(in.replace(' ', 'T'))))
+      .orElse(attempt(LocalDate.parse(in).atStartOfDay()))
+      .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "Z")
+      .getOrElse(in)
   }
 
   private def resourceMeta(res: JValue): ResourceMeta = {

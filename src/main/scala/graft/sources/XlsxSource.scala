@@ -69,7 +69,13 @@ object XlsxSource {
     val blacklist = Option(options.get("sheetBlacklist")).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // Listing runs on the DRIVER: honor the session's Hadoop conf
+    // (defaultFS, credentials). Executor-side staging (toLocal) uses the
+    // default conf — workbook paths there are fully qualified already.
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
       .flatMap { st =>
         if (st.isDirectory)

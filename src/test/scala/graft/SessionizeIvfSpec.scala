@@ -208,6 +208,37 @@ class SessionizeIvfSpec extends AnyFunSuite {
       s"cell counts should broadcast:\n$plan")
   }
 
+  test("join-based centroid assignment: exact at full probe, no centroid inlining") {
+    import graft.operators.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    // Centroid table: 40 vectors drawn from the corpus itself (any size
+    // works — the point is it's a DataFrame, not plan literals).
+    val centroids = emb.filter(col("vec_id") % 25 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val got = Similarity.centroidAssignJoin(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", coarseK = 4, nProbe = 4)
+      .select("id", "assigned").as[(Long, Long)].collect().toMap
+
+    // Brute-force argmax (cosine desc, cid asc tiebreak) per vector.
+    val brute = emb.select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .crossJoin(centroids)
+      .withColumn("cosine", Similarity.cosine(col("vec"), col("cvec")))
+      .groupBy("id").agg(max(struct(col("cosine"), col("cid"))).as("b"))
+      .select(col("id"), col("b.cid")).as[(Long, Long)].collect().toMap
+    assert(got.size == brute.size)
+    // Ties (duplicate/identical centroids) break by max struct on BOTH
+    // sides, so assignments must agree exactly at nProbe = coarseK.
+    assert(got == brute, "full probe must recover the exact assignment")
+
+    // Recall stays useful under pruning (the scale setting).
+    val pruned = Similarity.centroidAssignJoin(emb, "vec_id", "embedding",
+        centroids, "cid", "cvec", coarseK = 4, nProbe = 2)
+      .select("id", "assigned").as[(Long, Long)].collect().toMap
+    val agree = pruned.count { case (k, v) => brute.get(k).contains(v) }
+    assert(agree.toDouble / brute.size >= 0.8, s"pruned agreement $agree/${brute.size}")
+  }
+
   test("PQ: codes compress 32x, reconstruction is sane, ADC recall beats chance") {
     import graft.operators.PqIndex
     val sfDir = "/root/testdata/sf0.001"
