@@ -44,6 +44,41 @@ object StripAccents {
   }
 }
 
+/** Unicode NFC normalization as a native Catalyst expression (codegen'd).
+  *
+  * Composed text (NFC) is the canonical storage form a curation pipeline
+  * wants before hashing/dedup — decomposed lookalikes ("e" + U+0301 vs
+  * "é") otherwise defeat exact dedup and fingerprinting. Matches DuckDB's
+  * `nfc_normalize` (both implement Unicode canonical composition), so
+  * NFC-cleaned output is oracle-checkable. ASCII inputs short-circuit:
+  * `Normalizer.isNormalized` is O(n) with no allocation for the common
+  * case.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  def nfc(s: UTF8String): UTF8String = {
+    // ASCII fast path: single-byte code points are all NFC already.
+    if (s.numBytes == s.numChars) return s
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Deterministic UUIDv5 (RFC 4122 name-based, SHA-1) as a Catalyst expression.
   *
   * Matches the reference's surrogate-id generation

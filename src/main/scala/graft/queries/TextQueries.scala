@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupResolve, IvfIndex, Multimodal, SemDedup, Similarity, TextDedup, TextStats}
+import graft.operators.{DedupResolve, IvfIndex, Multimodal, SemDedup, Similarity, TextClean, TextDedup, TextStats}
 import graft.sources.Tables
 
 /** LLM-training-data operators (SURVEY.md §2.3) wired to the driver tables.
@@ -536,6 +536,137 @@ object TextQueries {
           .agg(count(lit(1)).as("n_kept"))
           .orderBy(col("label"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // 34d: connected components over a DETERMINISTIC edge set (the exact
+    // PPJoin Jaccard pairs at t=0.8) — the one composition that lets the
+    // distributed large-star/small-star contraction itself be
+    // hash-checked against SQL: DuckDB computes the same components via
+    // recursive-CTE transitive closure + min-reachable-id. (The fuzzy
+    // pipeline above uses minhash edges — not SQL-expressible — so the
+    // resolver was rows-only until this query.)
+    Q("d_dedup_components",
+      (s, dir) => DedupResolve.starComponents(
+          TextDedup.ngramJaccardJoin(
+            Tables.documents(s, dir), "doc_id", "text", threshold = 0.8)
+            .select(col("id_a"), col("id_b")))
+        .orderBy(col("id")),
+      Some("""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        p AS (SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+              UNION SELECT id_a, id_a FROM p
+              UNION SELECT id_b, id_b FROM p),
+        reach(u, v) AS (SELECT u, v FROM e
+                        UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u)
+        SELECT u AS id, MIN(v) AS label FROM reach GROUP BY u ORDER BY id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 37h: HTML strip — tags → space, entities unescaped (&amp; last),
+    // whitespace collapsed (operators/TextClean.scala). The documents
+    // table is plain text, so markup is injected deterministically on
+    // BOTH sides to exercise every rule.
+    Q("x_html_strip",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextClean.htmlStrip(concat(
+            lit("<div class=\"doc\"><p>"), col("text"),
+            lit("</p>&nbsp;<a href=\"/x?a=1&amp;b=2\">"), col("lang"),
+            lit("</a> &#39;&quot;&lt;raw&gt;</div>"))).as("clean"))
+        .withColumn("n_chars", length(col("clean")))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH marked AS (
+          SELECT doc_id,
+                 '<div class="doc"><p>' || text || '</p>&nbsp;<a href="/x?a=1&amp;b=2">'
+                   || lang || '</a> &#39;&quot;&lt;raw&gt;</div>' AS html
+          FROM documents)
+        SELECT doc_id,
+               trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                 '[ \t\n\r]+', ' ', 'g')) AS clean,
+               length(trim(regexp_replace(
+                 replace(replace(replace(replace(replace(replace(
+                   regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                 '[ \t\n\r]+', ' ', 'g'))) AS n_chars
+        FROM marked ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 37i: Unicode NFC canonicalization (native codegen'd expression,
+    // functions/NfcNormalize) + C0 control strip. Decomposed sequences
+    // and a BEL are injected on both sides; DuckDB's nfc_normalize is
+    // the oracle twin.
+    Q("x_unicode_nfc",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextClean.nfcClean(concat(
+            col("text"), lit(" café Å!"))).as("clean"))
+        .withColumn("n_chars", length(col("clean")))
+        .orderBy(col("doc_id")),
+      Some("""
+        SELECT doc_id,
+               regexp_replace(nfc_normalize(text || ' cafe' || chr(769) || ' A'
+                   || chr(778) || chr(7) || '!'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS clean,
+               length(regexp_replace(nfc_normalize(text || ' cafe' || chr(769) || ' A'
+                   || chr(778) || chr(7) || '!'),
+                 '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')) AS n_chars
+        FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 38c: char-bigram LM quality signal (CCNet-style, self-trained).
+    // The published columns are the integer-exact corpus-frequency
+    // stats (hash-checkable); the float bits_per_char users consume is
+    // the same aggregate in log space, spec'd in TextOpsSpec.
+    Q("x_charlm_score",
+      (s, dir) => TextClean.charLmScore(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          col("sum_df"), col("min_df"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, length(text)),
+                        i -> substr(text, i, 2))) AS bigram
+          FROM documents),
+        cnt AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+        scored AS (
+          SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                 CAST(SUM(c) AS BIGINT) AS sum_df,
+                 CAST(MIN(c) AS BIGINT) AS min_df
+          FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id)
+        SELECT d.doc_id,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               COALESCE(s.sum_df, 0) AS sum_df,
+               COALESCE(s.min_df, 0) AS min_df
+        FROM documents d LEFT JOIN scored s USING (doc_id)
+        ORDER BY d.doc_id
+      """))
   )
 }

@@ -420,4 +420,47 @@ class TextOpsSpec extends AnyFunSuite {
     val again = Multimodal.extractFeatures(df, "id", "media", "mime").orderBy("id").collect()
     assert(rows.sameElements(again))
   }
+
+  test("htmlStrip: tags, entity order, whitespace collapse") {
+    import graft.operators.TextClean
+    val out = Seq(
+      "<p>a  b</p>\n<br/>c",
+      "x &amp;lt; y",            // &amp; decodes LAST: "&lt;" must survive as text
+      "&lt;b&gt; &quot;q&quot; &#39;s&#39;&nbsp;end",
+      "<a href=\"u?a=1&amp;b=2\">link</a>").toDF("h")
+      .select(TextClean.htmlStrip(col("h")).as("c")).as[String].collect()
+    assert(out(0) == "a b c")
+    assert(out(1) == "x &lt; y")
+    assert(out(2) == "<b> \"q\" 's' end")
+    assert(out(3) == "link")
+  }
+
+  test("nfcClean: composes decomposed sequences, strips C0 controls, keeps \\t\\n") {
+    import graft.operators.TextClean
+    val out = Seq("café Å", "ab c", "tab\there\nline")
+      .toDF("t").select(TextClean.nfcClean(col("t")).as("c")).as[String].collect()
+    assert(out(0) == "café Å")
+    assert(out(1) == "abc")
+    assert(out(2) == "tab\there\nline")
+  }
+
+  test("charLmScore: common text beats garbage; short docs keep a row") {
+    import graft.operators.TextClean
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "the cat sat on the mat")) ++ Seq(
+        (100L, "the cat sat on the mat"),
+        (101L, "zq#7xw@@kkj9"),
+        (102L, "x"))).toDF("id", "text")
+    val rows = TextClean.charLmScore(docs, "id", "text")
+      .orderBy("id").collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // Identical docs get identical integer stats AND identical float score.
+    assert(byId(1L).getLong(1) == byId(100L).getLong(1))
+    assert(byId(1L).getDouble(4) == byId(100L).getDouble(4))
+    // Rare-char garbage scores strictly more bits/char than common text.
+    assert(byId(101L).getDouble(4) > byId(100L).getDouble(4))
+    // A 1-char doc has no bigrams: integer zeros, null score, row kept.
+    assert(byId(102L).getLong(1) == 0 && byId(102L).isNullAt(4))
+    assert(rows.length == 11)
+  }
 }
