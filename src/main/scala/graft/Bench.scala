@@ -32,19 +32,27 @@ object Bench {
     // measures steady-state throughput — the regime a long-lived cluster
     // session actually runs in — instead of ~0.3-5 s of one-time codegen
     // compilation per query.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-    }
     // Isolate queries: persisted sketch frames from ~100 queries x 2
     // passes otherwise accumulate in the one session and evict each other
-    // (measured +90% total wall time from the churn). Each timed query
-    // pays its own persist cost — the honest steady-state number.
-    spark.catalog.clearCache()
+    // (measured +90% total wall time from the churn). catalog.clearCache
+    // misses localCheckpoint blocks (star contraction, Materialize,
+    // MLlib training caches) — those are RDD-level and only die via GC +
+    // ContextCleaner, so heavy dedup queries were polluting whichever
+    // query ran next (x_gopher_filter: 2.0 s in-bench vs 0.7 s isolated).
+    // Unpersist them explicitly between queries.
+    def reset(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    }
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      reset()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      reset()
       name -> dt
     }
     // Locale-pinned formatting: f"" uses the JVM default locale, and a

@@ -13,7 +13,8 @@ import graft.functions._
   *  - runtime: `GraftExtensions.register(spark)` (per-session, used in tests)
   *
   * Exposes the custom Catalyst expressions to `spark.sql(...)` users:
-  * strip_accents, uuid5, shingles, minhash_sig, simhash, vec_dot.
+  * strip_accents, uuid5, shingles, minhash_sig, simhash, vec_dot,
+  * nfc_normalize.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -62,7 +63,8 @@ object GraftExtensions {
     },
     "minhash_sig" -> { exprs => MinhashSig(exprs(0), intLit(exprs(1))) },
     "simhash" -> { exprs => SimHash(exprs.head) },
-    "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) })
+    "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) },
+    "nfc_normalize" -> { exprs => NfcNormalize(exprs.head) })
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

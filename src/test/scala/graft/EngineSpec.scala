@@ -30,9 +30,11 @@ class EngineSpec extends AnyFunSuite {
                 simhash('a b c') AS sh,
                 shingles('a b c d', 3) AS sg,
                 minhash_sig(shingles('a b c d', 3), 4) AS ms,
-                vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd
+                vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS vd,
+                nfc_normalize('café') AS nfc
       """).head()
     assert(r.getAs[String]("sa") == "cancion")
+    assert(r.getAs[String]("nfc") == "café")
     assert(r.getAs[String]("u5") == "58b14cc9-7d40-5f55-bbd6-1f9bd52e547f")
     assert(r.getSeq[String](r.fieldIndex("sg")).toSeq == Seq("a b c", "b c d"))
     assert(r.getSeq[Long](r.fieldIndex("ms")).length == 4)
