@@ -90,17 +90,20 @@ object Pack {
     * per-row fan-out is bounded by ceil(len/stride).
     */
   def docChunk(df: DataFrame, idCol: String, textCol: String,
-      size: Int = 200, stride: Int = 150): DataFrame =
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-      .select(col("doc_id"), col("text"),
+      size: Int = 200, stride: Int = 150,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("doc_id") +: col(textCol).as("text") +:
+        keep.map(col): _*)
+      .select(col("doc_id") +: col("text") +:
         // greatest(·,1): for EMPTY text, (length-1) div stride would hit
         // Spark's toward-zero `div` (−1 div s = 0 here, −1 in engines
         // with floor division) AND sequence(0, −1), which Spark expands
         // DESCENDING — the guard pins empty docs to exactly one empty
         // chunk on every engine.
         expr(s"explode(sequence(0L, (greatest(length(text), 1) - 1) div $stride))")
-          .as("chunk_idx"))
-      .select(col("doc_id"), col("chunk_idx"),
-        expr(s"substr(text, CAST(chunk_idx * $stride + 1 AS INT), $size)").as("chunk"))
+          .as("chunk_idx") +: keep.map(col): _*)
+      .select(col("doc_id") +: col("chunk_idx") +:
+        expr(s"substr(text, CAST(chunk_idx * $stride + 1 AS INT), $size)").as("chunk") +:
+        keep.map(col): _*)
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
 }

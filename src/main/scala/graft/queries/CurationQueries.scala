@@ -823,6 +823,79 @@ object CurationQueries {
                  WHERE s.s_nationkey = n.n_nationkey
                  ORDER BY s_acctbal DESC, s_name LIMIT 3) l
         ORDER BY n.n_name, l.s_acctbal DESC, l.s_name
+      """)),
+
+    // ------------------------------------------------------------------
+    // 60: the CURATION pipeline composed end-to-end — html strip → NFC
+    // canonicalize → quality gate → exact dedup (min-id survivor) →
+    // chunking → per-source stats. Each stage is an operator verified on
+    // its own (x_html_strip, x_unicode_nfc, x_quality_filter,
+    // d_dedup_exact, x_doc_chunk); this registers their COMPOSITION —
+    // what a training-data run actually executes — and every stage is
+    // SQL-expressible, so the whole DAG hash-checks. Plan shape: narrow
+    // projection chain + one window (dedup) + one explode (source rides
+    // along — no join-back) + the final per-source agg; the only
+    // data-sized shuffle is the dedup window's, at any corpus size.
+    Q("x_curation_e2e",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val cleaned = docs.select(col("doc_id"), col("source"),
+          graft.operators.TextClean.nfcClean(
+            graft.operators.TextClean.htmlStrip(col("text"))).as("clean"))
+        val nChars = length(col("clean")).cast("double")
+        val punct = nChars - length(regexp_replace(col("clean"), "[.,!?;:]", "")).cast("double")
+        val gated = cleaned
+          .withColumn("n_tokens", graft.functions.tokenCount(col("clean")))
+          // nullif guard: an empty clean string must NULL the ratio (and
+          // fail the gate) on both engines, not divide by zero.
+          .withColumn("punct_ratio",
+            round(punct / when(nChars === 0, lit(null)).otherwise(nChars), 6))
+          .filter(col("n_tokens") >= 10 && col("punct_ratio") < 0.3)
+        val surv = gated
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("clean")).orderBy(col("doc_id"))))
+          .filter(col("rk") === 1)
+          .select("doc_id", "source", "clean")
+        Pack.docChunk(surv, "doc_id", "clean", keep = Seq("source"))
+          .groupBy("source")
+          .agg(countDistinct(col("doc_id")).as("n_docs"),
+            count(lit(1)).as("n_chunks"),
+            sum(col("chunk_len")).as("n_chars"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH cleaned AS (
+          SELECT doc_id, source,
+                 regexp_replace(nfc_normalize(
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '[ \t\n\r]+', ' ', 'g'))),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS clean
+          FROM documents),
+        gated AS (
+          SELECT doc_id, source, clean FROM cleaned
+          WHERE len(string_split_regex(trim(clean), '\s+')) >= 10
+            AND round((length(clean) - length(regexp_replace(clean, '[.,!?;:]', '', 'g')))
+                      / CAST(nullif(length(clean), 0) AS DOUBLE), 6) < 0.3),
+        surv AS (
+          SELECT doc_id, source, clean FROM (
+            SELECT *, row_number() OVER (PARTITION BY clean ORDER BY doc_id) AS rk
+            FROM gated) WHERE rk = 1),
+        chunks AS (
+          SELECT doc_id,
+                 len(substr(clean, CAST(ci * 150 + 1 AS INT), 200)) AS chunk_len
+          FROM (SELECT doc_id, clean,
+                       unnest(range(0, (greatest(length(clean), 1) - 1) // 150 + 1)) AS ci
+                FROM surv))
+        SELECT s.source,
+               COUNT(DISTINCT s.doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(c.chunk_len) AS BIGINT) AS n_chars
+        FROM chunks c JOIN surv s USING (doc_id)
+        GROUP BY s.source ORDER BY s.source
       """))
   )
 }
