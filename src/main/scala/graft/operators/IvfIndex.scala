@@ -28,10 +28,28 @@ object IvfIndex {
   /** Train centroids. `sampleFraction` bounds driver/ML cost on huge
     * corpora — k-means on a uniform sample converges to near-identical
     * cells (standard IVF practice).
+    *
+    * Two execution paths by TRAINING-SAMPLE size (not corpus size):
+    * samples at or below `driverThreshold` rows collect once and run
+    * Lloyd's on the driver — codebook training on 50k × 64 doubles is
+    * milliseconds of FLOPs, while MLlib schedules ~3 distributed jobs
+    * PER ITERATION (measured ~1.5-2 s of pure scheduling at any data
+    * size). Larger samples go through MLlib. This is the FAISS split:
+    * codebooks train in memory on a sample; the DISTRIBUTED work is
+    * assignment/search over the full corpus, which stays in DataFrames
+    * here either way.
     */
   def train(corpus: DataFrame, vecCol: String, k: Int,
-      sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 10): Model = {
+      sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 10,
+      driverThreshold: Long = 50000L): Model = {
     val base = if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
+    // Parquet-backed counts fold to row-group stats — this job is cheap.
+    val n = base.count()
+    if (n <= driverThreshold) {
+      val pts = base.select(col(vecCol).cast("array<double>").as("v"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      return Model(lloyd(pts, k, maxIter, seed))
+    }
     // Normalize the element type first: the rest of the module (VecDot)
     // accepts float OR double arrays, so training must too.
     val feats = base.select(org.apache.spark.ml.functions.array_to_vector(
@@ -42,6 +60,62 @@ object IvfIndex {
       .setInitMode("random")
     val model = km.fit(feats)
     Model(model.clusterCenters.map(_.toArray))
+  }
+
+  /** Seeded in-memory Lloyd's: deterministic for a given (points order,
+    * seed). Empty clusters keep their previous center (MLlib semantics).
+    */
+  private[operators] def lloyd(pts: Array[Array[Double]], k: Int,
+      maxIter: Int, seed: Long, tol: Double = 1e-3): Array[Array[Double]] = {
+    require(pts.nonEmpty, "kmeans: empty training sample")
+    val dim = pts(0).length
+    val rnd = new scala.util.Random(seed)
+    val kk = math.min(k, pts.length)
+    val centers = rnd.shuffle(pts.indices.toVector).take(kk)
+      .map(i => pts(i).clone).toArray
+    val assignBuf = new Array[Int](pts.length)
+    var iter = 0
+    var moved = Double.MaxValue
+    while (iter < maxIter && moved > tol) {
+      var p = 0
+      while (p < pts.length) {
+        val v = pts(p)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < kk) {
+          val ctr = centers(c); var d = 0.0; var j = 0
+          while (j < dim) { val t = v(j) - ctr(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assignBuf(p) = best
+        p += 1
+      }
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnts = new Array[Long](kk)
+      p = 0
+      while (p < pts.length) {
+        val s = sums(assignBuf(p)); val v = pts(p); var j = 0
+        while (j < dim) { s(j) += v(j); j += 1 }
+        cnts(assignBuf(p)) += 1
+        p += 1
+      }
+      moved = 0.0
+      var c = 0
+      while (c < kk) {
+        if (cnts(c) > 0) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val nv = sums(c)(j) / cnts(c)
+            val t = nv - centers(c)(j); d += t * t
+            centers(c)(j) = nv; j += 1
+          }
+          moved = math.max(moved, math.sqrt(d))
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centers
   }
 
   /** Nearest-centroid cell id for a vector column (argmin of squared

@@ -40,7 +40,8 @@ object PqIndex {
     * optional sample — same training discipline as [[IvfIndex.train]]).
     */
   def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
-      sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 10): Model = {
+      sampleFraction: Double = 1.0, seed: Long = 42L, maxIter: Int = 10,
+      driverThreshold: Long = 50000L): Model = {
     val base =
       if (sampleFraction >= 1.0) corpus else corpus.sample(sampleFraction, seed)
     val dim = base.select(size(col(vecCol))).head().getInt(0)
@@ -52,6 +53,18 @@ object PqIndex {
       sub(col(vecCol).cast("array<double>"), s, subDim).as(s"s$s")): _*)
       .persist()
     try {
+      // Bounded samples train all m codebooks from ONE collect on the
+      // driver (IvfIndex.lloyd) — m separate MLlib fits schedule
+      // m × iters × ~3 jobs of overhead for milliseconds of FLOPs.
+      val n = sliced.count()
+      if (n <= driverThreshold) {
+        val rows = sliced.collect()
+        val books = (0 until m).map { s =>
+          val pts = rows.map(_.getSeq[Double](s).toArray)
+          IvfIndex.lloyd(pts, k, maxIter, seed + s)
+        }.toArray
+        return Model(books)
+      }
       val books = (0 until m).map { s =>
         val km = new KMeans().setK(k).setSeed(seed + s).setMaxIter(maxIter)
           .setTol(1e-3).setInitMode("random")
