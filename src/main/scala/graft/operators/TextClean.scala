@@ -46,6 +46,28 @@ object TextClean {
       GraftBridge.column(NfcNormalize(GraftBridge.expression(c))),
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", "")
 
+  /** The cleanup GATE: html strip → NFC canonicalize → quality filter
+    * (token floor + punctuation ceiling), adding `clean`, `n_tokens`,
+    * `punct_ratio` and keeping every input column. Entirely stateless
+    * narrow projections — the same call runs under `readStream`
+    * unchanged (spec'd in StreamingSpec) and is the gating stage of
+    * `x_curation_e2e`. One source for the formula: the batch oracle,
+    * the composed pipeline, and the stream can't drift apart.
+    */
+  def cleanGate(df: DataFrame, textCol: String,
+      minTokens: Int = 10, maxPunct: Double = 0.3): DataFrame = {
+    val withClean = df.withColumn("clean", nfcClean(htmlStrip(col(textCol))))
+    val nChars = length(col("clean")).cast("double")
+    val punct = nChars - length(regexp_replace(col("clean"), "[.,!?;:]", "")).cast("double")
+    withClean
+      .withColumn("n_tokens", graft.functions.tokenCount(col("clean")))
+      // nullif guard: an empty clean string must NULL the ratio (and
+      // fail the gate) on both engines, not divide by zero.
+      .withColumn("punct_ratio",
+        round(punct / when(nChars === 0, lit(null)).otherwise(nChars), 6))
+      .filter(col("n_tokens") >= minTokens && col("punct_ratio") < maxPunct)
+  }
+
   /** Char-bigram multiset of a text column: position i → substr(i, 2).
     * Empty for texts shorter than 2 chars (sequence() would count DOWN
     * from 1 to 0 otherwise — Spark generates descending sequences).

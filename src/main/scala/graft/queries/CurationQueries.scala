@@ -839,18 +839,8 @@ object CurationQueries {
     Q("x_curation_e2e",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val cleaned = docs.select(col("doc_id"), col("source"),
-          graft.operators.TextClean.nfcClean(
-            graft.operators.TextClean.htmlStrip(col("text"))).as("clean"))
-        val nChars = length(col("clean")).cast("double")
-        val punct = nChars - length(regexp_replace(col("clean"), "[.,!?;:]", "")).cast("double")
-        val gated = cleaned
-          .withColumn("n_tokens", graft.functions.tokenCount(col("clean")))
-          // nullif guard: an empty clean string must NULL the ratio (and
-          // fail the gate) on both engines, not divide by zero.
-          .withColumn("punct_ratio",
-            round(punct / when(nChars === 0, lit(null)).otherwise(nChars), 6))
-          .filter(col("n_tokens") >= 10 && col("punct_ratio") < 0.3)
+        val gated = graft.operators.TextClean.cleanGate(
+          docs.select(col("doc_id"), col("source"), col("text")), "text")
         val surv = gated
           .withColumn("rk", row_number().over(
             Window.partitionBy(col("clean")).orderBy(col("doc_id"))))

@@ -35,6 +35,36 @@ object StreamQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY 1, 2 ORDER BY window_start, event_type
+      """)),
+
+    // 54: the curation cleanup gate (html → NFC → quality filter) as a
+    // stream-capable transform — TextClean.cleanGate is stateless narrow
+    // projections, so the SAME call runs under readStream (StreamingSpec
+    // proves stream == batch); this is the oracle-checked batch twin.
+    Q("st_clean_gate",
+      (s, dir) => graft.operators.TextClean.cleanGate(
+          Tables.documents(s, dir).select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("clean"), col("n_tokens"))
+        .orderBy(col("doc_id")),
+      Some("""
+        WITH cleaned AS (
+          SELECT doc_id,
+                 regexp_replace(nfc_normalize(
+                   trim(regexp_replace(
+                     replace(replace(replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                       '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+                     '[ \t\n\r]+', ' ', 'g'))),
+                   '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g') AS clean
+          FROM documents)
+        SELECT doc_id, clean,
+               len(string_split_regex(trim(clean), '\s+')) AS n_tokens
+        FROM cleaned
+        WHERE len(string_split_regex(trim(clean), '\s+')) >= 10
+          AND round((length(clean) - length(regexp_replace(clean, '[.,!?;:]', '', 'g')))
+                    / CAST(nullif(length(clean), 0) AS DOUBLE), 6) < 0.3
+        ORDER BY doc_id
       """))
   )
 }

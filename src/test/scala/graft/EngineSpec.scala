@@ -218,6 +218,19 @@ class EngineSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(cos.contains("BroadcastNestedLoopJoin") && !cos.contains("CartesianProduct"),
       s"cosine-exact lost its broadcast:\n$cos")
+    // curation e2e: the dedup window is the ONLY exchange keyed on
+    // document text (everything after the explode aggregates on
+    // (source, doc_id) — a join-back on doc_id would add two more
+    // text-free but data-sized exchanges), and Spark pushes a
+    // WindowGroupLimit partial top-1 below the window shuffle.
+    val e2e = SparkEntry.queries("x_curation_e2e")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!e2e.contains("SortMergeJoin") && !e2e.contains("BroadcastHashJoin"),
+      s"curation e2e regained a join-back:\n$e2e")
+    assert(e2e.contains("WindowGroupLimit"),
+      s"dedup window lost its pushed partial top-1:\n$e2e")
+    assert("Exchange hashpartitioning\\(clean".r.findAllIn(e2e).length == 1,
+      s"expected exactly one text-keyed exchange:\n$e2e")
   }
 
   test("plans: runtime bloom filter prunes the probe side of a shuffled fact-fact join") {

@@ -305,4 +305,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("v") === 9).count() == 3) // 0,1,2 updated (0's stale D lost)
     assert(out.filter(col("k") === 3 && col("v") === 1).count() == 1)
   }
+
+  test("curation clean gate: stream output equals the batch twin row-for-row") {
+    import graft.operators.TextClean
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val dir = Files.createTempDirectory("graft-cleangate").toString
+    (0 until 2).foreach { i =>
+      docs.filter(col("doc_id") % 2 === i)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val stream = TextClean.cleanGate(
+      spark.readStream.schema(docs.schema).parquet(dir), "text")
+    val q = stream.writeStream.format("memory").queryName("cleangate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cleangate")
+      .select("doc_id", "clean", "n_tokens").orderBy("doc_id").collect()
+    val want = TextClean.cleanGate(docs, "text")
+      .select("doc_id", "clean", "n_tokens").orderBy("doc_id").collect()
+    assert(got.length == want.length && got.sameElements(want),
+      s"stream rows ${got.length} vs batch ${want.length}")
+  }
 }
