@@ -345,6 +345,75 @@ object DataPipelineQueries {
                ((COUNT(*) - COUNT(DISTINCT sha256(text))) * 1000000)
                  // COUNT(*) AS dup_pm
         FROM documents GROUP BY source ORDER BY source
+      """)),
+
+    // ------------------------------------------------------------------
+    // 61: deterministic training-order shuffle — the data-ordering stage
+    // before export: shuffle_key = sha256(epoch_salt | doc_id); a
+    // range-sort on the key IS the shuffled order (distributed sort, no
+    // global row_number — position is implicit in the key order, which is
+    // what a sharded writer consumes). Reshuffling = new salt.
+    Q("x_corpus_shuffle",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          sha2(concat(lit("ep1|"), col("doc_id").cast("string")), 256)
+            .as("shuffle_key"))
+        .orderBy(col("shuffle_key")),
+      Some("""
+        SELECT doc_id, sha256('ep1|' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents ORDER BY shuffle_key
+      """)),
+
+    // ------------------------------------------------------------------
+    // 62: shard assignment for training export — shard = first 8 hex
+    // chars of the content-keyed sha256 mod N (content-keyed so a doc
+    // lands in the same shard across reruns regardless of upstream order;
+    // the mod of a cryptographic prefix is uniform, so shards balance).
+    // Publishes the per-shard manifest (doc count + char volume).
+    Q("x_shard_assign",
+      (s, dir) => Tables.documents(s, dir)
+        .withColumn("shard",
+          (conv(substring(sha2(concat(lit("sh|"), col("doc_id").cast("string")), 256), 1, 8),
+            16, 10).cast("long") % 16).cast("int"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("shard")),
+      Some("""
+        SELECT CAST(CAST(('0x' || substr(sha256('sh|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 16 AS INTEGER) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1 ORDER BY shard
+      """)),
+
+    // ------------------------------------------------------------------
+    // 63: cross-source dedup with SOURCE PRECEDENCE — when the same
+    // content arrives from several sources, keep the copy from the most
+    // trusted one (curated beats crawl; here priority = the source's
+    // numeric rank). One window on the content hash — same scale shape
+    // as t_dedup_keep_latest, different survivor rule.
+    Q("d_dedup_precedence",
+      (s, dir) => {
+        val pri = substring(col("source"), 4, 10).cast("int")
+        Tables.documents(s, dir)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(sha2(col("text"), 256))
+              .orderBy(pri, col("doc_id"))))
+          .filter(col("rk") === 1)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 row_number() OVER (
+                   PARTITION BY sha256(text)
+                   ORDER BY CAST(substr(source, 4) AS INTEGER), doc_id) AS rk
+          FROM documents)
+        SELECT source, COUNT(*) AS n_kept
+        FROM ranked WHERE rk = 1
+        GROUP BY source ORDER BY source
       """))
   )
 }
