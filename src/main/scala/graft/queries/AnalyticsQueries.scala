@@ -358,15 +358,22 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // ntile deciles over a global order. A global-order window is a
-    // single-partition sort by construction — the operator exists for
-    // its semantics; at corpus scale the same question is answered by
-    // approximate percentiles (q_approx_distinct).
+    // EXACT ntile deciles over a global order — WITHOUT the global-order
+    // window (which funnels the frame through one task). Distributed
+    // shape: range shuffle → parallel per-partition ranks → bounded
+    // per-partition offsets (ScaleWindows.withGlobalRank), then NTILE
+    // bucket arithmetic from the global rank. Same answer as NTILE(10)
+    // OVER (ORDER BY ...) — the oracle still says exactly that.
+    // q_ntile_approx below remains the sketch-based cheap path.
     Q("q_ntile",
       (s, dir) => {
-        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-        Tables.customer(s, dir)
-          .withColumn("decile", ntile(10).over(w))
+        import graft.operators.ScaleWindows
+        val cust = Tables.customer(s, dir)
+        // Parquet-backed count folds to row-group stats — cheap.
+        val total = cust.count()
+        ScaleWindows.withGlobalRank(cust,
+            Seq(col("c_acctbal"), col("c_custkey")), "rk")
+          .withColumn("decile", ScaleWindows.ntileFromRank(col("rk"), total, 10))
           .groupBy(col("decile"))
           .agg(count(lit(1)).as("n"), Q.dsum(col("c_acctbal")).as("sum_bal"))
           .orderBy(col("decile"))
