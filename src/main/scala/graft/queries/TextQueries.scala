@@ -134,6 +134,60 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 33b: bit-level cross-engine twin of SimHash. The production path
+    // above hashes tokens with XXH64 (no DuckDB analog), so the sign-sum
+    // + bit-assembly ALGORITHM is verified here with a portable token
+    // hash: the first 16 hex chars of sha256, split into two 32-bit
+    // halves so every step is exact BIGINT arithmetic on both engines.
+    // Shape is the production shape: one token explode, (doc, token)
+    // count pre-aggregation (vocabulary-sized, not corpus-sized), 64
+    // sign-sums per doc — no custom expression needed.
+    Q("d_simhash_portable",
+      (s, dir) => {
+        val toks = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            explode(split(lower(col("text")), "\\s+")).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+        val halves = toks
+          .withColumn("hex", sha2(col("tok"), 256))
+          .withColumn("hi", conv(substring(col("hex"), 1, 8), 16, 10).cast("long"))
+          .withColumn("lo", conv(substring(col("hex"), 9, 8), 16, 10).cast("long"))
+        val signs = halves
+          .select(col("doc_id"), col("cnt"), col("hi"), col("lo"),
+            explode(sequence(lit(0), lit(63))).as("j"))
+          .withColumn("s_term", col("cnt") *
+            (expr("shiftright(CASE WHEN j < 32 THEN lo ELSE hi END, j % 32)")
+              .bitwiseAND(lit(1L)) * 2 - 1))
+          .groupBy(col("doc_id"), col("j")).agg(sum(col("s_term")).as("s"))
+        signs.groupBy(col("doc_id")).agg(
+            sum(when(col("j") >= 32 && col("s") > 0,
+              expr("shiftleft(1L, j - 32)")).otherwise(lit(0L))).as("sh_hi"),
+            sum(when(col("j") < 32 && col("s") > 0,
+              expr("shiftleft(1L, j)")).otherwise(lit(0L))).as("sh_lo"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+            SELECT doc_id,
+                   unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                          x -> x <> '')) AS tok
+            FROM documents) GROUP BY doc_id, tok),
+        hh AS (SELECT doc_id, cnt,
+                 ('0x' || substr(sha256(tok), 1, 8))::BIGINT AS hi,
+                 ('0x' || substr(sha256(tok), 9, 8))::BIGINT AS lo
+               FROM toks),
+        b AS (SELECT doc_id, j,
+                SUM(cnt * (2 * (((CASE WHEN j < 32 THEN lo ELSE hi END) >> (j % 32)) & 1) - 1)) AS s
+              FROM hh, (SELECT unnest(range(0, 64)) AS j) GROUP BY doc_id, j)
+        SELECT doc_id,
+          CAST(SUM(CASE WHEN j >= 32 AND s > 0 THEN 1::BIGINT << (j - 32) ELSE 0 END) AS BIGINT) AS sh_hi,
+          CAST(SUM(CASE WHEN j < 32 AND s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS sh_lo
+        FROM b GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 34: embedding near-dup via hyperplane-LSH buckets, top-20 by cosine
     Q("d_dedup_embedding",
       (s, dir) => Similarity.annLshTopK(
