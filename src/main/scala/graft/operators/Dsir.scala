@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+  * arXiv:2302.03169): pick raw documents whose hashed-n-gram profile
+  * resembles a small high-quality target corpus. The reference pipeline
+  * has no analog — this is one of the selection stages a 100 TB
+  * training-data build runs between dedup and packing.
+  *
+  * Scale shape, stage by stage:
+  *  - [[features]]: one explode over unigrams+bigrams, pre-aggregated to
+  *    (doc, bucket) counts — output is vocabulary-bounded per doc, never
+  *    corpus × buckets.
+  *  - [[bucketLogRatio]]: the whole model is `numBuckets` rows (counts +
+  *    smoothed log-likelihood ratios) regardless of corpus size, so it
+  *    broadcasts; fitting is two groupBy passes.
+  *  - [[importanceWeights]]: broadcast join + one sum per doc.
+  *  - [[resample]]: Gumbel top-k compiles to TakeOrderedAndProject
+  *    (per-partition heaps + driver merge of k rows) — no global sort.
+  *
+  * The token hash is PORTABLE (first 8 hex chars of sha256 → int64 →
+  * mod buckets), so the integer feature stage is verified bit-level
+  * against DuckDB by the `x_dsir_features` oracle; the float log-ratio /
+  * Gumbel stages are covered by DsirSpec (determinism, target
+  * enrichment, plan shape) — ln() bit-parity across engines is not
+  * guaranteed, the same split as x_charlm_score.
+  */
+object Dsir {
+
+  /** (id, bucket, cnt): unigram + bigram counts hashed into
+    * `numBuckets`. Tokenization is the portable lower/whitespace split
+    * (the d_simhash_portable twin), not SketchHash.tokenize — this stage
+    * must be re-derivable in the oracle.
+    */
+  def features(df: DataFrame, idCol: String, textCol: String,
+      numBuckets: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("ts"))
+    val uni = base.select(col("id"), explode(col("ts")).as("ng"))
+    // sequence(0, size-2) would COUNT DOWN for empty/1-token docs
+    // (Spark sequences are bidirectional) — guard before building it.
+    val bi = base.select(col("id"), explode(
+        when(size(col("ts")) > 1,
+          transform(sequence(lit(0), size(col("ts")) - 2),
+            i => concat_ws(" ",
+              element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("ng"))
+    uni.unionAll(bi)
+      .withColumn("bucket",
+        conv(substring(sha2(col("ng"), 256), 1, 8), 16, 10).cast("long")
+          % numBuckets)
+      .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-bucket smoothed log-likelihood ratio
+    * `log((cnt_t+α)/(tot_t+α·B)) − log((cnt_r+α)/(tot_r+α·B))` from two
+    * feature frames. Output: (bucket, cnt_t, cnt_r, log_ratio) —
+    * `numBuckets` rows, broadcastable no matter the corpus size.
+    */
+  def bucketLogRatio(target: DataFrame, raw: DataFrame, numBuckets: Int,
+      alpha: Double = 0.5): DataFrame = {
+    def bucketCounts(f: DataFrame, n: String) =
+      f.groupBy(col("bucket")).agg(sum(col("cnt")).as(n))
+    val t = bucketCounts(target, "cnt_t")
+    val r = bucketCounts(raw, "cnt_r")
+    val joined = r.join(t, Seq("bucket"), "full")
+      .na.fill(0L, Seq("cnt_t", "cnt_r"))
+    val tot = joined.agg(sum(col("cnt_t")).as("tot_t"), sum(col("cnt_r")).as("tot_r"))
+    val b = lit(alpha * numBuckets)
+    joined.crossJoin(broadcast(tot))
+      .withColumn("log_ratio",
+        log((col("cnt_t") + alpha) / (col("tot_t") + b)) -
+          log((col("cnt_r") + alpha) / (col("tot_r") + b)))
+      .select(col("bucket"), col("cnt_t"), col("cnt_r"), col("log_ratio"))
+  }
+
+  /** Per-doc importance weight `log w = Σ cnt_b · log_ratio_b` via a
+    * broadcast of the bucket model. */
+  def importanceWeights(feat: DataFrame, ratios: DataFrame): DataFrame =
+    feat.join(broadcast(ratios.select(col("bucket"), col("log_ratio"))), Seq("bucket"))
+      .groupBy(col("id")).agg(sum(col("cnt") * col("log_ratio")).as("log_w"))
+
+  /** Gumbel top-k resample without replacement: rank by
+    * `log_w + g`, `g = −ln(−ln(u))`, with `u` drawn DETERMINISTICALLY
+    * from sha256(salt‖id) (52 mantissa-exact bits → (0,1)) so reruns and
+    * retries select the identical sample. Returns (id, log_w, key).
+    */
+  def resample(weights: DataFrame, k: Int, salt: String): DataFrame = {
+    val u = (conv(substring(
+        sha2(concat(lit(salt), lit("|"), col("id").cast("string")), 256),
+        1, 13), 16, 10).cast("double") + 0.5) / 4503599627370496.0 // 2^52
+    weights
+      .withColumn("key", col("log_w") - log(-log(u)))
+      .orderBy(col("key").desc, col("id"))
+      .limit(k)
+  }
+}

@@ -414,6 +414,119 @@ object DataPipelineQueries {
         SELECT source, COUNT(*) AS n_kept
         FROM ranked WHERE rk = 1
         GROUP BY source ORDER BY source
-      """))
+      """)),
+
+    // ------------------------------------------------------------------
+    // DSIR importance resampling (Xie et al. 2023), stage 1: hashed
+    // unigram+bigram bucket counts for the target (lang='en') vs raw
+    // (whole corpus) distributions. The hash is the portable sha256
+    // prefix, so the entire integer feature pipeline — tokenize, bigram
+    // join, bucketing, counts — is hash-checked cross-engine. Top-50
+    // buckets by raw mass, bucket id as tiebreak.
+    Q("x_dsir_features",
+      (s, dir) => {
+        import graft.operators.Dsir
+        val docs = Tables.documents(s, dir)
+        val t = Dsir.features(docs.filter(col("lang") === "en"), "doc_id", "text")
+          .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt_t"))
+        val r = Dsir.features(docs, "doc_id", "text")
+          .groupBy(col("bucket")).agg(sum(col("cnt")).as("cnt_r"))
+        r.join(t, Seq("bucket"), "left").na.fill(0L, Seq("cnt_t"))
+          .select(col("bucket"), col("cnt_t"), col("cnt_r"))
+          .orderBy(col("cnt_r").desc, col("bucket"))
+          .limit(50)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents),
+        ngs AS (
+          SELECT doc_id, lang, unnest(ts) AS ng FROM base
+          UNION ALL
+          SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i + 1])) AS ng
+          FROM base),
+        b AS (SELECT lang,
+                     ('0x' || substr(sha256(ng), 1, 8))::BIGINT % 4096 AS bucket
+              FROM ngs)
+        SELECT bucket,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_t,
+               CAST(COUNT(*) AS BIGINT) AS cnt_r
+        FROM b GROUP BY bucket ORDER BY cnt_r DESC, bucket LIMIT 50
+      """)),
+
+    // ------------------------------------------------------------------
+    // Length-bucketed sequence packing: assign each doc to a token-length
+    // band (CASE ladder — integer-exact on both engines; floor(log2(n))
+    // would hit ln-ulp drift in Spark's log(base, x)), then pack
+    // greedily WITHIN each band, longest-first. Unlike x_seq_pack's
+    // global concatenate-and-split, the cumulative sums here are windows
+    // PARTITIONED by band — embarrassingly parallel at corpus scale, and
+    // the per-band packing wastes far less padding than mixing lengths.
+    Q("x_pack_length_buckets",
+      (s, dir) => {
+        val nTok = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long")
+        val bkt = when(col("n_tok") <= 32, 32L).when(col("n_tok") <= 64, 64L)
+          .when(col("n_tok") <= 128, 128L).when(col("n_tok") <= 256, 256L)
+          .otherwise(512L)
+        val w = Window.partitionBy(col("bkt"))
+          .orderBy(col("n_tok").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        Tables.documents(s, dir)
+          .select(col("doc_id"), nTok.as("n_tok"))
+          .withColumn("bkt", bkt)
+          .withColumn("cb", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+          .select(col("doc_id"), col("n_tok"), col("bkt"),
+            expr("cb DIV 256").as("bin"), // integer div: `/` would detour through double
+            (col("cb") % 256).as("bin_off"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '')) AS n_tok
+          FROM documents),
+        bk AS (SELECT doc_id, n_tok,
+                      CASE WHEN n_tok <= 32 THEN 32 WHEN n_tok <= 64 THEN 64
+                           WHEN n_tok <= 128 THEN 128 WHEN n_tok <= 256 THEN 256
+                           ELSE 512 END AS bkt
+               FROM toks),
+        cum AS (SELECT doc_id, n_tok, bkt,
+                       COALESCE(SUM(n_tok) OVER (PARTITION BY bkt
+                         ORDER BY n_tok DESC, doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+                FROM bk)
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, CAST(bkt AS BIGINT) AS bkt,
+               CAST(cb // 256 AS BIGINT) AS bin, CAST(cb % 256 AS BIGINT) AS bin_off
+        FROM cum ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // DSIR stage 2+3: smoothed bucket log-likelihood-ratio model
+    // (4096 rows — broadcast), per-doc importance weights, deterministic
+    // Gumbel top-k sample. Floats (ln) → rows-only; DsirSpec asserts
+    // determinism, target-language enrichment of the weights, and the
+    // TakeOrdered (no global sort) plan.
+    Q("x_dsir_select",
+      (s, dir) => {
+        import graft.operators.Dsir
+        val docs = Tables.documents(s, dir)
+        val raw = Dsir.features(docs, "doc_id", "text")
+        val ratios = Dsir.bucketLogRatio(
+          Dsir.features(docs.filter(col("lang") === "en"), "doc_id", "text"),
+          raw, numBuckets = 4096)
+        Dsir.resample(Dsir.importanceWeights(raw, ratios), k = 100,
+            salt = "graft-dsir")
+          .withColumnRenamed("id", "doc_id")
+          .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"), col("log_w"))
+          .orderBy(col("doc_id"))
+      },
+      None)
   )
 }
