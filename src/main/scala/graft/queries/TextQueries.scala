@@ -468,6 +468,36 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 40b: winnowing fingerprints (Schleimer et al. 2003 / MOSS): k-gram
+    // hashes, sliding window of w, keep each window's rightmost minimum.
+    // One narrow projection + explode — no shuffle; the portable
+    // sha256-prefix hash makes the whole selection integer-exact, so the
+    // oracle checks the algorithm (windows, tie rule, dedup) bit-level.
+    Q("x_winnow_fingerprint",
+      (s, dir) => graft.operators.Winnow.fingerprints(
+          Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("pos")),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '') AS ts
+          FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, len(ts) - 5 + 1),
+                i -> ('0x' || substr(sha256(array_to_string(ts[i+1:i+5], ' ')), 1, 8))::BIGINT) AS hs
+              FROM base WHERE len(ts) >= 5),
+        wnd AS (SELECT doc_id, hs,
+                       unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS j
+                FROM g),
+        sel AS (SELECT doc_id,
+                  j + len(hs[j+1 : j+4])
+                    - list_position(list_reverse(hs[j+1 : j+4]), list_min(hs[j+1 : j+4])) AS pos,
+                  list_min(hs[j+1 : j+4]) AS fp
+                FROM wnd)
+        SELECT DISTINCT doc_id, pos, fp FROM sel ORDER BY doc_id, pos
+      """)),
+
+    // ------------------------------------------------------------------
     // 41: multimodal plumbing — binary column + mapPartitions feature
     // extraction (decode stubbed; see Multimodal.decodeStub)
     Q("m_multimodal_meta",
