@@ -82,6 +82,47 @@ object Dsir {
     feat.join(broadcast(ratios.select(col("bucket"), col("log_ratio"))), Seq("bucket"))
       .groupBy(col("id")).agg(sum(col("cnt") * col("log_ratio")).as("log_w"))
 
+  /** Collect a fitted [[bucketLogRatio]] model to a driver map for
+    * [[scoreStateless]] / streaming gates — bounded at numBuckets rows
+    * by construction. */
+  def collectModel(ratios: DataFrame): Map[Long, Double] =
+    ratios.select(col("bucket"), col("log_ratio")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  /** Stateless per-doc score under an ALREADY-FITTED model: the same
+    * unigram+bigram/bucket features as [[features]], but folded inside
+    * one projection via a map literal over the bounded bucket model — no
+    * explode, no shuffle, no state. This is the form a STREAMING quality
+    * gate needs (append mode, watermark-free), and the cheapest batch
+    * scorer once the model exists. The literal is bounded by numBuckets
+    * (4096 default) by construction — same discipline as
+    * labelCentroidAssign's documented bound. Buckets absent from the
+    * model contribute 0, matching the inner model join in
+    * [[importanceWeights]].
+    */
+  def scoreStateless(df: DataFrame, idCol: String, textCol: String,
+      model: Map[Long, Double], numBuckets: Int = 4096,
+      out: String = "dsir_score"): DataFrame = {
+    require(model.size <= numBuckets,
+      s"model has ${model.size} entries for $numBuckets buckets")
+    val kvs = model.toSeq.sortBy(_._1)
+      .flatMap { case (b, r) => Seq(lit(b), lit(r)) }
+    val m = map(kvs: _*)
+    def bucketOf(ng: Column): Column =
+      conv(substring(sha2(ng, 256), 1, 8), 16, 10).cast("long") % numBuckets
+    val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
+    val bi = when(size(col("__ts")) > 1,
+        transform(sequence(lit(0), size(col("__ts")) - 2),
+          i => concat_ws(" ",
+            element_at(col("__ts"), i + 1), element_at(col("__ts"), i + 2))))
+      .otherwise(array().cast("array<string>"))
+    df.withColumn("__ts", ts)
+      .withColumn(out,
+        aggregate(concat(col("__ts"), bi), lit(0.0),
+          (acc, ng) => acc + coalesce(element_at(m, bucketOf(ng)), lit(0.0))))
+      .drop("__ts")
+  }
+
   /** Gumbel top-k resample without replacement: rank by
     * `log_w + g`, `g = −ln(−ln(u))`, with `u` drawn DETERMINISTICALLY
     * from sha256(salt‖id) (52 mantissa-exact bits → (0,1)) so reruns and

@@ -109,6 +109,20 @@ object StreamOps {
       w: Int = 10): DataFrame =
     graft.operators.TextDedup.spans(docs, idCol, textCol, w).dropDuplicates("ch")
 
+  /** Streaming DSIR quality gate: score each arriving document against a
+    * PRE-FITTED bounded bucket model (Dsir.collectModel) and keep
+    * target-like docs. Fully stateless — the model rides the plan as a
+    * numBuckets-bounded literal, scoring is one projection — so the gate
+    * runs in append mode with no watermark and composes before any
+    * stateful stage. Refreshing the model = restarting the query with a
+    * new map (the model is a run parameter, like the reference's YAML
+    * config, not state).
+    */
+  def dsirGate(docs: DataFrame, model: Map[Long, Double],
+      threshold: Double, numBuckets: Int = 4096): DataFrame =
+    graft.operators.Dsir.scoreStateless(docs, "doc_id", "text", model, numBuckets)
+      .filter(col("dsir_score") >= threshold)
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key within `[l.ts, l.ts + window]`. Both
     * sides carry watermarks so join state is evicted once event time

@@ -51,6 +51,50 @@ class DsirSpec extends AnyFunSuite {
       s"Gumbel top-k must be TakeOrdered, not a global sort:\n$plan")
   }
 
+  test("stateless scorer equals the join+agg weights on the same corpus") {
+    val raw = Dsir.features(docs, "doc_id", "text")
+    val ratios = Dsir.bucketLogRatio(
+      Dsir.features(docs.filter(col("lang") === "en"), "doc_id", "text"),
+      raw, numBuckets = 4096)
+    val joined = Dsir.importanceWeights(raw, ratios)
+      .select(col("id"), col("log_w")).as[(Long, Double)].collect().toMap
+    val stateless = Dsir.scoreStateless(docs, "doc_id", "text",
+        Dsir.collectModel(ratios))
+      .select(col("doc_id"), col("dsir_score")).as[(Long, Double)].collect().toMap
+    assert(stateless.keySet == joined.keySet)
+    // Same terms, different summation order (fold vs partial aggs) —
+    // equality up to float accumulation.
+    joined.foreach { case (id, w) =>
+      assert(math.abs(stateless(id) - w) <= 1e-9 * math.max(1.0, math.abs(w)),
+        s"doc $id: stateless ${stateless(id)} vs joined $w")
+    }
+  }
+
+  test("streaming dsirGate passes exactly the docs the batch gate passes") {
+    val raw = Dsir.features(docs, "doc_id", "text")
+    val model = Dsir.collectModel(Dsir.bucketLogRatio(
+      Dsir.features(docs.filter(col("lang") === "en"), "doc_id", "text"),
+      raw, numBuckets = 4096))
+    // Median-ish threshold so the gate genuinely splits the corpus.
+    val thr = Dsir.scoreStateless(docs, "doc_id", "text", model)
+      .agg(expr("percentile_approx(dsir_score, 0.5, 1000)")).as[Double].head()
+    val dropDir = java.nio.file.Files.createTempDirectory("graft-dsir-in").toString
+    docs.select("doc_id", "text").coalesce(2).write.mode("append").parquet(dropDir)
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 1).parquet(dropDir)
+    val q = graft.streaming.StreamOps.dsirGate(src, model, thr)
+      .writeStream.format("memory").queryName("dsir_gate")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("dsir_gate").select("doc_id").as[Long].collect().toSet
+    val batch = Dsir.scoreStateless(docs.select("doc_id", "text"), "doc_id", "text", model)
+      .filter(col("dsir_score") >= thr).select("doc_id").as[Long].collect().toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty && batch.size < 500) // the gate actually gates
+  }
+
   test("a different salt draws a different sample, same weight model") {
     val raw = Dsir.features(docs, "doc_id", "text")
     val ratios = Dsir.bucketLogRatio(
