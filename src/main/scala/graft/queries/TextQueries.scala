@@ -134,6 +134,89 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 32b: bit-level cross-engine twin of MinHash+LSH. The production
+    // path (d_dedup_minhash_lsh) hashes with XXH64 — no DuckDB analog —
+    // so the ALGORITHM (per-seed min over distinct shingles, banding,
+    // collision join, signature-agreement scoring) is verified here with
+    // the portable sha256-prefix hash. Everything through n_eq is exact
+    // integer arithmetic; publication is the top-20 pairs by agreeing
+    // positions with full (id_a, id_b) tiebreak. Same join shape as
+    // production: band-key equi-join, never all-pairs.
+    Q("d_minhash_portable",
+      (s, dir) => {
+        import graft.operators.Materialize
+        val base = Tables.documents(s, dir)
+          .select(col("doc_id"),
+            filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
+          .filter(size(col("ts")) >= 3)
+        val shs = base.select(col("doc_id"),
+          array_distinct(transform(sequence(lit(0), size(col("ts")) - 3),
+            i => concat_ws(" ", element_at(col("ts"), i + 1),
+              element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))).as("shs"))
+        val mh = shs.select(col("doc_id"), explode(col("shs")).as("shingle"))
+          .select(col("doc_id"), col("shingle"),
+            explode(sequence(lit(0), lit(31))).as("seed"))
+          .withColumn("h", conv(substring(
+            sha2(concat(col("seed").cast("string"), lit("|"), col("shingle")), 256),
+            1, 8), 16, 10).cast("long"))
+          .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
+        // Signature reused by the band explode and BOTH pair sides.
+        val sig = Materialize(mh.groupBy("doc_id")
+          .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
+            e => e.getField("mh")).as("sig")))
+        val bands = sig.select(col("doc_id"), explode(
+            transform(sequence(lit(0), lit(15)),
+              b => struct(b.as("b"),
+                element_at(col("sig"), b * 2 + 1).as("k1"),
+                element_at(col("sig"), b * 2 + 2).as("k2")))).as("bd"))
+          .select(col("doc_id"), col("bd.b").as("b"),
+            col("bd.k1").as("k1"), col("bd.k2").as("k2"))
+        val pairs = bands.as("a").join(bands.as("b"),
+            col("a.b") === col("b.b") && col("a.k1") === col("b.k1") &&
+            col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        pairs
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+          .withColumn("n_eq",
+            size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+              p => p)).cast("long"))
+          .select("id_a", "id_b", "n_eq")
+          .orderBy(col("n_eq").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '') AS ts
+          FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(ts) - 2),
+                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
+               FROM base WHERE len(ts) >= 3),
+        hx AS (SELECT doc_id, seed,
+                 MIN(('0x' || substr(sha256(CAST(seed AS VARCHAR) || '|' || shingle), 1, 8))::BIGINT) AS mh
+               FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+                    (SELECT unnest(range(0, 32)) AS seed)
+               GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hx GROUP BY doc_id),
+        bands AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
+                   AND a.doc_id < b.doc_id),
+        scored AS (SELECT id_a, id_b,
+                     len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) AS n_eq
+                   FROM pairs
+                   JOIN sig sa ON sa.doc_id = id_a
+                   JOIN sig sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, CAST(n_eq AS BIGINT) AS n_eq
+        FROM scored ORDER BY n_eq DESC, id_a, id_b LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
     // 33b: bit-level cross-engine twin of SimHash. The production path
     // above hashes tokens with XXH64 (no DuckDB analog), so the sign-sum
     // + bit-assembly ALGORITHM is verified here with a portable token
