@@ -278,6 +278,65 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 34c: bit-level cross-engine twin of hyperplane-LSH. The production
+    // path (d_dedup_embedding) derives planes from a splitmix64 mix —
+    // wrapping 64-bit multiplies that DuckDB's checked integer arithmetic
+    // can't express — so the ALGORITHM (sign-bit bucketing, bucket
+    // self-join, cosine ranking) is verified with sha256-derived plane
+    // components: exact 32-bit integers scaled to [-1,1), so plane
+    // literals, the fixed-order dot folds (0.0-seeded accumulate ==
+    // DuckDB's left fold), the >= 0 sign test and the bucket OR are all
+    // bit-identical in both engines. Cosine publishes floor-scaled.
+    Q("s_ann_lsh_portable",
+      (s, dir) => {
+        import graft.operators.Materialize
+        val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, d) =>
+          val hx = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(s"$p,$d".getBytes("UTF-8"))
+          val u = ((hx(0) & 0xffL) << 24) | ((hx(1) & 0xffL) << 16) |
+            ((hx(2) & 0xffL) << 8) | (hx(3) & 0xffL)
+          (u - 2147483648L).toDouble / 2147483648.0
+        }
+        val bucket = planes.zipWithIndex.map { case (pl, i) =>
+          when(Similarity.dot(col("vec"), typedlit(pl)) >= 0,
+            shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
+        val withBucket = Materialize(Tables.embeddings(s, dir)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+          .withColumn("bucket", bucket))
+        withBucket.as("a").join(withBucket.as("b"),
+            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
+          .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20)
+          .select(col("id_a"), col("id_b"),
+            expr("CAST(floor(cos * 1e9) AS BIGINT)").as("cosine_e9"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM v),
+        planes AS (SELECT p, list_transform(range(0, 64), d ->
+                     ((('0x' || substr(sha256(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                       - 2147483648) / 2147483648.0)) AS pl
+                   FROM (SELECT unnest(range(0, 8)) AS p)),
+        bits AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * pl[i]),
+                                                  (a, b) -> a + b) >= 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM n, planes GROUP BY vec_id),
+        b2 AS (SELECT n.vec_id, bucket, v, nrm FROM n JOIN bits USING (vec_id)),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+                  FROM b2 a JOIN b2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, CAST(floor(cos * 1e9) AS BIGINT) AS cosine_e9
+        FROM pairs ORDER BY cos DESC, id_a, id_b LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
     // 35: brute-force cosine top-5 neighbors for 10 query vectors, on the
     // fast native VecDot path. Oracle-checked: VecDot is a left-to-right
     // accumulate from 0.0, exactly DuckDB's list_reduce left fold
