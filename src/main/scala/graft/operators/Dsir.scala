@@ -39,14 +39,16 @@ object Dsir {
     val base = df.select(col(idCol).as("id"),
       filter(split(lower(col(textCol)), "\\s+"), t => t =!= "").as("ts"))
     val uni = base.select(col("id"), explode(col("ts")).as("ng"))
-    // sequence(0, size-2) would COUNT DOWN for empty/1-token docs
-    // (Spark sequences are bidirectional) — guard before building it.
+    // Bigrams via a shifted zip — zip_with null-pads the shorter side
+    // and concat propagates the null, so the trailing partial pair
+    // drops in the explode-side filter. Deliberately NOT
+    // transform(sequence, i => element_at(ts, i)): a lambda that
+    // references the `ts` alias gets the whole tokenizer inlined per
+    // element by CollapseProject (quadratic re-evaluation).
     val bi = base.select(col("id"), explode(
-        when(size(col("ts")) > 1,
-          transform(sequence(lit(0), size(col("ts")) - 2),
-            i => concat_ws(" ",
-              element_at(col("ts"), i + 1), element_at(col("ts"), i + 2))))
-          .otherwise(array().cast("array<string>"))).as("ng"))
+        zip_with(col("ts"), slice(col("ts"), lit(2), greatest(size(col("ts")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b))).as("ng"))
+      .filter(col("ng").isNotNull)
     uni.unionAll(bi)
       .withColumn("bucket",
         conv(substring(sha2(col("ng"), 256), 1, 8), 16, 10).cast("long")
@@ -111,15 +113,16 @@ object Dsir {
     def bucketOf(ng: Column): Column =
       conv(substring(sha2(ng, 256), 1, 8), 16, 10).cast("long") % numBuckets
     val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    val bi = when(size(col("__ts")) > 1,
-        transform(sequence(lit(0), size(col("__ts")) - 2),
-          i => concat_ws(" ",
-            element_at(col("__ts"), i + 1), element_at(col("__ts"), i + 2))))
-      .otherwise(array().cast("array<string>"))
+    // Shifted-zip bigrams (null tail skipped in the fold) — see
+    // features() for why the lambda must not reference the __ts alias.
+    val bi = zip_with(col("__ts"),
+      slice(col("__ts"), lit(2), greatest(size(col("__ts")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
     df.withColumn("__ts", ts)
       .withColumn(out,
         aggregate(concat(col("__ts"), bi), lit(0.0),
-          (acc, ng) => acc + coalesce(element_at(m, bucketOf(ng)), lit(0.0))))
+          (acc, ng) => acc + when(ng.isNull, lit(0.0))
+            .otherwise(coalesce(element_at(m, bucketOf(ng)), lit(0.0)))))
       .drop("__ts")
   }
 

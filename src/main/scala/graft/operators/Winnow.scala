@@ -10,14 +10,48 @@ import org.apache.spark.sql.functions._
   * one shared fingerprint, and fingerprint density is ~2/(w+1) —
   * position-robust dedup signatures at a fraction of full-shingle cost.
   *
-  * Everything runs INSIDE one narrow projection with higher-order array
-  * functions — no join, no shuffle, no state: per doc the k-gram hashes,
-  * the w-windows, and the rightmost-min selection are array ops, then one
-  * explode publishes (pos, fp) rows. The hash is the portable sha256
-  * prefix, so the whole selection is integer-exact cross-engine (oracled
-  * by x_winnow_fingerprint).
+  * Everything runs INSIDE one narrow projection — no join, no shuffle,
+  * no state — built so that NO lambda body references a projected array
+  * alias. That constraint is load-bearing: CollapseProject inlines
+  * aliases into higher-order-function lambdas, and an inlined alias is
+  * re-evaluated PER ELEMENT in interpreted eval — a first cut that
+  * sliced `col("hs")` inside the window lambda re-tokenized and
+  * re-hashed the whole document per window, O(n²·sha) per doc (~17 min
+  * single-task at sf0.1). The shapes below pass arrays only as
+  * zip_with/transform ARGUMENTS (evaluated once per row): k-grams via a
+  * shifted zip chain, window minima via a sparse-table zip tournament
+  * on (hash, −pos) structs — lexicographic struct `least` implements
+  * the rightmost-min tie rule directly. O(n·k + n·log w) per doc.
   */
 object Winnow {
+
+  /** Concatenate j-shifted copies: grams(i) = ts[i..i+k-1] joined by ' '.
+    * zip_with pads the shorter side with null and concat propagates it,
+    * so trailing (<k)-grams become null — sliced off by the caller. */
+  private[graft] def kGrams(ts: Column, k: Int): Column =
+    (1 until k).foldLeft(ts) { (acc, j) =>
+      zip_with(acc, slice(ts, lit(j + 1), greatest(size(ts) - j, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+    }
+
+  /** Sliding-window minimum over `st` (array of orderable structs) for
+    * window width w, via doubling spans: t_{2s}[i] = least(t_s[i],
+    * t_s[i+s]). `least` skips the null padding, so tail entries hold
+    * truncated-window minima — the caller slices to the exact window
+    * count. */
+  private def windowMin(st: Column, w: Int): Column = {
+    var span = 1
+    var t = st
+    while (span * 2 <= w) {
+      t = zip_with(t, slice(t, lit(span + 1), greatest(size(t) - span, lit(0))),
+        (a, b) => least(a, b))
+      span *= 2
+    }
+    if (span < w)
+      t = zip_with(t, slice(t, lit(w - span + 1), greatest(size(t) - (w - span), lit(0))),
+        (a, b) => least(a, b))
+    t
+  }
 
   /** (id, pos, fp): winnowed fingerprints per document. `pos` is the
     * 0-based token index of the selected k-gram. Docs shorter than k
@@ -27,28 +61,23 @@ object Winnow {
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 5, w: Int = 4): DataFrame = {
     val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
-    // k-gram portable hashes: int64 from the first 8 hex chars of sha256.
-    val hs = transform(
-      sequence(lit(0), size(col("ts")) - k),
-      i => conv(substring(sha2(concat_ws(" ", slice(col("ts"), i + 1, lit(k))), 256),
-        1, 8), 16, 10).cast("long"))
-    // One (pos, fp) per window: mn = window min, selected position =
-    // RIGHTMOST occurrence of mn (robust winnowing's tie rule), found by
-    // first-position in the reversed window.
-    val sel = transform(
-      sequence(lit(0), greatest(size(col("hs")) - w, lit(0))),
-      j => {
-        val win = slice(col("hs"), j + 1, lit(w))
-        val mn = array_min(win)
-        val rpos = array_position(reverse(win), mn)
-        struct((j + size(win) - rpos).cast("long").as("pos"), mn.as("fp"))
-      })
     df.select(col(idCol).as("id"), ts.as("ts"))
       .filter(size(col("ts")) >= k)
-      .withColumn("hs", hs)
-      .withColumn("sel", sel)
-      .select(col("id"), explode(col("sel")).as("s"))
-      .select(col("id"), col("s.pos").as("pos"), col("s.fp").as("fp"))
+      // Each stage references the previous alias ONLY as a row-level
+      // argument (slice/size/zip_with inputs), never inside a lambda —
+      // inlining by CollapseProject then costs a constant number of
+      // re-evaluations per row, not per element.
+      .withColumn("grams", slice(kGrams(col("ts"), k), lit(1),
+        greatest(size(col("ts")) - (k - 1), lit(0))))
+      .withColumn("st", zip_with(col("grams"),
+        sequence(lit(0), size(col("grams")) - 1),
+        (g, i) => struct(
+          conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long").as("fp"),
+          (-i).cast("long").as("np"))))
+      .withColumn("sel", slice(windowMin(col("st"), w), lit(1),
+        greatest(size(col("st")) - (w - 1), lit(1))))
+      .select(col("id"), explode(array_distinct(col("sel"))).as("s"))
+      .select(col("id"), (-col("s.np")).as("pos"), col("s.fp").as("fp"))
       .distinct()
   }
 }

@@ -149,10 +149,12 @@ object TextQueries {
           .select(col("doc_id"),
             filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
           .filter(size(col("ts")) >= 3)
+        // Shifted-zip 3-grams (Winnow.kGrams): lambdas must not touch
+        // the `ts` alias — CollapseProject would inline the tokenizer
+        // per shingle (quadratic interpreted re-evaluation).
         val shs = base.select(col("doc_id"),
-          array_distinct(transform(sequence(lit(0), size(col("ts")) - 3),
-            i => concat_ws(" ", element_at(col("ts"), i + 1),
-              element_at(col("ts"), i + 2), element_at(col("ts"), i + 3)))).as("shs"))
+          array_distinct(slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
+            greatest(size(col("ts")) - 2, lit(0)))).as("shs"))
         val mh = shs.select(col("doc_id"), explode(col("shs")).as("shingle"))
           .select(col("doc_id"), col("shingle"),
             explode(sequence(lit(0), lit(31))).as("seed"))
