@@ -155,12 +155,31 @@ object TextQueries {
         val shs = base.select(col("doc_id"),
           array_distinct(slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
             greatest(size(col("ts")) - 2, lit(0)))).as("shs"))
-        val mh = shs.select(col("doc_id"), explode(col("shs")).as("shingle"))
-          .select(col("doc_id"), col("shingle"),
-            explode(sequence(lit(0), lit(31))).as("seed"))
-          .withColumn("h", conv(substring(
-            sha2(concat(col("seed").cast("string"), lit("|"), col("shingle")), 256),
-            1, 8), 16, 10).cast("long"))
+        // 4 sha256 per shingle, not 32: seed i reads hex slice i%8 of
+        // digest i/8 — one 256-bit digest yields 8 independent 32-bit
+        // hash values. TWO explodes so each digest is computed exactly
+        // once as a GENERATOR OUTPUT (a single 32-struct array would
+        // reference each digest 8× and, with no common-subexpression
+        // elimination on the Generate input, hash 32× per shingle —
+        // measured 12 s vs 7.9 s vs this shape's ~1.5 s at sf0.1).
+        // The oracle derives seeds by the same digest slicing.
+        val digests = (0 until 4).map { g =>
+          struct(lit(g).as("g"),
+            sha2(concat(lit(s"$g|"), col("shingle")), 256).as("hex"))
+        }
+        val slices = (0 until 8).map { j =>
+          struct((col("gh.g") * 8 + j).as("seed"),
+            conv(substring(col("gh.hex"), 1 + 8 * j, 8), 16, 10)
+              .cast("long").as("h"))
+        }
+        // Doc-level repartition BEFORE the 32× fan-out: the corpus scan
+        // is one file = one task, and without the spread the whole
+        // 48M-row explode chain + partial agg runs single-threaded.
+        val mh = shs.repartition(col("doc_id"))
+          .select(col("doc_id"), explode(col("shs")).as("shingle"))
+          .select(col("doc_id"), explode(array(digests: _*)).as("gh"))
+          .select(col("doc_id"), explode(array(slices: _*)).as("sh"))
+          .select(col("doc_id"), col("sh.seed").as("seed"), col("sh.h").as("h"))
           .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
         // Signature reused by the band explode and BOTH pair sides.
         val sig = Materialize(mh.groupBy("doc_id")
@@ -198,7 +217,8 @@ object TextQueries {
                    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
                FROM base WHERE len(ts) >= 3),
         hx AS (SELECT doc_id, seed,
-                 MIN(('0x' || substr(sha256(CAST(seed AS VARCHAR) || '|' || shingle), 1, 8))::BIGINT) AS mh
+                 MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
+                                     CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh
                FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh),
                     (SELECT unnest(range(0, 32)) AS seed)
                GROUP BY doc_id, seed),
