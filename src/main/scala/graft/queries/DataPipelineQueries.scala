@@ -417,6 +417,45 @@ object DataPipelineQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Temperature-smoothed token-budget mix plan (the α=0.5 exponent
+    // sampling of multilingual pretraining, e.g. XLM): per-source token
+    // counts → weights n^0.5 → per-source token allocations for a fixed
+    // budget. Counts are integer-exact; sqrt is IEEE correctly-rounded
+    // (bit-identical cross-engine, unlike pow/ln); the weight total is
+    // summed in DECIMAL after quantizing, so accumulation order can't
+    // flip a bit. One groupBy + one broadcast total — corpus-scale-safe.
+    Q("x_mix_budget",
+      (s, dir) => {
+        val nTok = size(filter(split(lower(col("text")), "\\s+"), t => t =!= ""))
+          .cast("long")
+        val per = Tables.documents(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+          .withColumn("w", sqrt(col("n_tokens")).cast("decimal(28,12)"))
+        per.crossJoin(broadcast(per.agg(sum(col("w")).as("tot"))))
+          .withColumn("alloc_tokens",
+            floor(lit(50000.0) * (col("w").cast("double") / col("tot").cast("double")))
+              .cast("long"))
+          .select(col("source"), col("n_docs"), col("n_tokens"), col("alloc_tokens"))
+          .orderBy(col("source"))
+      },
+      Some("""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> ''))) AS n_tok,
+                 CAST(sqrt(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '')))) AS DECIMAL(28,12)) AS w
+          FROM documents GROUP BY source),
+        tot AS (SELECT SUM(w) AS tot FROM per)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST(floor(50000.0 * (CAST(w AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT)
+                 AS alloc_tokens
+        FROM per, tot ORDER BY source
+      """)),
+
+    // ------------------------------------------------------------------
     // DSIR importance resampling (Xie et al. 2023), stage 1: hashed
     // unigram+bigram bucket counts for the target (lang='en') vs raw
     // (whole corpus) distributions. The hash is the portable sha256
