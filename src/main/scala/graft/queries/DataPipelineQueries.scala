@@ -555,6 +555,11 @@ object DataPipelineQueries {
       (s, dir) => {
         import graft.operators.Dsir
         val docs = Tables.documents(s, dir)
+        // NOT Materialized: the raw feature frame feeds both the model
+        // fit and the scorer, but a localCheckpoint here measured
+        // SLOWER (3.7 s vs 2.5 s at sf0.1) — AQE's runtime exchange
+        // reuse already dedups the feature shuffle, so the checkpoint
+        // pays its write without saving a recompute.
         val raw = Dsir.features(docs, "doc_id", "text")
         val ratios = Dsir.bucketLogRatio(
           Dsir.features(docs.filter(col("lang") === "en"), "doc_id", "text"),
