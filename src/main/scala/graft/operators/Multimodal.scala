@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` (the Scala analog of `mapInPandas` — per-partition
   * batching, stable schema in/out).
   *
-  * The actual byte-decode (image/audio libs are not in this container) is
-  * STUBBED behind `decodeStub`: a deterministic fake that derives pseudo
-  * width/height/format from the bytes. Everything around it — schema,
-  * encoders, partition batching, null handling — is real and tested; a
-  * production deploy swaps `decodeStub` for a JNI/javacv call with the
-  * same signature.
+  * Image decode is REAL for the formats the JDK parses natively
+  * (PNG/JPEG/BMP/GIF via javax.imageio, headless, zero extra deps):
+  * true dimensions, magic-byte format sniffing, mean luminance over a
+  * bounded sample grid, and a real nearest-box resize + PNG re-encode.
+  * Bytes ImageIO cannot parse (video containers, audio — no codecs in
+  * this container) fall back to `decodeStub`, a deterministic fake with
+  * the same signature, so the pipeline shape is total either way; a
+  * production deploy swaps the fallback for ffmpeg/JNI.
   */
 object Multimodal {
 
@@ -30,10 +32,52 @@ object Multimodal {
       format: String, // STUB
       brightness: Double) // STUB: mean byte value as a stand-in
 
-  /** ======== STUB ========
-    * Deterministic fake decode. Real implementation: decode `media` with an
-    * imaging library and emit true dimensions/format/stats. Signature and
-    * determinism contract (pure function of bytes) must be preserved.
+  /** Magic-byte format sniff — cheaper and more honest than trusting the
+    * mime column. */
+  def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xff) == 0x89 && b(1) == 'P') "png"
+    else if (b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) "jpeg"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else if (b.length >= 3 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else "unknown"
+
+  /** REAL image decode via the JDK's ImageIO (PNG/JPEG/BMP/GIF, headless):
+    * (width, height, format, mean luminance). Luminance is Rec.601 over a
+    * bounded ≤64×64 sample grid so a 100-megapixel scan costs the same as
+    * a thumbnail. None when ImageIO can't parse the bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, String, Double)] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val sx = math.max(1, w / 64)
+      val sy = math.max(1, h / 64)
+      var sum = 0.0
+      var n = 0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          n += 1
+          x += sx
+        }
+        y += sy
+      }
+      Some((w, h, sniffFormat(bytes), if (n == 0) 0.0 else sum / n))
+    }
+  }
+
+  /** ======== STUB (fallback) ========
+    * Deterministic fake decode for bytes ImageIO cannot parse (video/
+    * audio — no codecs offline). Signature and determinism contract
+    * (pure function of bytes) match the real decoder.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, String, Double) = {
     var h = 1125899906842597L // deterministic FNV-ish fold over the bytes
@@ -53,21 +97,51 @@ object Multimodal {
   def extractFeatures(ds: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      // Real decoders initialize native context here, once per partition.
+      // Heavier decoders initialize native context here, once per partition.
       it.map { r =>
         val bytes = if (r.media == null) Array.empty[Byte] else r.media
-        val (w, h, fmt, bright) = decodeStub(bytes)
+        val (w, h, fmt, bright) =
+          decodeImage(bytes).getOrElse(decodeStub(bytes))
         MediaFeatures(r.id, bytes.length,
           scala.util.hashing.MurmurHash3.bytesHash(bytes, 42).toLong, w, h, fmt, bright)
       }
     }
   }
 
-  /** ======== STUB ========
-    * Deterministic fake resize: a real implementation decodes, scales to
-    * `maxDim` and re-encodes. The stub keeps the contract that matters to
-    * the pipeline: output is a pure function of (bytes, maxDim), no larger
-    * than the input, non-empty for non-empty input.
+  /** REAL image resize: decode with ImageIO, scale the long edge down to
+    * `maxDim` (aspect preserved, bilinear), re-encode as PNG. Identity
+    * when already within bounds; None when the bytes aren't a decodable
+    * image (caller falls back to the stub).
+    */
+  def resizeImage(bytes: Array[Byte], maxDim: Int): Option[Array[Byte]] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) None
+    else if (math.max(img.getWidth, img.getHeight) <= maxDim) Some(bytes)
+    else {
+      val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+      val nw = math.max(1, math.round(img.getWidth * scale).toInt)
+      val nh = math.max(1, math.round(img.getHeight * scale).toInt)
+      val out = new java.awt.image.BufferedImage(nw, nh,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, nw, nh, null)
+      } finally g.dispose()
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", baos)
+      Some(baos.toByteArray)
+    }
+  }
+
+  /** ======== STUB (fallback) ========
+    * Deterministic fake resize for undecodable bytes. Contract: pure
+    * function of (bytes, maxDim), no larger than the input, non-empty
+    * for non-empty input.
     */
   def resizeStub(bytes: Array[Byte], maxDim: Int): Array[Byte] = {
     if (bytes.isEmpty) return bytes
@@ -84,8 +158,12 @@ object Multimodal {
     df.select(col(idCol).cast("long").as("id"),
         col(mediaCol).cast("binary").as("media"),
         col(mimeCol).cast("string").as("mime")).as[MediaRow]
-      .mapPartitions(_.map(r =>
-        MediaRow(r.id, resizeStub(Option(r.media).getOrElse(Array.empty), maxDim), r.mime)))
+      .mapPartitions(_.map { r =>
+        val bytes = Option(r.media).getOrElse(Array.empty[Byte])
+        MediaRow(r.id,
+          resizeImage(bytes, maxDim).getOrElse(resizeStub(bytes, maxDim)),
+          r.mime)
+      })
       .toDF()
   }
 

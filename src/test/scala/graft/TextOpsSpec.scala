@@ -421,6 +421,49 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("multimodal REAL image decode: true dims/format/brightness and resize") {
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def bmp(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "bmp", baos)
+      baos.toByteArray
+    }
+    val white = png(100, 40, 0xffffff)
+    val black = bmp(8, 8, 0x000000)
+    val df = Seq((1L, white, "image/png"), (2L, black, "image/bmp"),
+        (3L, "not an image".getBytes("UTF-8"), "video/mp4"))
+      .toDF("id", "media", "mime")
+    val rows = Multimodal.extractFeatures(df, "id", "media", "mime")
+      .orderBy("id").collect()
+    // Real decode: exact dimensions, sniffed format, true luminance.
+    assert(rows(0).getInt(3) == 100 && rows(0).getInt(4) == 40)
+    assert(rows(0).getString(5) == "png" && rows(0).getDouble(6) > 254.0)
+    assert(rows(1).getInt(3) == 8 && rows(1).getInt(4) == 8)
+    assert(rows(1).getString(5) == "bmp" && rows(1).getDouble(6) == 0.0)
+    // Undecodable bytes take the deterministic stub path, not an error.
+    assert(rows(2).getString(5) == "png" || rows(2).getString(5) == "jpeg")
+
+    // Real resize: long edge capped, aspect preserved, output decodable.
+    val resized = Multimodal.resize(df.filter(col("id") === 1), "id", "media",
+      "mime", maxDim = 25).select("media").head().getAs[Array[Byte]](0)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 25 && back.getHeight == 10)
+    // Identity when already within bounds (bytes unchanged).
+    val same = Multimodal.resize(df.filter(col("id") === 2), "id", "media",
+      "mime", maxDim = 64).select("media").head().getAs[Array[Byte]](0)
+    assert(same.sameElements(black))
+  }
+
   test("htmlStrip: tags, entity order, whitespace collapse") {
     import graft.operators.TextClean
     val out = Seq(
