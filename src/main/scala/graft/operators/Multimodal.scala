@@ -32,6 +32,23 @@ object Multimodal {
       format: String, // STUB
       brightness: Double) // STUB: mean byte value as a stand-in
 
+  /** Deterministic tiny PNG for an id — real, decodable media for tests
+    * and driver queries without external data: dimensions and fill color
+    * are pure functions of the id. */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = 8 + math.floorMod(id, 16).toInt
+    val h = 8 + math.floorMod(id / 16, 16).toInt
+    val rgb = (id * 2654435761L).toInt & 0xffffff
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h) }
+    finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
   /** Magic-byte format sniff — cheaper and more honest than trusting the
     * mime column. */
   def sniffFormat(b: Array[Byte]): String =

@@ -666,9 +666,16 @@ object TextQueries {
     // extraction (decode stubbed; see Multimodal.decodeStub)
     Q("m_multimodal_meta",
       (s, dir) => {
+        import s.implicits._
+        // REAL media: a deterministic PNG per doc (Multimodal.synthPng),
+        // decoded by the REAL ImageIO path on executors — true dims,
+        // sniffed format, sampled luminance. Rows-only (DuckDB has no
+        // image codec); TextOpsSpec pins exact dims/format/brightness.
         val media = Tables.documents(s, dir)
-          .select(col("doc_id"), col("text").cast("binary").as("media"),
-            lit("application/octet-stream").as("mime"))
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthPng(id))))
+          .toDF("doc_id", "media")
+          .withColumn("mime", lit("image/png"))
         Multimodal.extractFeatures(media, "doc_id", "media", "mime")
           .orderBy(col("id"))
       },

@@ -464,6 +464,18 @@ class TextOpsSpec extends AnyFunSuite {
     assert(same.sameElements(black))
   }
 
+  test("m_multimodal_meta decodes real synthetic PNGs with exact dims") {
+    val out = SparkEntry.queries("m_multimodal_meta")(spark, "/root/testdata/sf0.001")
+      .select("id", "width", "height", "format")
+      .as[(Long, Int, Int, String)].collect()
+    assert(out.length == 500)
+    out.foreach { case (id, w, h, fmt) =>
+      assert(w == 8 + (id % 16).toInt && h == 8 + ((id / 16) % 16).toInt,
+        s"doc $id: got ${w}x$h")
+      assert(fmt == "png")
+    }
+  }
+
   test("htmlStrip: tags, entity order, whitespace collapse") {
     import graft.operators.TextClean
     val out = Seq(
