@@ -134,6 +134,52 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 40c: winnowing fingerprints APPLIED to near-dup detection — the
+    // MOSS use case: docs sharing many selected fingerprints are
+    // near-duplicates. Distinct (doc, fp) → df-cut on degenerate
+    // fingerprints (same skew guard as every LSH join here) → fp
+    // equi-join (never all-pairs) → pairs ranked by shared-fingerprint
+    // count. Integer-exact end to end, so the whole chain — selection,
+    // cut, join, ranking — hash-matches the oracle.
+    Q("d_dedup_winnow",
+      (s, dir) => {
+        val fps = graft.operators.Winnow.fingerprints(
+            Tables.documents(s, dir), "doc_id", "text", k = 5, w = 4)
+          .select(col("id"), col("fp")).distinct()
+        val kept = fps.join(
+          fps.groupBy("fp").agg(count(lit(1)).as("df_"))
+            .filter(col("df_") <= 200).select("fp"),
+          Seq("fp"))
+        kept.as("a").join(kept.as("b"),
+            col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("shared"))
+          .orderBy(col("shared").desc, col("id_a"), col("id_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '') AS ts
+          FROM documents),
+        g AS (SELECT doc_id, list_transform(range(0, len(ts) - 5 + 1),
+                i -> ('0x' || substr(sha256(array_to_string(ts[i+1:i+5], ' ')), 1, 8))::BIGINT) AS hs
+              FROM base WHERE len(ts) >= 5),
+        wnd AS (SELECT doc_id, hs,
+                       unnest(range(0, greatest(len(hs) - 4, 0) + 1)) AS j
+                FROM g),
+        fps AS (SELECT DISTINCT doc_id, list_min(hs[j+1 : j+4]) AS fp FROM wnd),
+        kept AS (SELECT * FROM fps WHERE fp IN
+                   (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 200)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared
+                  FROM kept a JOIN kept b
+                    ON a.fp = b.fp AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)
+        SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared
+        FROM pairs ORDER BY shared DESC, id_a, id_b LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
     // 32b: bit-level cross-engine twin of MinHash+LSH. The production
     // path (d_dedup_minhash_lsh) hashes with XXH64 — no DuckDB analog —
     // so the ALGORITHM (per-seed min over distinct shingles, banding,
