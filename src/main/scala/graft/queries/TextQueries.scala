@@ -14,6 +14,19 @@ object TextQueries {
 
   private val EnStop = TextStats.stopwords("en")
 
+  /** Learned BPE merges, memoized per corpus dir: x_bpe_learned and
+    * x_tokenize_ids share one training run per session instead of each
+    * re-running the word-count job + driver merge loop (same params →
+    * identical merges, so sharing cannot change results).
+    */
+  private val bpeMergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private def learnedMerges(s: org.apache.spark.sql.SparkSession, dir: String): Seq[(String, String)] =
+    bpeMergeCache.computeIfAbsent(dir, _ =>
+      graft.operators.Bpe.trainFromCorpus(
+        Tables.documents(s, dir), "text", numMerges = 50, maxWords = 2000))
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -764,8 +777,7 @@ object TextQueries {
     Q("x_bpe_learned",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = graft.operators.Bpe.trainFromCorpus(
-          docs, "text", numMerges = 50, maxWords = 2000)
+        val merges = learnedMerges(s, dir)
         docs.select(col("doc_id"),
             graft.operators.Bpe.tokenCount(col("text"), merges).as("n_bpe_tokens"))
           .orderBy(col("doc_id"))
@@ -775,16 +787,19 @@ object TextQueries {
     // ------------------------------------------------------------------
     // 37h: BPE ENCODE — token ids (codepoint / 0x110000+rank scheme),
     // the array the packing step actually consumes. Same learned merges
-    // as x_bpe_learned; one narrow pass. Rows-only (no BPE in DuckDB);
-    // lossless-decode contract spec'd in SessionizeIvfSpec.
+    // as x_bpe_learned (shared training run). Rows-only (no BPE in
+    // DuckDB); lossless-decode contract spec'd in SessionizeIvfSpec.
+    // Published as driver-sortable SCALARS (length + sha2 of the joined
+    // ids) — a raw array<long> column crashes the driver's rows-check
+    // sort (pandas cannot factorize ndarray cells).
     Q("x_tokenize_ids",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val merges = graft.operators.Bpe.trainFromCorpus(
-          docs, "text", numMerges = 50, maxWords = 2000)
+        val merges = learnedMerges(s, dir)
         docs.select(col("doc_id"),
             graft.operators.Bpe.encodeIds(col("text"), merges).as("ids"))
-          .withColumn("n_ids", size(col("ids")))
+          .select(col("doc_id"), size(col("ids")).as("n_ids"),
+            sha2(concat_ws(",", col("ids").cast("array<string>")), 256).as("ids_sha"))
           .orderBy(col("doc_id"))
       },
       None),

@@ -38,8 +38,16 @@ def main(sfdir, outdir):
             n_fail += 1; continue
         if len(sp) != len(du):
             print(f"FAIL {name}: rows spark={len(sp)} duck={len(du)}"); n_fail += 1; continue
-        sp2 = sp.sort_values(list(sp.columns)).reset_index(drop=True)
-        du2 = du.sort_values(list(du.columns)).reset_index(drop=True)
+        # Sort on scalar (hashable) columns only — array/struct cells are
+        # numpy arrays pandas cannot sort/factorize. Non-scalar columns
+        # still participate in the value compare below.
+        def _scalar_cols(df):
+            return [c for c in df.columns
+                    if not df[c].map(lambda v: hasattr(v, "__len__")
+                                     and not isinstance(v, (str, bytes))).any()]
+        keys = _scalar_cols(sp) or list(sp.columns)
+        sp2 = sp.sort_values(keys).reset_index(drop=True)
+        du2 = du.sort_values(keys).reset_index(drop=True)
         bad = None
         for c in sp.columns:
             a, b = sp2[c], du2[c].astype(sp2[c].dtype, errors="ignore") \
