@@ -65,6 +65,13 @@ package object functions {
     GraftBridge.column(
       SpaceSavingAgg(GraftBridge.expression(item), capacity).toAggregateExpression())
 
+  /** Elementwise min of fixed-width `array<long>` rows per group — the
+    * MinHash signature aggregation (see [[VecMinAgg]]).
+    */
+  def vecMin(c: Column, width: Int): Column =
+    GraftBridge.column(
+      VecMinAgg(GraftBridge.expression(c), width).toAggregateExpression())
+
   /** Content-defined chunks of `text` (rolling-hash boundaries, see
     * [[CdcChunks]]): shift-robust, concatenation-lossless.
     */

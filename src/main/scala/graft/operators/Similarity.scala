@@ -48,14 +48,32 @@ object Similarity {
     }
   }
 
-  /** Sign-bit bucket key of `vec` over `numPlanes` hyperplanes. */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val planes = hyperplanes(numPlanes, dim, seed)
+  /** Sign-bit bucket key of `vec` over explicit plane vectors. */
+  def lshBucketFromPlanes(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (plane, i) =>
-      val planeCol = typedlit(plane.toSeq)
-      when(dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(dot(vec, typedlit(plane)) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
-  }
+
+  /** Sign-bit bucket key of `vec` over `numPlanes` hyperplanes. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    lshBucketFromPlanes(vec,
+      hyperplanes(numPlanes, dim, seed).map(_.toSeq).toSeq)
+
+  /** sha256-derived hyperplanes — the CROSS-ENGINE-portable plane family:
+    * each component is an exact 32-bit integer (first 4 digest bytes)
+    * scaled to [-1, 1), so a SQL oracle re-derives the identical doubles
+    * from `sha256(p || ',' || d)`. Use these when the query must be
+    * verifiable outside the JVM; `hyperplanes` (splitmix64 — wrapping
+    * multiplies SQL can't express) stays the default elsewhere.
+    */
+  def portablePlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    Seq.tabulate(numPlanes, dim) { (p, d) =>
+      val hx = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s"$p,$d".getBytes("UTF-8"))
+      val u = ((hx(0) & 0xffL) << 24) | ((hx(1) & 0xffL) << 16) |
+        ((hx(2) & 0xffL) << 8) | (hx(3) & 0xffL)
+      (u - 2147483648L).toDouble / 2147483648.0
+    }
 
   /** Brute-force cosine top-k: exact baseline. `queries` is broadcast; one
     * corpus scan; per-query top-k via window over (query, cosine).
@@ -96,7 +114,12 @@ object Similarity {
       .filter(col(labelCol).isNotNull)
       .select(col(labelCol).as("clabel"), posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy(col("clabel"), col("pos"))
-      .agg((sum(col("x").cast("decimal(28,10)")) / count(lit(1))).cast("double").as("cx"))
+      // Exact decimal sum (order-independent) cast to double, THEN a
+      // double division by the count: decimal÷bigint would round at a
+      // decimal scale that engines pick differently, while double÷long
+      // is one IEEE operation both compute identically — this is what
+      // keeps the oracle bit-exact.
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1))).as("cx"))
       .groupBy(col("clabel"))
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("sorted"))
       .select(col("clabel"), transform(col("sorted"), _.getField("cx")).as("cvec"))
@@ -156,22 +179,44 @@ object Similarity {
       .select(col("id"), col("best.cid").as("assigned"), col("best.cosine").as("cosine"))
   }
 
-  /** LSH-bucketed approximate top-k: candidates share the full bucket key
-    * (all `numPlanes` sign bits). Exact cosine is recomputed only within
-    * buckets.
+  /** All same-bucket candidate pairs with exact cosine, over explicit
+    * planes — the shared core of the top-k and near-dup variants.
+    * Candidates share the full bucket key (all sign bits); exact cosine
+    * is recomputed only within buckets, so the only shuffle moves
+    * (id, bucket, vec) rows into bucket-keyed partitions.
     */
-  def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L): DataFrame = {
+  def annLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]]): DataFrame = {
     // Materialized (leak-free, see Materialize): referenced on both sides
     // of the self-join — without it the bucket signature (numPlanes dot
     // products per row) is computed twice.
     val withBucket = Materialize(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-        .withColumn("bucket", lshBucket(col("vec"), numPlanes, dim, seed)))
-    val pairs = withBucket.as("a").join(withBucket.as("b"),
+        .withColumn("bucket", lshBucketFromPlanes(col("vec"), planes)))
+    withBucket.as("a").join(withBucket.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.vec"), col("b.vec")).as("cosine"))
-    pairs.orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(k)
   }
+
+  /** LSH-bucketed approximate top-k: candidates share the full bucket key
+    * (all `numPlanes` sign bits). Exact cosine is recomputed only within
+    * buckets.
+    */
+  def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L): DataFrame =
+    annLshPairs(corpus, idCol, vecCol,
+      hyperplanes(numPlanes, dim, seed).map(_.toSeq).toSeq)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(k)
+
+  /** Embedding near-dup detection: all bucket-colliding pairs at or above
+    * `threshold` cosine — the pair-emission stage of semantic dedup
+    * (resolution/collapse is DedupResolve's job). Unlike the top-k
+    * variant there is no global ordering, so at scale the output streams
+    * straight from the bucket join with no final single-partition sort.
+    */
+  def annLshNearDup(corpus: DataFrame, idCol: String, vecCol: String,
+      planes: Seq[Seq[Double]], threshold: Double): DataFrame =
+    annLshPairs(corpus, idCol, vecCol, planes)
+      .filter(col("cosine") >= threshold)
 }

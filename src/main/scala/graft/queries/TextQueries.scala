@@ -214,36 +214,42 @@ object TextQueries {
         val shs = base.select(col("doc_id"),
           array_distinct(slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
             greatest(size(col("ts")) - 2, lit(0)))).as("shs"))
-        // 4 sha256 per shingle, not 32: seed i reads hex slice i%8 of
-        // digest i/8 — one 256-bit digest yields 8 independent 32-bit
-        // hash values. TWO explodes so each digest is computed exactly
-        // once as a GENERATOR OUTPUT (a single 32-struct array would
-        // reference each digest 8× and, with no common-subexpression
-        // elimination on the Generate input, hash 32× per shingle —
-        // measured 12 s vs 7.9 s vs this shape's ~1.5 s at sf0.1).
-        // The oracle derives seeds by the same digest slicing.
-        val digests = (0 until 4).map { g =>
-          struct(lit(g).as("g"),
-            sha2(concat(lit(s"$g|"), col("shingle")), 256).as("hex"))
-        }
-        val slices = (0 until 8).map { j =>
-          struct((col("gh.g") * 8 + j).as("seed"),
-            conv(substring(col("gh.hex"), 1 + 8 * j, 8), 16, 10)
-              .cast("long").as("h"))
-        }
-        // Doc-level repartition BEFORE the 32× fan-out: the corpus scan
-        // is one file = one task, and without the spread the whole
-        // 48M-row explode chain + partial agg runs single-threaded.
-        val mh = shs.repartition(col("doc_id"))
+        // 4 sha256 per DISTINCT shingle, not per occurrence: shingles
+        // repeat heavily across documents (sf0.1 corpus: 260k
+        // occurrences, 27k distinct — ~10×), so dedupe corpus-wide
+        // first, hash each distinct shingle once, and join the 32-hash
+        // vector back to the (doc, shingle) pairs. Seed i reads hex
+        // slice i%8 of digest i/8 — one 256-bit digest yields 8
+        // independent 32-bit values; the oracle slices identically.
+        // The digests live inside ONE array(...) consumed by a lambda,
+        // so each is evaluated exactly once per distinct shingle (no
+        // aliases for CollapseProject to inline into the lambdas).
+        // This is also the 100 TB shape: the hash table scales with the
+        // vocabulary, the join is a plain shuffle join (AQE-skew-safe),
+        // and no per-key state is unbounded.
+        val hs = flatten(transform(
+          array((0 until 4).map(g =>
+            sha2(concat(lit(s"$g|"), col("shingle")), 256)): _*),
+          hex => transform(sequence(lit(0), lit(7)),
+            j => conv(hex.substr(j * 8 + 1, lit(8)), 16, 10).cast("long"))))
+        // Doc-level repartition BEFORE the explode: the corpus scan is
+        // one file = one task, and without the spread the explode chain
+        // + joins run single-threaded. Both the distinct-shingle side
+        // and the join probe side read this frame — the shared
+        // repartition exchange is reused (ReusedExchange), so the scan
+        // + tokenize below it run once.
+        val docSh = shs.repartition(col("doc_id"))
           .select(col("doc_id"), explode(col("shs")).as("shingle"))
-          .select(col("doc_id"), explode(array(digests: _*)).as("gh"))
-          .select(col("doc_id"), explode(array(slices: _*)).as("sh"))
-          .select(col("doc_id"), col("sh.seed").as("seed"), col("sh.h").as("h"))
-          .groupBy("doc_id", "seed").agg(min(col("h")).as("mh"))
-        // Signature reused by the band explode and BOTH pair sides.
-        val sig = Materialize(mh.groupBy("doc_id")
-          .agg(transform(array_sort(collect_list(struct(col("seed"), col("mh")))),
-            e => e.getField("mh")).as("sig")))
+        val hashed = docSh.select("shingle").distinct()
+          .select(col("shingle"), hs.as("hs"))
+        // One aggregation from (doc, hash-vector) rows straight to the
+        // per-doc signature: elementwise-min VecMinAgg keeps a fixed
+        // 32-long buffer per doc on the map side — no 32× posexplode, no
+        // (doc, seed) shuffle, no collect_list reassembly. Signature is
+        // reused by the band explode and BOTH pair sides → Materialize.
+        val sig = Materialize(docSh.join(hashed, "shingle")
+          .groupBy("doc_id")
+          .agg(graft.functions.vecMin(col("hs"), 32).as("sig")))
         val bands = sig.select(col("doc_id"), explode(
             transform(sequence(lit(0), lit(15)),
               b => struct(b.as("b"),
@@ -352,47 +358,62 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // 34: embedding near-dup via hyperplane-LSH buckets, top-20 by cosine
+    // 34: embedding near-dup via hyperplane-LSH buckets — ALL bucket-
+    // colliding pairs at cosine ≥ 0.30 (pair emission; collapse is
+    // d_dedup_resolve / d_dedup_semantic). Runs on the sha256-derived
+    // portable planes so the whole path — plane literals, 0.0-seeded dot
+    // folds, sign tests, bucket OR, threshold compare — is bit-identical
+    // in DuckDB and the pair set hash-matches (the splitmix64 plane
+    // family stays on s_ann_lsh, rows-only).
     Q("d_dedup_embedding",
-      (s, dir) => Similarity.annLshTopK(
-        Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 8, dim = 64),
-      None),
+      (s, dir) => Similarity.annLshNearDup(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          Similarity.portablePlanes(8, 64), threshold = 0.30)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(cosine * 1e9) AS BIGINT)").as("cosine_e9"))
+        .orderBy("id_a", "id_b"),
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM v),
+        planes AS (SELECT p, list_transform(range(0, 64), d ->
+                     ((('0x' || substr(sha256(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                       - 2147483648) / 2147483648.0)) AS pl
+                   FROM (SELECT unnest(range(0, 8)) AS p)),
+        bits AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * pl[i]),
+                                                  (a, b) -> a + b) >= 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM n, planes GROUP BY vec_id),
+        b2 AS (SELECT n.vec_id, bucket, v, nrm FROM n JOIN bits USING (vec_id)),
+        pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    list_reduce(list_transform(range(1, 65), i -> a.v[i] * b.v[i]),
+                                (x, y) -> x + y) / (a.nrm * b.nrm) AS cos
+                  FROM b2 a JOIN b2 b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        SELECT id_a, id_b, CAST(floor(cos * 1e9) AS BIGINT) AS cosine_e9
+        FROM pairs WHERE cos >= 0.30 ORDER BY id_a, id_b
+      """)),
 
     // ------------------------------------------------------------------
-    // 34c: bit-level cross-engine twin of hyperplane-LSH. The production
-    // path (d_dedup_embedding) derives planes from a splitmix64 mix —
-    // wrapping 64-bit multiplies that DuckDB's checked integer arithmetic
-    // can't express — so the ALGORITHM (sign-bit bucketing, bucket
-    // self-join, cosine ranking) is verified with sha256-derived plane
-    // components: exact 32-bit integers scaled to [-1,1), so plane
-    // literals, the fixed-order dot folds (0.0-seeded accumulate ==
-    // DuckDB's left fold), the >= 0 sign test and the bucket OR are all
-    // bit-identical in both engines. Cosine publishes floor-scaled.
+    // 34c: bit-level cross-engine check of hyperplane-LSH TOP-K RANKING
+    // (d_dedup_embedding verifies the thresholded pair set; this entry
+    // verifies the ordering). The splitmix64 plane family (s_ann_lsh)
+    // uses wrapping 64-bit multiplies that DuckDB's checked integer
+    // arithmetic can't express, so both oracle entries run on the
+    // sha256-derived portable planes: exact 32-bit integers scaled to
+    // [-1,1), so plane literals, the fixed-order dot folds (0.0-seeded
+    // accumulate == DuckDB's left fold), the >= 0 sign test and the
+    // bucket OR are all bit-identical in both engines. Cosine publishes
+    // floor-scaled.
     Q("s_ann_lsh_portable",
-      (s, dir) => {
-        import graft.operators.Materialize
-        val planes: Seq[Seq[Double]] = Seq.tabulate(8, 64) { (p, d) =>
-          val hx = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(s"$p,$d".getBytes("UTF-8"))
-          val u = ((hx(0) & 0xffL) << 24) | ((hx(1) & 0xffL) << 16) |
-            ((hx(2) & 0xffL) << 8) | (hx(3) & 0xffL)
-          (u - 2147483648L).toDouble / 2147483648.0
-        }
-        val bucket = planes.zipWithIndex.map { case (pl, i) =>
-          when(Similarity.dot(col("vec"), typedlit(pl)) >= 0,
-            shiftleft(lit(1L), i)).otherwise(lit(0L))
-        }.reduce[org.apache.spark.sql.Column](_ bitwiseOR _)
-        val withBucket = Materialize(Tables.embeddings(s, dir)
-          .select(col("vec_id").as("id"), col("embedding").as("vec"))
-          .withColumn("bucket", bucket))
-        withBucket.as("a").join(withBucket.as("b"),
-            col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-            Similarity.cosine(col("a.vec"), col("b.vec")).as("cos"))
-          .orderBy(col("cos").desc, col("id_a"), col("id_b")).limit(20)
-          .select(col("id_a"), col("id_b"),
-            expr("CAST(floor(cos * 1e9) AS BIGINT)").as("cosine_e9"))
-      },
+      (s, dir) => Similarity.annLshPairs(
+          Tables.embeddings(s, dir), "vec_id", "embedding",
+          Similarity.portablePlanes(8, 64))
+        .orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(20)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(cosine * 1e9) AS BIGINT)").as("cosine_e9")),
       Some("""
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
                    FROM embeddings),
@@ -788,7 +809,7 @@ object TextQueries {
     // 37h: BPE ENCODE — token ids (codepoint / 0x110000+rank scheme),
     // the array the packing step actually consumes. Same learned merges
     // as x_bpe_learned (shared training run). Rows-only (no BPE in
-    // DuckDB); lossless-decode contract spec'd in SessionizeIvfSpec.
+    // DuckDB); lossless-decode contract spec'd in BpeSpec.
     // Published as driver-sortable SCALARS (length + sha2 of the joined
     // ids) — a raw array<long> column crashes the driver's rows-check
     // sort (pandas cannot factorize ndarray cells).
@@ -805,14 +826,48 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
-    // 36c: per-label centroids (decimal-exact mean per dimension — order-
-    // independent, so the result is bit-stable under any shuffle) and
-    // nearest-centroid assignment: the k-means-iteration primitive the
-    // IVF index builds on, as one DataFrame pass + broadcast argmax.
+    // 36c: per-label centroids (decimal-exact sum per dimension — order-
+    // independent, so the result is bit-stable under any shuffle — cast
+    // to double, then one IEEE division by the count) and nearest-
+    // centroid assignment: the k-means-iteration primitive the IVF
+    // index builds on, as one DataFrame pass + broadcast argmax.
+    // Oracle-checked: VecDot's 0.0-seeded left fold equals DuckDB's
+    // list_reduce fold bit-for-bit, the argmax compares (score, label)
+    // structs identically on both engines, and the publication is
+    // integer confusion counts.
     Q("s_label_centroids",
       (s, dir) => Similarity.labelCentroidAssign(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
-      None),
+      Some("""
+        WITH ex AS (
+          SELECT label, unnest(embedding) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings WHERE label IS NOT NULL),
+        cent AS (
+          SELECT label AS clabel, pos,
+                 CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS cx
+          FROM ex GROUP BY 1, 2),
+        cvecs AS (SELECT clabel, list(cx ORDER BY pos) AS cvec FROM cent GROUP BY 1),
+        cn AS (SELECT clabel, cvec,
+                 sqrt(list_reduce(list_transform(cvec, x -> x * x),
+                      (a, b) -> a + b)) AS cnrm
+               FROM cvecs),
+        vn AS (SELECT vec_id, label, embedding AS v,
+                 sqrt(list_reduce(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                      (a, b) -> a + b)) AS vnrm
+               FROM embeddings),
+        assigned AS (
+          SELECT vn.vec_id, vn.label,
+                 max(struct_pack(
+                   score := list_reduce(list_transform(range(1, len(v) + 1),
+                              i -> CAST(v[i] AS DOUBLE) * cvec[i]),
+                            (a, b) -> a + b) / (vnrm * cnrm),
+                   cl := clabel)) AS best
+          FROM vn, cn GROUP BY 1, 2)
+        SELECT label, best.cl AS assigned, count(*) AS n
+        FROM assigned GROUP BY 1, 2 ORDER BY label, assigned
+      """)),
 
     // ------------------------------------------------------------------
     // 30c: the full fuzzy-dedup production path composed end-to-end:
