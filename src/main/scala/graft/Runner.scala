@@ -65,23 +65,40 @@ object Runner {
           val observed = ranked.observe(outObs,
             count(lit(1)).as("rows_out"),
             count(when(col("__rn") === 2, true)).as("dup_keys"))
+          // Recommended-column advisories (reference transform.py:256-270)
+          // also ride the load action: non-null counts of the recommended
+          // columns observed on the post-dedup frame — zero extra passes.
+          val deduped = observed.filter(col("__rn") === 1).drop("__rn")
+          val recCols = cfg.recommended.flatten.distinct
+            .filter(deduped.columns.contains).toIndexedSeq
+          val recObs = org.apache.spark.sql.Observation(s"graft_rec_${runId}_$rid")
+          val loaded =
+            if (recCols.isEmpty) deduped
+            else deduped.observe(recObs,
+              count(col(recCols.head)).as(recCols.head),
+              recCols.tail.map(c => count(col(c)).as(c)): _*)
           // Merge into the target: latest row wins by the configured
           // latestBy column, both within the batch and against the target.
           graft.streaming.StreamOps.upsertIntoParquet(
-            observed.filter(col("__rn") === 1).drop("__rn"),
+            loaded,
             targetDir, keys = Seq(keyCol),
             latestBy = cfg.integrity.latestBy,
             tieBreakers = cfg.integrity.tieBreakers,
             preDeduped = true)
           val diff = Transform.schemaDiff(transformed, cfg.expectedColumns)
-          // Both gets return instantly: the load action above computed the
+          // All gets return instantly: the load action above computed the
           // observe nodes (rows_in possibly earlier, during the pipeline's
           // critical-check action — first action wins, same value).
           val rowsIn = inObs.get("rows_in").asInstanceOf[Long]
           val rowsOut = outObs.get("rows_out").asInstanceOf[Long]
           val dupKeys = outObs.get("dup_keys").asInstanceOf[Long]
+          val recCounts: Map[String, Long] =
+            recCols.map(c => c -> recObs.get(c).asInstanceOf[Long]).toMap
+          val recWarns = Transform.recommendedWarnings(
+            deduped, cfg.recommended, precomputed = Some(recCounts))
           resourceRows += Audit.ResourceRow(runId, rid, rowsIn, rowsOut, dupKeys,
-            math.max(0L, rowsIn - rowsOut), diff.missing.size, diff.extra.size)
+            math.max(0L, rowsIn - rowsOut), diff.missing.size, diff.extra.size,
+            recWarns.mkString(","))
         } finally transformed.unpersist() // pipeline persists at its check barrier
       }
     } catch {

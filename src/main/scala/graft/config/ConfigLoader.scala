@@ -25,6 +25,17 @@ object ConfigLoader {
       sel(j, path).extractOpt[Seq[String]].getOrElse(Nil)
     def strss(path: String): Seq[Seq[String]] =
       sel(j, path).extractOpt[Seq[Seq[String]]].getOrElse(Nil)
+    // The reference allows each item to be a bare column name OR an
+    // any-of group (transform.py:256-270) — normalize both to groups.
+    def strsOrGroups(path: String): Seq[Seq[String]] =
+      sel(j, path) match {
+        case org.json4s.JArray(items) => items.flatMap {
+          case org.json4s.JString(s) => Some(Seq(s))
+          case arr: org.json4s.JArray => arr.extractOpt[Seq[String]]
+          case _ => None
+        }
+        case _ => Nil
+      }
     def bool(path: String, default: Boolean): Boolean =
       sel(j, path).extractOpt[Boolean].getOrElse(default)
     def int(path: String, default: Int): Int =
@@ -65,7 +76,7 @@ object ConfigLoader {
         stringCodes = strs("types.string_codes")),
       order = strs("order"),
       critical = CriticalCfg(all = strs("critical.all"), anyOf = strss("critical.any_of")),
-      recommended = strss("recommended"),
+      recommended = strsOrGroups("recommended"),
       categories = categories,
       numericRules = numericRules,
       ids = IdStrategy(

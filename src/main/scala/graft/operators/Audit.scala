@@ -29,7 +29,10 @@ object Audit {
       duplicates_key: Long,
       dedup_rows_dropped: Long,
       schema_missing: Int,
-      schema_extra: Int)
+      schema_extra: Int,
+      // Non-blocking advisories (reference transform.py `recommended_warnings`):
+      // comma-joined `missing:<col>` / `any_of_missing:a|b` entries, "" if none.
+      recommended_warnings: String = "")
 
   /** In-flight audit metrics via `Dataset.observe`: row count and
     * per-column null counts collected DURING whatever action the caller

@@ -357,21 +357,47 @@ object Transform {
     df.select((front ++ rest).map(col).toIndexedSeq: _*)
   }
 
+  /** Non-null count per listed column (absent columns count 0) — one agg
+    * pass shared by the critical check and the recommended warnings.
+    */
+  private def nonNullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
+    val probeCols = cols.distinct.filter(df.columns.contains)
+    if (probeCols.isEmpty) Map.empty
+    else {
+      val row = df.select(probeCols.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
+      probeCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
+    }
+  }
+
   /** Critical-columns check: `all` must each have ≥1 non-null value; each
     * `anyOf` group needs ≥1 column with ≥1 non-null value. Single agg pass.
     */
   def criticalIssues(df: DataFrame, cc: CriticalCfg): (Seq[String], Seq[Seq[String]]) = {
-    val probeCols = (cc.all ++ cc.anyOf.flatten).distinct.filter(df.columns.contains)
     if (cc.all.isEmpty && cc.anyOf.isEmpty) return (Nil, Nil)
-    val counts: Map[String, Long] =
-      if (probeCols.isEmpty) Map.empty
-      else {
-        val row = df.select(probeCols.map(c => count(col(c)).as(c)).toIndexedSeq: _*).head()
-        probeCols.zipWithIndex.map { case (c, i) => c -> row.getLong(i) }.toMap
-      }
+    val counts = nonNullCounts(df, cc.all ++ cc.anyOf.flatten)
     val missingAll = cc.all.filter(c => counts.getOrElse(c, 0L) == 0L)
     val missingAny = cc.anyOf.filter(g => !g.exists(c => counts.getOrElse(c, 0L) > 0L))
     (missingAll, missingAny)
+  }
+
+  /** Recommended-columns warnings (reference etl/transform.py:256-270
+    * `_warn_recommended`): non-blocking advisories the per-resource report
+    * carries. A singleton group warns `missing:<col>` when the column is
+    * absent or all-null; a multi-column group warns
+    * `any_of_missing:a|b|...` when NO member has a non-null value.
+    * One agg pass; pass precomputed `counts` (e.g. from an observe) to
+    * skip the scan entirely.
+    */
+  def recommendedWarnings(df: DataFrame, rec: Seq[Seq[String]],
+      precomputed: Option[Map[String, Long]] = None): Seq[String] = {
+    if (rec.isEmpty) return Nil
+    val counts = precomputed.getOrElse(nonNullCounts(df, rec.flatten))
+    rec.flatMap {
+      case Seq(single) if counts.getOrElse(single, 0L) == 0L => Some(s"missing:$single")
+      case group if group.size > 1 && !group.exists(c => counts.getOrElse(c, 0L) > 0L) =>
+        Some(s"any_of_missing:${group.mkString("|")}")
+      case _ => None
+    }
   }
 
   // ------------------------------------------------------------------

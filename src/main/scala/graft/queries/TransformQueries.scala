@@ -364,14 +364,19 @@ object TransformQueries {
           dataset = "documents_demo",
           types = TypesCfg(numeric = Seq("n_chars"), category = Seq("lang", "quality_tier")),
           order = Seq("doc_id", "lang", "source"),
-          critical = CriticalCfg(all = Seq("doc_id"), anyOf = Seq(Seq("lang", "source"))))
+          critical = CriticalCfg(all = Seq("doc_id"), anyOf = Seq(Seq("lang", "source"))),
+          // `lang` is present+populated (no warning); the geo pair is
+          // absent → the reference-style any_of_missing advisory fires.
+          recommended = Seq(Seq("lang"), Seq("latitud", "longitud")))
         val diff = Transform.schemaDiff(d, cfg.expectedColumns)
         val (missAll, missAny) = Transform.criticalIssues(d, cfg.critical)
+        val recWarns = Transform.recommendedWarnings(d, cfg.recommended)
         val spark = s
         import spark.implicits._
         Seq((cfg.dataset, diff.missing.mkString(","), diff.extra.mkString(","),
-          diff.diffs, missAll.mkString(","), missAny.size))
-          .toDF("dataset", "missing_cols", "extra_cols", "n_diffs", "critical_missing_all", "critical_missing_any_groups")
+          diff.diffs, missAll.mkString(","), missAny.size, recWarns.mkString(",")))
+          .toDF("dataset", "missing_cols", "extra_cols", "n_diffs",
+            "critical_missing_all", "critical_missing_any_groups", "recommended_warnings")
       },
       None),
 

@@ -35,7 +35,7 @@ class ConfigLoaderSpec extends AnyFunSuite {
       },
       "order": ["codigo_iccs", "fecha_detencion", "edad", "sexo"],
       "critical": {"all": ["fecha_detencion"], "any_of": [["codigo_iccs", "sexo"]]},
-      "recommended": [["latitud", "longitud"]],
+      "recommended": [["latitud", "longitud"], "observaciones"],
       "categories": {
         "sexo": {
           "map": {"m": "Masculino", "f": "Femenino"},
@@ -80,6 +80,8 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.deriveYear.contains(("fecha_detencion", "ano")))
     assert(cfg.load.extrasJsonColumn.contains("extras"))
     assert(cfg.expectedColumns.contains("latitud")) // via recommended
+    // Reference-style mixed items: bare string ≡ singleton any-of group.
+    assert(cfg.recommended == Seq(Seq("latitud", "longitud"), Seq("observaciones")))
   }
 
   test("file round-trip + the loaded config drives the pipeline") {

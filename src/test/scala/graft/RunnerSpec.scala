@@ -40,6 +40,8 @@ class RunnerSpec extends AnyFunSuite {
     val runs = Audit.readRuns(spark, audit)
     assert(runs.count() == 1 && runs.select("status").as[String].head() == "ok")
     assert(Audit.readResources(spark, audit).count() == 2)
+    // No recommended columns configured → no advisories in the audit rows.
+    assert(res.resources.forall(_.recommended_warnings.isEmpty))
 
     // Second run is idempotent: same inputs → same target state.
     Runner.run(spark, Map("res1" -> r1, "res2" -> r2), cfg, target, audit, "run_2")
@@ -65,6 +67,21 @@ class RunnerSpec extends AnyFunSuite {
     // reached the dedup window, and the duplicated key was counted there.
     val m = res.resources.head
     assert(m.rows_in == 2 && m.rows_out == 2 && m.duplicates_key == 1L)
+  }
+
+  test("runner: recommended-column advisories reach the audit row") {
+    val base = Files.createTempDirectory("graft-rec").toString
+    // The geo pair is never supplied (padMissing pads it all-null — the
+    // warning must still fire, like the reference's notna().any() check);
+    // edad is populated so its singleton group stays silent.
+    val cfgRec = cfg.copy(recommended = Seq(Seq("latitud", "longitud"), Seq("edad")))
+    val r = Seq(("A1", "30"), ("A2", "40")).toDF("Código", "Edad")
+    val res = Runner.run(spark, Map("res" -> r), cfgRec, base + "/t", base + "/a", "run_r")
+    assert(res.resources.head.recommended_warnings == "any_of_missing:latitud|longitud")
+    // And it is queryable from the persisted audit table.
+    val audited = Audit.readResources(spark, base + "/a")
+      .select("recommended_warnings").as[String].head()
+    assert(audited == "any_of_missing:latitud|longitud")
   }
 
   test("runner: hard failure still writes the failed-run audit row") {

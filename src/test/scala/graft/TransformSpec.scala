@@ -110,6 +110,21 @@ class TransformSpec extends AnyFunSuite {
     assert(out.select("gone").as[String].collect().toSeq == Seq(null))
   }
 
+  test("recommended warnings mirror the reference: absent/all-null warn, populated don't") {
+    // latitud/longitud entirely absent → the any_of advisory; nota present
+    // but all-null → missing:nota; id populated → silent.
+    val df = Seq((1, null: String), (2, null: String)).toDF("id", "nota")
+    val warns = Transform.recommendedWarnings(df, Seq(
+      Seq("latitud", "longitud"), Seq("nota"), Seq("id")))
+    assert(warns == Seq("any_of_missing:latitud|longitud", "missing:nota"))
+    // An any_of group with one populated member stays silent.
+    assert(Transform.recommendedWarnings(df, Seq(Seq("nota", "id"))).isEmpty)
+    // Precomputed counts (the Runner's observe path) bypass the scan.
+    val pre = Transform.recommendedWarnings(df, Seq(Seq("nota"), Seq("id")),
+      precomputed = Some(Map("id" -> 2L)))
+    assert(pre == Seq("missing:nota"))
+  }
+
   test("category rules: unmapped keeps original, out-of-domain coerces") {
     val df = Seq("M", "masculino", "x-other", "FEMENINO").toDF("sexo")
     val out = Transform.applyCategoryRules(df, Map("sexo" -> CategoryRule(
