@@ -136,7 +136,13 @@ object Catalog {
       try Some(f) catch { case _: Exception => None }
     attempt(OffsetDateTime.parse(in).withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime)
       .orElse(attempt(LocalDateTime.parse(in)))
+      // Space-separated forms the reference's dateutil accepts: with an
+      // offset ("2024-06-01 12:00:00+03:00") or a trailing Z — only then
+      // fall back to naive-assumed-UTC.
+      .orElse(attempt(OffsetDateTime.parse(in.replace(' ', 'T'))
+        .withOffsetSameInstant(ZoneOffset.UTC).toLocalDateTime))
       .orElse(attempt(LocalDateTime.parse(in.replace(' ', 'T'))))
+      .orElse(attempt(LocalDateTime.parse(in.stripSuffix("Z").replace(' ', 'T'))))
       .orElse(attempt(LocalDate.parse(in).atStartOfDay()))
       .map(_.format(DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")) + "Z")
       .getOrElse(in)

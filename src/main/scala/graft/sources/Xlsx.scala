@@ -1,10 +1,10 @@
 package graft.sources
 
-import java.util.zip.ZipFile
-
 import scala.collection.mutable
 
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+
+import org.apache.commons.compress.archivers.zip.ZipFile
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -49,12 +49,25 @@ object Xlsx {
         java.text.Normalizer.Form.NFD)
       .replaceAll("\\p{M}", "").toLowerCase
 
+  /** Open a local xlsx. commons-compress (on Spark's classpath) instead
+    * of java.util.zip so the SAME parsers also run over a remote
+    * seekable channel (see XlsxSource.withZip) — reads touch only the
+    * zip central directory plus the requested parts, never a staged
+    * full copy.
+    */
+  private[sources] def openZip(path: String): ZipFile =
+    ZipFile.builder().setFile(new java.io.File(path)).get()
+
   /** Sheet names in workbook order. */
   def sheetNames(path: String): Seq[String] = {
-    val zf = new ZipFile(path)
-    try sheetEntries(zf).map(_._1)
+    val zf = openZip(path)
+    try sheetNames(zf)
     finally zf.close()
   }
+
+  /** Sheet names from an already-open workbook zip. */
+  private[sources] def sheetNames(zf: ZipFile): Seq[String] =
+    sheetEntries(zf).map(_._1)
 
   /** Reference `_pick_excel_sheets` (extract.py:240-253): purely-numeric
     * sheet names not in the blacklist; else the first non-blacklisted
@@ -73,20 +86,26 @@ object Xlsx {
     * document order, each padded to the sheet's max width.
     */
   def readSheetRows(path: String, sheet: String): Seq[Array[String]] = {
-    val zf = new ZipFile(path)
-    try {
-      val entries = sheetEntries(zf)
-      val rid = entries.collectFirst { case (n, r) if n == sheet => r }
-        .getOrElse(throw new IllegalArgumentException(
-          s"no sheet named '$sheet' in $path (have ${entries.map(_._1).mkString(", ")})"))
-      val target = relTargets(zf).getOrElse(rid,
-        throw new IllegalArgumentException(s"no relationship $rid in $path"))
-      val part = if (target.startsWith("/")) target.drop(1) else "xl/" + target
-      val shared = sharedStrings(zf)
-      val rows = parseSheet(zf, part, shared, dateStyleFlags(zf), date1904(zf))
-      val width = rows.iterator.map(_.length).maxOption.getOrElse(0)
-      rows.map(r => if (r.length == width) r else r.padTo(width, null: String))
-    } finally zf.close()
+    val zf = openZip(path)
+    try readSheetRows(zf, sheet)
+    finally zf.close()
+  }
+
+  /** Same, over an already-open workbook zip (local file or remote
+    * channel — the parsers don't care).
+    */
+  private[sources] def readSheetRows(zf: ZipFile, sheet: String): Seq[Array[String]] = {
+    val entries = sheetEntries(zf)
+    val rid = entries.collectFirst { case (n, r) if n == sheet => r }
+      .getOrElse(throw new IllegalArgumentException(
+        s"no sheet named '$sheet' (have ${entries.map(_._1).mkString(", ")})"))
+    val target = relTargets(zf).getOrElse(rid,
+      throw new IllegalArgumentException(s"no relationship $rid"))
+    val part = if (target.startsWith("/")) target.drop(1) else "xl/" + target
+    val shared = sharedStrings(zf)
+    val rows = parseSheet(zf, part, shared, dateStyleFlags(zf), date1904(zf))
+    val width = rows.iterator.map(_.length).maxOption.getOrElse(0)
+    rows.map(r => if (r.length == width) r else r.padTo(width, null: String))
   }
 
   /** Read an xlsx resource the way the reference does: pick sheets per
@@ -247,14 +266,18 @@ object Xlsx {
       while (r.hasNext) {
         r.next() match {
           case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+            // toIntOption throughout: a malformed style attribute from a
+            // sloppy writer must surface the raw cell value, not fail the
+            // whole workbook.
             case "numFmt" =>
-              val id = Option(r.getAttributeValue(null, "numFmtId")).map(_.toInt)
+              val id = Option(r.getAttributeValue(null, "numFmtId"))
+                .flatMap(_.trim.toIntOption)
               val code = Option(r.getAttributeValue(null, "formatCode")).getOrElse("")
               if (id.isDefined && isDateFormatCode(code)) customDate += id.get
             case "cellXfs" => inCellXfs = true
             case "xf" if inCellXfs =>
               val fmt = Option(r.getAttributeValue(null, "numFmtId"))
-                .map(_.toInt).getOrElse(0)
+                .flatMap(_.trim.toIntOption).getOrElse(0)
               flags += (BuiltinDateFmts.contains(fmt) || customDate.contains(fmt))
             case _ =>
           }
@@ -314,14 +337,15 @@ object Xlsx {
               lastCol = cellCol
               cellType = Option(r.getAttributeValue(null, "t")).getOrElse("")
               cellDateStyle = Option(r.getAttributeValue(null, "s"))
-                .flatMap(s => dateFlags.lift(s.trim.toInt)).getOrElse(false)
+                .flatMap(_.trim.toIntOption) // malformed style ⇒ not a date
+                .flatMap(dateFlags.lift).getOrElse(false)
               inIs = false
             case "is" => inIs = true
             case "v" =>
               val raw = r.getElementText
               val v =
                 if (cellType == "s")
-                  shared.lift(raw.trim.toInt).getOrElse(raw)
+                  raw.trim.toIntOption.flatMap(shared.lift).getOrElse(raw)
                 else if (cellDateStyle && (cellType == "" || cellType == "n"))
                   // Date-styled numeric: render the serial, else downstream
                   // typing sees a meaningless number. Unparseable → raw.

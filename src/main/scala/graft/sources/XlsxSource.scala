@@ -24,9 +24,16 @@ import graft.operators.FixHeader
   * (extract.py:258-276). That is fine for a handful of resources; a
   * landing zone with HUNDREDS of spreadsheets wants the parse fanned out.
   * This connector plans one InputPartition per (file, sheet), so every
-  * EXECUTOR stages and parses its own workbook — ingestion throughput
-  * scales with the cluster while each unsplittable zip still parses as a
-  * unit.
+  * EXECUTOR parses its own workbook — ingestion throughput scales with
+  * the cluster while each unsplittable zip still parses as a unit.
+  *
+  * Remote files are NEVER staged whole: the zip opens over a seekable
+  * Hadoop input stream (commons-compress ZipFile — reads the central
+  * directory plus the requested parts only), so driver-side planning
+  * touches just each workbook's directory + workbook.xml, and a sheet
+  * partition reads the few parts it parses. The driver's Hadoop
+  * configuration travels to executors via SerializableConfiguration, so
+  * object-store credentials/FS settings behave identically there.
   *
   * Schema contract: inferred driver-side from the first picked sheet of
   * the first file (header detected with the same scorer FixHeader uses,
@@ -46,14 +53,17 @@ class XlsxSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (files, blacklist) = XlsxSource.resolve(options)
     require(files.nonEmpty, s"graft-xlsx: no files match ${options.get("path")}")
-    XlsxSource.inferFrom(files.head, blacklist)
+    XlsxSource.inferFrom(files.head, blacklist, XlsxSource.sessionConf())
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
     val (files, blacklist) = XlsxSource.resolve(opts)
-    new XlsxTable(files, blacklist, schema)
+    // Capture the session's Hadoop conf ON THE DRIVER so executor-side
+    // reads see the same credentials/FS settings.
+    new XlsxTable(files, blacklist, schema,
+      new org.apache.spark.util.SerializableConfiguration(XlsxSource.sessionConf()))
   }
 }
 
@@ -63,19 +73,19 @@ object XlsxSource {
     * Listing runs driver-side over any Hadoop-visible FS; executors
     * re-open the chosen paths themselves.
     */
+  /** Driver-side Hadoop conf (session's when available). */
+  private[sources] def sessionConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   private[sources] def resolve(options: CaseInsensitiveStringMap): (Seq[String], Seq[String]) = {
     val path = Option(options.get("path"))
       .getOrElse(throw new IllegalArgumentException("graft-xlsx: option 'path' is required"))
     val blacklist = Option(options.get("sheetBlacklist")).getOrElse("")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val p = new org.apache.hadoop.fs.Path(path)
-    // Listing runs on the DRIVER: honor the session's Hadoop conf
-    // (defaultFS, credentials). Executor-side staging (toLocal) uses the
-    // default conf — workbook paths there are fully qualified already.
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val fs = p.getFileSystem(conf)
+    val fs = p.getFileSystem(sessionConf())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Nil)
       .flatMap { st =>
         if (st.isDirectory)
@@ -87,20 +97,26 @@ object XlsxSource {
     (matched, blacklist)
   }
 
-  /** Stage to a local file if the path isn't already one (ZipFile needs
-    * a real file). Returns (localPath, needsCleanup).
+  /** Open a workbook zip wherever it lives and hand it to `f`. Local
+    * paths open directly; any other Hadoop scheme opens as a SEEKABLE
+    * channel — commons-compress reads the central directory and then
+    * only the parts the caller touches, so no full-file staging, ever.
     */
-  private[sources] def toLocal(path: String): (String, Boolean) =
-    if (path.startsWith("file:")) (new java.net.URI(path).getPath, false)
-    else if (!path.contains(":/")) (path, false)
-    else {
-      val src = new org.apache.hadoop.fs.Path(path)
-      val fs = src.getFileSystem(new org.apache.hadoop.conf.Configuration())
-      val tmp = java.nio.file.Files.createTempFile("graft-xlsx-src-", ".xlsx")
-      fs.copyToLocalFile(false, src,
-        new org.apache.hadoop.fs.Path(tmp.toString), true)
-      (tmp.toString, true)
-    }
+  private[sources] def withZip[A](path: String,
+      conf: org.apache.hadoop.conf.Configuration)(
+      f: org.apache.commons.compress.archivers.zip.ZipFile => A): A = {
+    val zf =
+      if (path.startsWith("file:")) Xlsx.openZip(new java.net.URI(path).getPath)
+      else if (!path.contains(":/")) Xlsx.openZip(path)
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf)
+        val ch = new HadoopSeekableByteChannel(fs.open(p), fs.getFileStatus(p).getLen)
+        org.apache.commons.compress.archivers.zip.ZipFile.builder()
+          .setSeekableByteChannel(ch).get()
+      }
+    try f(zf) finally zf.close() // closing the archive closes the channel
+  }
 
   /** Header row index within the first `lookahead` rows — the FixHeader
     * scorer applied to raw cell grids (same formula as the reference's
@@ -124,71 +140,112 @@ object XlsxSource {
     out.toSeq
   }
 
-  private[sources] def inferFrom(file: String, blacklist: Seq[String]): StructType = {
-    val (local, staged) = toLocal(file)
-    try {
-      val sheets = Xlsx.pickSheets(Xlsx.sheetNames(local), blacklist)
-      val rows = sheets.headOption.map(Xlsx.readSheetRows(local, _)).getOrElse(Nil)
+  private[sources] def inferFrom(file: String, blacklist: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): StructType =
+    withZip(file, conf) { zf =>
+      val sheets = Xlsx.pickSheets(Xlsx.sheetNames(zf), blacklist)
+      val rows = sheets.headOption.map(Xlsx.readSheetRows(zf, _)).getOrElse(Nil)
       val hi = headerIndex(rows)
       require(hi >= 0 && rows.isDefinedAt(hi),
         s"graft-xlsx: no header row found in $file")
       val names = headerMap(rows(hi)).map(_._1)
       StructType(names.map(StructField(_, StringType, nullable = true)))
-    } finally if (staged) new java.io.File(local).delete()
+    }
+}
+
+/** Read-only SeekableByteChannel over a Hadoop FSDataInputStream —
+  * positioned reads, so concurrent part reads within one archive are
+  * safe and a remote open costs no bulk transfer.
+  */
+private[sources] class HadoopSeekableByteChannel(
+    in: org.apache.hadoop.fs.FSDataInputStream, total: Long)
+    extends java.nio.channels.SeekableByteChannel {
+  private var pos = 0L
+  @volatile private var open = true
+  override def read(dst: java.nio.ByteBuffer): Int = {
+    if (pos >= total) return -1
+    val want = math.min(dst.remaining().toLong, total - pos).toInt
+    val buf = new Array[Byte](want)
+    var done = 0
+    while (done < want) {
+      val n = in.read(pos + done, buf, done, want - done)
+      if (n < 0) {
+        if (done == 0) return -1
+        else { dst.put(buf, 0, done); pos += done; return done }
+      }
+      done += n
+    }
+    dst.put(buf, 0, done); pos += done; done
   }
+  override def write(src: java.nio.ByteBuffer): Int =
+    throw new java.nio.channels.NonWritableChannelException
+  override def position(): Long = pos
+  override def position(newPosition: Long): java.nio.channels.SeekableByteChannel = {
+    pos = newPosition; this
+  }
+  override def size(): Long = total
+  override def truncate(size: Long): java.nio.channels.SeekableByteChannel =
+    throw new java.nio.channels.NonWritableChannelException
+  override def isOpen: Boolean = open
+  override def close(): Unit = { open = false; in.close() }
 }
 
 private class XlsxTable(files: Seq[String], blacklist: Seq[String],
-    tableSchema: StructType) extends Table with SupportsRead {
+    tableSchema: StructType,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+    extends Table with SupportsRead {
   override def name(): String = s"graft_xlsx(${files.size} files)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new XlsxScanBuilder(files, blacklist, tableSchema)
+    new XlsxScanBuilder(files, blacklist, tableSchema, sconf)
 }
 
 private class XlsxScanBuilder(files: Seq[String], blacklist: Seq[String],
-    tableSchema: StructType) extends ScanBuilder with SupportsPushDownRequiredColumns {
+    tableSchema: StructType,
+    sconf: org.apache.spark.util.SerializableConfiguration)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = tableSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new XlsxScan(files, blacklist, required)
+  override def build(): Scan = new XlsxScan(files, blacklist, required, sconf)
 }
 
 private case class XlsxPartition(file: String, sheet: String) extends InputPartition
 
 private class XlsxScan(files: Seq[String], blacklist: Seq[String],
-    required: StructType) extends Scan with Batch {
+    required: StructType,
+    sconf: org.apache.spark.util.SerializableConfiguration) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-xlsx files=${files.size} cols=${required.fieldNames.mkString(",")}"
 
-  /** One partition per (file, sheet): sheet listing only touches each
-    * zip's central directory, cheap enough for driver-side planning;
-    * the row parse — the real cost — runs on executors.
+  /** One partition per (file, sheet). Sheet listing opens each zip's
+    * central directory + workbook.xml only (seekable channel for remote
+    * schemes — no staging), cheap enough for driver-side planning; the
+    * row parse — the real cost — runs on executors.
     */
   override def planInputPartitions(): Array[InputPartition] =
     files.flatMap { f =>
-      val (local, staged) = XlsxSource.toLocal(f)
-      try Xlsx.pickSheets(Xlsx.sheetNames(local), blacklist)
+      XlsxSource.withZip(f, sconf.value)(zf =>
+        Xlsx.pickSheets(Xlsx.sheetNames(zf), blacklist))
         .map(s => XlsxPartition(f, s))
-      finally if (staged) new java.io.File(local).delete()
     }.toArray
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val fields = required.fieldNames
+    val conf = sconf // serialized to executors; carries the driver's FS settings
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val XlsxPartition(file, sheet) = partition.asInstanceOf[XlsxPartition]
         new PartitionReader[InternalRow] {
           // Parse eagerly on open: one sheet is one unit of work, and the
           // grid is small relative to the decompressed XML just streamed.
-          private val data: Iterator[Array[String]] = {
-            val (local, staged) = XlsxSource.toLocal(file)
-            try {
-              val rows = Xlsx.readSheetRows(local, sheet)
+          private val data: Iterator[Array[String]] =
+            XlsxSource.withZip(file, conf.value) { zf =>
+              val rows = Xlsx.readSheetRows(zf, sheet)
               val hi = XlsxSource.headerIndex(rows)
               if (hi < 0) Iterator.empty
               else {
@@ -201,8 +258,7 @@ private class XlsxScan(files: Seq[String], blacklist: Seq[String],
                   }
                 }
               }
-            } finally if (staged) new java.io.File(local).delete()
-          }
+            }
           private var current: Array[String] = _
           override def next(): Boolean = {
             if (!data.hasNext) return false
