@@ -324,7 +324,13 @@ object TpchRestQueries {
           .withColumn("n_supps", count(lit(1)).over(w))
           .withColumn("omax", max(col("max_ship")).over(w))
           .filter(col("n_supps") > 1 && col("max_ship") === col("omax"))
-          .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F"),
+          // Broadcast the finished-order KEY SET: the semi side prunes to
+          // one bigint column, so broadcasting it keeps the big side's
+          // orderkey partitioning (no exchange + sort for a shuffled semi
+          // join). At 100 TB the orders key set outgrows a broadcast —
+          // drop the hint and this degrades to the shuffled semi join.
+          .join(broadcast(Tables.orders(s, dir)
+              .filter(col("o_orderstatus") === "F").select("o_orderkey")),
             col("l_orderkey") === col("o_orderkey"), "left_semi")
           .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
           .groupBy(col("s_name"))
