@@ -111,7 +111,8 @@ object Runner {
     Audit.appendRun(spark, auditDir, Audit.RunRow(
       runId, started, ended, status, rows.size,
       rows.map(_.rows_in).sum, rows.map(_.rows_out).sum,
-      if (failure == null) null else failure.getMessage))
+      if (failure == null) null else failure.getMessage,
+      stamp_local = graft.sources.Log.nowIsoLocal()))
     if (rows.nonEmpty) Audit.appendResources(spark, auditDir, rows)
     if (failure != null) throw failure
     RunResult(runId, status, rows, rows.map(_.rows_in).sum, rows.map(_.rows_out).sum)

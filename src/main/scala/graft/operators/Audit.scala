@@ -19,7 +19,11 @@ object Audit {
       resources: Int,
       rows_in_total: Long,
       rows_out_total: Long,
-      error: String)
+      error: String,
+      // Reference load.py `_now_iso_ec`: the run stamp rendered in the
+      // pipeline's LOCAL zone (America/Guayaquil, fixed -05:00) — the
+      // started_at/ended_at timestamps stay UTC for cross-engine parity.
+      stamp_local: String = "")
 
   final case class ResourceRow(
       run_id: String,
