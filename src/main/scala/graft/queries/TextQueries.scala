@@ -95,10 +95,37 @@ object TextQueries {
     // survives a high-cardinality (web-scale) shingle space, where the
     // exact path's partial-agg shuffle is vocabulary-sized; exact stays
     // the default.
+    // Oracle: the capacity (65536) is far above the soundness bound
+    // (occurrences/maxDf ≈ 1.3k at sf0.1), so the sketch's hot set is a
+    // superset of the exact one and the df-cut — hence the whole output
+    // — EQUALS the exact path's (asserted in TextOpsSpec). The oracle is
+    // therefore the same exact-cut SQL as d_dedup_ngram_jaccard.
     Q("d_dedup_ngram_sketch",
       (s, dir) => TextDedup.ngramJaccardTopK(Tables.documents(s, dir),
-        "doc_id", "text", sketchCapacity = 1 << 16),
-      None),
+          "doc_id", "text", sketchCapacity = 1 << 16)
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(jaccard * 1e9) AS BIGINT)").as("jaccard_e9")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+        cutx AS (SELECT * FROM ex WHERE shingle NOT IN
+                   (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) > 200)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+                  FROM cutx a JOIN cutx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        shared AS (SELECT id_a, id_b, sz_a, sz_b, COUNT(*) AS shared
+                   FROM pairs GROUP BY 1, 2, 3, 4),
+        scored AS (SELECT id_a, id_b,
+                          CAST(shared AS DOUBLE) / (sz_a + sz_b - shared) AS jaccard
+                   FROM shared)
+        SELECT id_a, id_b, CAST(floor(jaccard * 1e9) AS BIGINT) AS jaccard_e9
+        FROM scored ORDER BY jaccard DESC, id_a, id_b LIMIT 20
+      """)),
 
     // ------------------------------------------------------------------
     // 31c: PPJoin-style EXACT thresholded Jaccard self-join (prefix
