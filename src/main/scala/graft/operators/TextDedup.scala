@@ -179,7 +179,38 @@ object TextDedup {
     */
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 20, maxDf: Int = 200,
-      sketchCapacity: Int = 0): DataFrame = {
+      sketchCapacity: Int = 0): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, n, maxDf, sketchCapacity)
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .select("id_a", "id_b", "jaccard")
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(k)
+
+  /** Top-k pairs by the OVERLAP COEFFICIENT |A∩B| / min(|A|,|B|) —
+    * asymmetric containment: a short document quoted or wholly embedded
+    * in a longer one scores ~1 here while its Jaccard stays low (the
+    * union is dominated by the longer doc). The standard screen for
+    * quote/subset duplicates that symmetric Jaccard misses. Same
+    * posting-list join and df-cut as [[ngramJaccardTopK]] — only the
+    * scoring differs, so the shuffle shape (and the 100 TB posture) is
+    * identical.
+    */
+  def ngramContainmentTopK(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 20, maxDf: Int = 200): DataFrame =
+    sharedShingleCounts(df, idCol, textCol, n, maxDf, sketchCapacity = 0)
+      .withColumn("containment",
+        col("shared").cast("double") / least(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b", "containment")
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+      .limit(k)
+
+  /** Shared pipeline of the set-similarity joins: shingle → df-cut →
+    * posting lists → in-list pair combos → per-pair shared counts with
+    * both set sizes. Returns (id_a, id_b, shared, sz_a, sz_b).
+    */
+  private def sharedShingleCounts(df: DataFrame, idCol: String,
+      textCol: String, n: Int, maxDf: Int, sketchCapacity: Int): DataFrame = {
     // Shingling runs once: lineage-free cached blocks (see `cached`) feed
     // the df agg and the posting-list build.
     val sets = cached(
@@ -212,16 +243,10 @@ object TextDedup {
     val pairs = postings
       .select(explode(GraftBridge.column(
         graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
-    val shared = pairs
+    pairs
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
       .agg(count(lit(1)).as("shared"),
         first(col("p.sz_a")).as("sz_a"), first(col("p.sz_b")).as("sz_b"))
-    shared
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
-      .select("id_a", "id_b", "jaccard")
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
-      .limit(k)
   }
 
   /** EXACT thresholded Jaccard self-join with PPJoin-style prefix

@@ -72,14 +72,122 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 31e: overlap-coefficient containment top-20 — |A∩B| / min(|A|,|B|)
+    // over the same word-3-gram posting join. Catches quoted/embedded
+    // subset documents whose Jaccard stays low because the union is
+    // dominated by the longer side. Same exactness argument as
+    // d_dedup_ngram_jaccard: integer set arithmetic, one double divide
+    // of identical ints on both engines.
+    Q("d_dedup_containment",
+      (s, dir) => TextDedup.ngramContainmentTopK(
+          Tables.documents(s, dir), "doc_id", "text")
+        .select(col("id_a"), col("id_b"),
+          expr("CAST(floor(containment * 1e9) AS BIGINT)").as("containment_e9")),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh),
+        cutx AS (SELECT * FROM ex WHERE shingle NOT IN
+                   (SELECT shingle FROM ex GROUP BY shingle HAVING COUNT(*) > 200)),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+                  FROM cutx a JOIN cutx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        shared AS (SELECT id_a, id_b, sz_a, sz_b, COUNT(*) AS shared
+                   FROM pairs GROUP BY 1, 2, 3, 4),
+        scored AS (SELECT id_a, id_b,
+                          CAST(shared AS DOUBLE) / LEAST(sz_a, sz_b) AS containment
+                   FROM shared)
+        SELECT id_a, id_b, CAST(floor(containment * 1e9) AS BIGINT) AS containment_e9
+        FROM scored ORDER BY containment DESC, id_a, id_b LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
     // 43j: content-defined chunk dedup — rolling-hash boundaries
     // (CdcChunks) instead of d_dedup_spans' fixed word grid, so SHIFTED
     // copies still dedup (insertion re-syncs cuts; spec'd in TextOpsSpec).
-    // Rolling hash isn't SQL-expressible → rows-only.
+    // Oracle: every boundary test fires at in-chunk length >= minLen(32)
+    // > window(16), where CdcChunks' rolling state equals the PURE local
+    // window hash H(i) = sum_{k<16} c(i-k)*POLY^k mod 2^64 — independent
+    // of the chunk start. So the greedy cut is reconstructible from
+    // position-local flags: DuckDB computes H(i) via a 16-term join with
+    // precomputed POLY^k constants (HUGEINT sums, explicit mod 2^64;
+    // mask test = mod 32), then a recursive CTE replays the greedy
+    // min/max-bounded chunking: next cut = least(cut+maxLen, first flag
+    // in [cut+minLen, cut+maxLen]); tail chunk if the last cut falls
+    // short of the end. Kept-chunk/reassembly semantics mirror the Spark
+    // side verbatim (first (doc_id, chunk_idx) occurrence per chunk).
     Q("d_dedup_cdc",
       (s, dir) => TextDedup.cdcDedup(Tables.documents(s, dir), "doc_id", "text")
         .orderBy("doc_id"),
-      None),
+      Some("""
+        WITH RECURSIVE
+        docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        ex AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                      unicode(substr(text, CAST(u.i AS INT) + 1, 1))::HUGEINT AS c
+               FROM docs, unnest(range(n)) AS u(i)),
+        pw(k, p) AS (VALUES
+          (0, 1::HUGEINT), (1, 1099511628211::HUGEINT),
+          (2, 956575116354345::HUGEINT), (3, 624165263380053675::HUGEINT),
+          (4, 11527715348014283921::HUGEINT), (5, 913917546033277539::HUGEINT),
+          (6, 15895002104753931833::HUGEINT), (7, 14218562807570617051::HUGEINT),
+          (8, 2232315406967589409::HUGEINT), (9, 10622396531520239123::HUGEINT),
+          (10, 1775861927039214153::HUGEINT), (11, 3510945102848213515::HUGEINT),
+          (12, 17673114087473428657::HUGEINT), (13, 10372170898125509827::HUGEINT),
+          (14, 104005896588101465::HUGEINT), (15, 2442422338666789947::HUGEINT)),
+        flags AS (
+          SELECT a.doc_id, a.i
+          FROM ex a JOIN pw ON pw.k <= 15
+               JOIN ex b ON b.doc_id = a.doc_id AND b.i = a.i - pw.k
+          WHERE a.i >= 15
+          GROUP BY a.doc_id, a.i
+          HAVING (SUM(b.c * pw.p) % 18446744073709551616::HUGEINT) % 32 = 0
+        ),
+        cuts AS (
+          SELECT doc_id, CAST(-1 AS BIGINT) AS cut, n FROM docs
+          UNION ALL
+          SELECT c.doc_id,
+                 LEAST(c.cut + 128,
+                       COALESCE((SELECT MIN(f.i) FROM flags f
+                                 WHERE f.doc_id = c.doc_id
+                                   AND f.i BETWEEN c.cut + 32 AND c.cut + 128),
+                                c.cut + 128)) AS cut,
+                 c.n
+          FROM cuts c
+          WHERE LEAST(c.cut + 128,
+                      COALESCE((SELECT MIN(f.i) FROM flags f
+                                WHERE f.doc_id = c.doc_id
+                                  AND f.i BETWEEN c.cut + 32 AND c.cut + 128),
+                               c.cut + 128)) <= c.n - 1
+        ),
+        bounds AS (
+          SELECT doc_id, cut,
+                 LEAD(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS next_cut, n
+          FROM cuts
+        ),
+        chunks0 AS (
+          SELECT b.doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY b.doc_id ORDER BY b.cut) - 1
+                   AS chunk_idx,
+                 substr(d.text, CAST(b.cut + 2 AS INT),
+                        CAST(COALESCE(b.next_cut, b.n - 1) - b.cut AS INT)) AS ch
+          FROM bounds b JOIN docs d USING (doc_id)
+          WHERE COALESCE(b.next_cut,
+                         CASE WHEN b.cut < b.n - 1 THEN b.n - 1 END) IS NOT NULL
+        ),
+        kept AS (
+          SELECT doc_id, chunk_idx, ch
+          FROM chunks0
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY ch ORDER BY doc_id, chunk_idx) = 1
+        )
+        SELECT doc_id,
+               string_agg(ch, '' ORDER BY chunk_idx) AS text_clean,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+      """)),
 
     // ------------------------------------------------------------------
     // 31b: the same top-k join with the df-cut driven by the SpaceSaving

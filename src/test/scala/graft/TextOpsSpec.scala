@@ -79,6 +79,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(out.head == ((1L, 2L, 1.0)))
   }
 
+  test("containment: embedded doc scores 1.0 where jaccard stays low") {
+    // doc 2 is a verbatim slice of doc 1 — every 3-gram of 2 appears in 1.
+    val df = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12 a13 a14 a15 a16"),
+      (2L, "a5 a6 a7 a8 a9"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("doc_id", "text")
+    val cont = TextDedup.ngramContainmentTopK(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(cont.head == ((1L, 2L, 1.0)))
+    val jac = TextDedup.ngramJaccardTopK(df, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+    assert(jac.head._3 < 0.5, s"jaccard should stay low, got ${jac.head._3}")
+  }
+
   test("sketch df-cut == exact df-cut at ample capacity; hot set is sound") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // Capacity ≥ distinct shingles → SpaceSaving is exact → identical cut.
