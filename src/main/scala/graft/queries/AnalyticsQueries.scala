@@ -115,6 +115,29 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Relative-standing windows: percent_rank and cume_dist of supplier
+    // balances within each nation — the distribution-position primitives
+    // (both are exact integer ratios, so the doubles are bit-portable).
+    Q("q_percent_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("s_nationkey"))
+          .orderBy(col("s_acctbal"), col("s_suppkey"))
+        Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""
+        SELECT s_suppkey, s_nationkey,
+               percent_rank() OVER (PARTITION BY s_nationkey
+                                    ORDER BY s_acctbal, s_suppkey) AS pr,
+               cume_dist() OVER (PARTITION BY s_nationkey
+                                 ORDER BY s_acctbal, s_suppkey) AS cd
+        FROM supplier ORDER BY s_suppkey
+      """)),
+
+    // ------------------------------------------------------------------
     // Running totals: cumulative spend per user over event time.
     Q("q_running_total",
       (s, dir) => {

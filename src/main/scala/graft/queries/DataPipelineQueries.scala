@@ -173,6 +173,71 @@ object DataPipelineQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // k-anonymity generalization over the (lang, source) quasi-identifier:
+    // any combination observed in fewer than k=5 documents is generalized
+    // to '*' before release — the standard privacy gate ahead of sharing
+    // corpus metadata. One count window over the quasi-identifier (same
+    // shuffle as a groupBy on it); the data rows never leave executors.
+    Q("x_k_anonymity",
+      (s, dir) => {
+        val w = Window.partitionBy(col("lang"), col("source"))
+        Tables.documents(s, dir)
+          .withColumn("qi_n", count(lit(1)).over(w))
+          .select(col("doc_id"),
+            when(col("qi_n") >= 5, col("lang")).otherwise(lit("*")).as("lang_g"),
+            when(col("qi_n") >= 5, col("source")).otherwise(lit("*")).as("source_g"),
+            col("qi_n"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        SELECT doc_id,
+               CASE WHEN qi_n >= 5 THEN lang ELSE '*' END AS lang_g,
+               CASE WHEN qi_n >= 5 THEN source ELSE '*' END AS source_g,
+               qi_n
+        FROM (SELECT doc_id, lang, source,
+                     COUNT(*) OVER (PARTITION BY lang, source) AS qi_n
+              FROM documents)
+        ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Robust outlier screen: flag documents whose length sits more than
+    // 3 MADs from their language's median (median absolute deviation —
+    // the robust spread that a heavy tail can't drag the way it drags a
+    // stddev). Exactness: medians of BIGINT lengths interpolate to .5
+    // grain and MADs to .25 grain — all exactly representable — and the
+    // 3-MAD test is integer-scaled (×4) on both engines, so no float
+    // comparison ever decides a row. Plan: two tiny per-lang aggs
+    // broadcast-joined back; no data-sized window.
+    Q("x_mad_outliers",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val med = docs.groupBy("lang")
+          .agg(expr("percentile(n_chars, 0.5)").as("med"))
+        val withMed = docs.join(broadcast(med), Seq("lang"))
+          .withColumn("dev4",
+            abs(col("n_chars") * lit(4) - col("med") * lit(4)).cast("long"))
+        val mad = withMed.groupBy("lang")
+          .agg(expr("CAST(percentile(dev4, 0.5) AS BIGINT)").as("mad4"))
+        withMed.join(broadcast(mad), Seq("lang"))
+          .select(col("doc_id"), col("lang"), col("n_chars"),
+            (col("dev4") > lit(3) * col("mad4")).as("is_outlier"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH med AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang),
+        dev AS (SELECT d.doc_id, d.lang, d.n_chars,
+                       CAST(ABS(d.n_chars * 4 - m.med * 4) AS BIGINT) AS dev4
+                FROM documents d JOIN med m USING (lang)),
+        mad AS (SELECT lang, CAST(median(dev4) AS BIGINT) AS mad4
+                FROM dev GROUP BY lang)
+        SELECT dev.doc_id, dev.lang, dev.n_chars,
+               dev.dev4 > 3 * mad.mad4 AS is_outlier
+        FROM dev JOIN mad USING (lang)
+        ORDER BY dev.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // Stratified deterministic sampling: per-language rates off the same
     // content-hash bucket as x_hash_sample (en 10%, everything else 50%)
     // — the reproducible mixture-reweighting primitive. Pure filter.
