@@ -14,7 +14,10 @@ import graft.functions._
   *
   * Exposes the custom Catalyst expressions to `spark.sql(...)` users:
   * strip_accents, uuid5, shingles, minhash_sig, simhash, vec_dot,
-  * nfc_normalize.
+  * nfc_normalize, tokens, norm_token_count, cdc_chunks, pair_combos —
+  * and the custom aggregates space_saving, top_k_pairs, vec_min (the
+  * analyzer wraps a bare AggregateFunction from a registry builder into
+  * its AggregateExpression, so they work in GROUP BY queries).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -64,7 +67,24 @@ object GraftExtensions {
     "minhash_sig" -> { exprs => MinhashSig(exprs(0), intLit(exprs(1))) },
     "simhash" -> { exprs => SimHash(exprs.head) },
     "vec_dot" -> { exprs => VecDot(exprs(0), exprs(1)) },
-    "nfc_normalize" -> { exprs => NfcNormalize(exprs.head) })
+    "nfc_normalize" -> { exprs => NfcNormalize(exprs.head) },
+    // normalized whitespace tokenizer + its count twin
+    "tokens" -> { exprs => Tokens(exprs.head) },
+    "norm_token_count" -> { exprs => NormTokenCount(exprs.head) },
+    // cdc_chunks(text[, window, mask_bits, min_len, max_len])
+    "cdc_chunks" -> { exprs =>
+      CdcChunks(exprs.head,
+        window = if (exprs.length > 1) intLit(exprs(1)) else 16,
+        maskBits = if (exprs.length > 2) intLit(exprs(2)) else 5,
+        minLen = if (exprs.length > 3) intLit(exprs(3)) else 32,
+        maxLen = if (exprs.length > 4) intLit(exprs(4)) else 128)
+    },
+    // pair_combos(array<struct<id,sz>>) → exploded candidate pairs
+    "pair_combos" -> { exprs => PairCombos(exprs.head) },
+    // aggregates — the analyzer wraps these into AggregateExpressions
+    "space_saving" -> { exprs => SpaceSavingAgg(exprs(0), intLit(exprs(1))) },
+    "top_k_pairs" -> { exprs => TopKAgg(exprs(0), exprs(1), intLit(exprs(2))) },
+    "vec_min" -> { exprs => VecMinAgg(exprs(0), intLit(exprs(1))) })
 
   /** Runtime registration into an existing session's function registry. */
   def register(spark: SparkSession): Unit =

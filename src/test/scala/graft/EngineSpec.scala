@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -39,6 +40,39 @@ class EngineSpec extends AnyFunSuite {
     assert(r.getSeq[String](r.fieldIndex("sg")).toSeq == Seq("a b c", "b c d"))
     assert(r.getSeq[Long](r.fieldIndex("ms")).length == 4)
     assert(r.getAs[Double]("vd") == 11.0)
+  }
+
+  test("SQL surface: scalar chunkers/tokenizers and custom aggregates") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT tokens(' A  b\tC ') AS tk,
+                norm_token_count(' A  b\tC ') AS ntc,
+                cdc_chunks(repeat('xyz ', 64)) AS cc,
+                pair_combos(array(named_struct('id', 1L, 'sz', 2),
+                                  named_struct('id', 2L, 'sz', 3))) AS pc
+      """).head()
+    assert(r.getSeq[String](r.fieldIndex("tk")).toSeq == Seq("a", "b", "c"))
+    assert(r.getAs[Long]("ntc") == 3L)
+    // chunks must concatenate losslessly back to the input
+    assert(r.getSeq[String](r.fieldIndex("cc")).mkString == "xyz " * 64)
+    assert(r.getSeq[Row](r.fieldIndex("pc")).length == 1)
+
+    // aggregates resolve through the registry and group correctly
+    Seq(("a", 1.0, 10L), ("a", 3.0, 30L), ("b", 2.0, 20L))
+      .toDF("g", "score", "payload").createOrReplaceTempView("agg_in")
+    val top = spark.sql(
+      "SELECT g, top_k_pairs(score, payload, 1) AS t FROM agg_in GROUP BY g ORDER BY g")
+      .collect()
+    assert(top.length == 2)
+    assert(top(0).getSeq[Row](1).head.getLong(1) == 30L)
+    val hh = spark.sql(
+      "SELECT space_saving(g, 4) AS s FROM agg_in").head().getSeq[Row](0)
+    assert(hh.map(x => x.getString(0) -> x.getLong(1)).toMap
+      == Map("a" -> 2L, "b" -> 1L))
+    val vm = spark.sql(
+      """SELECT vec_min(v, 2) AS m FROM VALUES (array(3L, 9L)), (array(5L, 1L)) t(v)
+      """).head().getSeq[Long](0)
+    assert(vm.toSeq == Seq(3L, 1L))
   }
 
   test("incremental ingest: only new/modified files, state advances after save") {
