@@ -897,6 +897,40 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 41c: REAL audio decode — deterministic PCM WAVs (Multimodal
+    // .synthWav: freq/duration/amplitude are pure functions of doc_id)
+    // parsed on executors by javax.sound.sampled (zero external codecs).
+    // ORACLED the strong way: Spark publishes what the DECODER read out
+    // of the RIFF bytes (rate, channels, frame count, duration, byte
+    // length); DuckDB recomputes the same fields from the generative
+    // formula — a broken parser cannot hash-match. RMS (float sine
+    // arithmetic) is pinned in TextOpsSpec instead.
+    Q("m_audio_meta",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
+          .toDF("doc_id", "media")
+        Multimodal.extractAudioFeatures(media, "doc_id", "media")
+          .select(col("id"), col("byte_len").cast("long").as("byte_len"),
+            col("sample_rate").cast("long").as("sample_rate"),
+            col("channels").cast("long").as("channels"),
+            col("n_frames"), col("duration_ms"))
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT doc_id AS id,
+               44 + 2 * frames AS byte_len,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(1 AS BIGINT) AS channels,
+               frames AS n_frames,
+               CAST(ROUND(frames / 8.0) AS BIGINT) AS duration_ms
+        FROM (SELECT doc_id, 800 + (doc_id % 7) * 100 AS frames FROM documents)
+        ORDER BY id
+      """)),
+
+    // ------------------------------------------------------------------
     // 41b: frame sampling — 1 media row in → nFrames feature rows out
     // (the ffmpeg-shaped batch contract; decode stubbed, plumbing real)
     Q("m_multimodal_frames",

@@ -435,6 +435,30 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows.sameElements(again))
   }
 
+  test("multimodal REAL audio decode: rate/frames/duration and sine RMS") {
+    // synthWav(id=3): 8 kHz mono 16-bit, 800 + 3*100 = 1100 frames,
+    // amplitude 0.25 + 0.5*(3/10) = 0.40 → sine RMS ≈ 0.40/√2.
+    val wav = Multimodal.synthWav(3L)
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sampleRate == 8000 && a.channels == 1)
+    assert(a.nFrames == 1100L && a.durationMs == 138L) // round(1100/8)
+    val expectedRms = 0.40 / math.sqrt(2.0)
+    assert(math.abs(a.rms - expectedRms) < 0.01,
+      s"rms ${a.rms} vs expected ~$expectedRms")
+    // Byte length follows the RIFF layout: 44-byte header + 2 B/frame.
+    assert(wav.length == 44 + 2 * 1100)
+    // Undecodable bytes → None (caller falls back to the stub) and the
+    // frame path stays total through extractAudioFeatures.
+    assert(Multimodal.decodeAudio("not audio".getBytes("UTF-8")).isEmpty)
+    val df = Seq((1L, Multimodal.synthWav(1L)), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "media")
+    val rows = Multimodal.extractAudioFeatures(df, "id", "media")
+      .orderBy("id").collect()
+    assert(rows(0).getAs[Int]("sample_rate") == 8000)
+    assert(rows(0).getAs[Long]("n_frames") == 900L) // 800 + 1*100
+    assert(rows(1).getAs[Long]("n_frames") == 4L) // stub: byte count
+  }
+
   test("multimodal REAL image decode: true dims/format/brightness and resize") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
