@@ -931,6 +931,37 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 41d: REAL video-style frame extraction — deterministic motion-PNG
+    // streams (concatenated stills, the MJPEG container shape in the
+    // codec the JDK parses) walked by the PNG chunk grammar on executors,
+    // each frame decoded by the real ImageIO path. Oracled like the audio
+    // twin: Spark publishes what the container walk + decoder READ
+    // (frame index, true dims, frames found); DuckDB recomputes them
+    // from the generative formula. Brightness/offsets are spec'd.
+    Q("m_video_frames",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthVideo(id, 4))))
+          .toDF("doc_id", "media")
+        Multimodal.sampleVideoFrames(media, "doc_id", "media", maxFrames = 4)
+          .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
+            col("width").cast("long").as("width"),
+            col("height").cast("long").as("height"),
+            col("n_frames").cast("long").as("n_frames"))
+          .orderBy(col("id"), col("frame_idx"))
+      },
+      Some("""
+        SELECT d.doc_id AS id, f.f AS frame_idx,
+               8 + (d.doc_id + 3 * f.f) % 16 AS width,
+               8 + (d.doc_id // 16 + f.f) % 16 AS height,
+               CAST(4 AS BIGINT) AS n_frames
+        FROM documents d, (SELECT unnest(range(4)) AS f) f
+        ORDER BY id, frame_idx
+      """)),
+
+    // ------------------------------------------------------------------
     // 41b: frame sampling — 1 media row in → nFrames feature rows out
     // (the ffmpeg-shaped batch contract; decode stubbed, plumbing real)
     Q("m_multimodal_frames",

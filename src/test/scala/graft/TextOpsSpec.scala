@@ -459,6 +459,31 @@ class TextOpsSpec extends AnyFunSuite {
     assert(rows(1).getAs[Long]("n_frames") == 4L) // stub: byte count
   }
 
+  test("multimodal REAL video frames: chunk-grammar walk, decode, subsample") {
+    val v = Multimodal.synthVideo(5L, 4)
+    val offs = Multimodal.pngFrameOffsets(v)
+    assert(offs.length == 4 && offs.head._1 == 0)
+    assert(offs.map(_._2).sum == v.length) // frames tile the stream exactly
+    assert(offs.sliding(2).forall { case Seq(a, b) => b._1 == a._1 + a._2 })
+
+    val df = Seq((5L, v), (9L, "not a video".getBytes("UTF-8")))
+      .toDF("id", "media")
+    val rows = Multimodal.sampleVideoFrames(df, "id", "media", maxFrames = 4)
+      .orderBy("id", "frame_idx").collect()
+    assert(rows.length == 4) // non-PNG stream yields zero rows
+    // frame 2 of id=5: w = 8+(5+6)%16 = 19, h = 8+(0+2)%16 = 10
+    val f2 = rows(2)
+    assert(f2.getAs[Int]("width") == 19 && f2.getAs[Int]("height") == 10)
+    assert(rows.forall(_.getAs[Int]("n_frames") == 4))
+
+    // longer stream + maxFrames: evenly spaced frame indices
+    val v8 = Multimodal.synthVideo(7L, 8)
+    val df8 = Seq((7L, v8)).toDF("id", "media")
+    val idx = Multimodal.sampleVideoFrames(df8, "id", "media", maxFrames = 4)
+      .orderBy("frame_idx").collect().map(_.getAs[Int]("frame_idx")).toSeq
+    assert(idx == Seq(0, 2, 4, 6))
+  }
+
   test("multimodal REAL image decode: true dims/format/brightness and resize") {
     def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
       val img = new java.awt.image.BufferedImage(w, h,
