@@ -22,7 +22,8 @@ object Bench {
     "d_dedup_spans", "x_seq_pack", "x_heavy_hitters", "t_cdc_apply",
     "t_fuzzy_match", "d_dedup_semantic", "d_dedup_fuzzy_apply", "x_tfidf",
     "x_curation_e2e", "x_dsir_select", "x_winnow_fingerprint",
-    "d_minhash_portable", "q_ntile")
+    "d_minhash_portable", "q_ntile", "m_multimodal_meta", "m_audio_meta",
+    "m_video_frames", "d_dedup_containment", "d_dedup_cdc")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

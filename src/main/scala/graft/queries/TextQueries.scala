@@ -886,8 +886,10 @@ object TextQueries {
         // decoded by the REAL ImageIO path on executors — true dims,
         // sniffed format, sampled luminance. Rows-only (DuckDB has no
         // image codec); TextOpsSpec pins exact dims/format/brightness.
+        // The documents parquet is a single file → one input partition;
+        // spread the per-row encode/decode across the cluster first.
         val media = Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.synthPng(id))))
           .toDF("doc_id", "media")
           .withColumn("mime", lit("image/png"))
@@ -908,8 +910,9 @@ object TextQueries {
     Q("m_audio_meta",
       (s, dir) => {
         import s.implicits._
+        // Single-file scan → repartition so decode parallelizes (see 41).
         val media = Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
           .toDF("doc_id", "media")
         Multimodal.extractAudioFeatures(media, "doc_id", "media")
@@ -941,8 +944,10 @@ object TextQueries {
     Q("m_video_frames",
       (s, dir) => {
         import s.implicits._
+        // Single-file scan → repartition so the 4-frame decode fan-out
+        // parallelizes (see 41).
         val media = Tables.documents(s, dir)
-          .select(col("doc_id")).as[Long]
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
           .mapPartitions(_.map(id => (id, Multimodal.synthVideo(id, 4))))
           .toDF("doc_id", "media")
         Multimodal.sampleVideoFrames(media, "doc_id", "media", maxFrames = 4)
