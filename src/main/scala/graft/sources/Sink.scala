@@ -45,12 +45,42 @@ object Sink {
       .parquet(path)
   }
 
-  /** Compact an existing parquet dataset to ~`targetFiles` files (the
-    * maintenance pass after many incremental appends).
+  /** Small-file compaction — the maintenance pass after many incremental
+    * appends, where a directory of thousands of KB-sized part files
+    * destroys listing and scan times. Sizes the output from the INPUT'S
+    * ACTUAL BYTES (ceil(totalBytes / targetBytes) files, so compaction is
+    * idempotent and never re-fragments), rewrites, and swaps atomically:
+    * the new files land in a temp dir, the old dir is renamed aside, the
+    * temp renamed in, and only then is the old data deleted — a reader
+    * never observes a half-written dataset, and a crash leaves either the
+    * old or the new complete copy. Returns (filesBefore, filesAfter,
+    * bytesBefore).
     */
-  def compact(df: DataFrame, path: String, targetFiles: Int): Unit =
-    df.repartition(targetFiles).write.mode(SaveMode.Overwrite)
-      .parquet(path + ".compacted")
+  def compact(df: DataFrame, path: String,
+      targetBytes: Long = 128L << 20): (Int, Int, Long) = {
+    val spark = df.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(hconf)
+    val parts = fs.listStatus(p).toIndexedSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val nOut = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".__compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    df.repartition(nOut).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // Swap: two renames bracket the only unsafe instant; both are
+    // metadata-only on HDFS-like stores.
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // restore
+      throw new java.io.IOException(s"compact: cannot move $tmp into place")
+    }
+    fs.delete(old, true)
+    (parts.length, nOut, bytes)
+  }
 
   /** Artifact write with an oversize manifest (reference etl/load.py's
     * artifact upload: artifacts beyond the size cap are recorded as a

@@ -140,6 +140,28 @@ class EngineSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) >= 2)
   }
 
+  test("compaction: size-derived file count, atomic swap, content preserved") {
+    val dir = Files.createTempDirectory("graft-compact").toString + "/ds"
+    spark.range(2000).toDF("id").repartition(16).write.parquet(dir)
+    def nFiles = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles == 16)
+    val (nb, na, bytes) =
+      graft.sources.Sink.compact(spark.read.parquet(dir), dir, 1L << 30)
+    assert(nb == 16 && na == 1 && bytes > 0L)
+    assert(nFiles == 1)
+    // content survives the swap bit-for-bit
+    assert(spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0)
+      == 1999L * 2000 / 2)
+    // idempotent: a compacted dataset re-compacts to itself
+    val (nb2, na2, _) =
+      graft.sources.Sink.compact(spark.read.parquet(dir), dir, 1L << 30)
+    assert(nb2 == 1 && na2 == 1)
+    // no working dirs left behind
+    assert(!new java.io.File(dir + ".__compact_tmp").exists())
+    assert(!new java.io.File(dir + ".__compact_old").exists())
+  }
+
   test("artifact write emits an oversize manifest listing every part") {
     val dir = Files.createTempDirectory("graft-artifact").toString
     val df = spark.range(1000).toDF("id")
