@@ -400,6 +400,35 @@ object Multimodal {
       .toDF()
   }
 
+  final case class GateRow(id: Long, kind: String, dim_a: Long, dim_b: Long)
+
+  /** Media admission gate: keep rows whose bytes REALLY decode — images
+    * via ImageIO (kind "image", dims) or PCM audio via javax.sound
+    * (kind "audio", rate + frames) — and drop everything else. Stateless
+    * narrow mapPartitions, so the SAME call runs under readStream
+    * (StreamingSpec proves stream == batch): the shape of a streaming
+    * ingest fence that blocks corrupt/undecodable media before it costs
+    * downstream GPU time.
+    */
+  def mediaGate(df: DataFrame, idCol: String, mediaCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("id"),
+        col(mediaCol).cast("binary").as("media"), lit("").as("mime"))
+      .as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val bytes = Option(r.media).getOrElse(Array.empty[Byte])
+        decodeImage(bytes) match {
+          case Some((w, h, _, _)) => Iterator.single(GateRow(r.id, "image", w, h))
+          case None => decodeAudio(bytes) match {
+            case Some(a) =>
+              Iterator.single(GateRow(r.id, "audio", a.sampleRate, a.nFrames))
+            case None => Iterator.empty
+          }
+        }
+      })
+      .toDF()
+  }
+
   final case class FrameFeatures(
       id: Long, frame_idx: Int, offset: Int, frame_hash: Long, brightness: Double)
 

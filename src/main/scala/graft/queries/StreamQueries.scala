@@ -37,6 +37,42 @@ object StreamQueries {
         GROUP BY 1, 2 ORDER BY window_start, event_type
       """)),
 
+    // 56: the media admission gate (REAL ImageIO / PCM-audio decode,
+    // undecodable bytes dropped) as a stream-capable transform — same
+    // stateless mapPartitions under readStream (StreamingSpec proves
+    // stream == batch); this batch twin is oracled by recomputing the
+    // decoder's readout from the media generators' formulas (ids ≡ 0 mod
+    // 3 carry PNGs, ≡ 1 carry WAVs, ≡ 2 carry garbage that must vanish).
+    Q("st_media_gate",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
+          .mapPartitions(_.map { id =>
+            val bytes = (id % 3) match {
+              case 0 => graft.operators.Multimodal.synthPng(id)
+              case 1 => graft.operators.Multimodal.synthWav(id)
+              case _ => s"garbage payload $id".getBytes("UTF-8")
+            }
+            (id, bytes)
+          })
+          .toDF("doc_id", "media")
+        graft.operators.Multimodal.mediaGate(media, "doc_id", "media")
+          .orderBy(col("id"))
+      },
+      Some("""
+        SELECT * FROM (
+          SELECT doc_id AS id, 'image' AS kind,
+                 8 + doc_id % 16 AS dim_a,
+                 8 + (doc_id // 16) % 16 AS dim_b
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 'audio', CAST(8000 AS BIGINT),
+                 800 + (doc_id % 7) * 100
+          FROM documents WHERE doc_id % 3 = 1)
+        ORDER BY id
+      """)),
+
     // 54: the curation cleanup gate (html → NFC → quality filter) as a
     // stream-capable transform — TextClean.cleanGate is stateless narrow
     // projections, so the SAME call runs under readStream (StreamingSpec

@@ -306,6 +306,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("k") === 3 && col("v") === 1).count() == 1)
   }
 
+  test("media gate: stream output equals the batch twin; garbage dropped") {
+    import graft.operators.Multimodal
+    val spark0 = spark
+    import spark0.implicits._
+    val media = (0L until 30L).map { id =>
+      val bytes = (id % 3) match {
+        case 0 => Multimodal.synthPng(id)
+        case 1 => Multimodal.synthWav(id)
+        case _ => s"garbage $id".getBytes("UTF-8")
+      }
+      (id, bytes)
+    }.toDF("doc_id", "media")
+    val dir = Files.createTempDirectory("graft-mediagate").toString + "/in"
+    media.coalesce(2).write.parquet(dir)
+    val stream = Multimodal.mediaGate(
+      spark.readStream.schema(media.schema).parquet(dir), "doc_id", "media")
+    val q = stream.writeStream.format("memory").queryName("mediagate")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("mediagate").orderBy("id").collect()
+    val want = Multimodal.mediaGate(media, "doc_id", "media")
+      .orderBy("id").collect()
+    assert(got.sameElements(want), s"stream ${got.length} vs batch ${want.length}")
+    assert(want.length == 20) // 10 garbage rows vanished
+    assert(want.count(_.getString(1) == "image") == 10)
+  }
+
   test("curation clean gate: stream output equals the batch twin row-for-row") {
     import graft.operators.TextClean
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
