@@ -314,6 +314,39 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("plans: AQE splits a skewed join partition at runtime") {
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Force the sort-merge path and scale the skew thresholds to test
+    // size (the detection RULE is identical at 100 TB: a partition
+    // > factor × median and > threshold splits into advisory-sized
+    // chunks joined against a replicated other side).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    try {
+      // 90% of the left side lands on one key → one shuffle partition
+      // dwarfs the median.
+      val left = spark.range(0, 120000).select(
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+        concat(lit("payload-payload-payload-"), col("id")).as("v"))
+      val right = spark.range(0, 1000).select(col("id").as("k"),
+        col("id").cast("string").as("w"))
+      // matches: 108000 rows with k=0, plus k=id ∈ {10,20,…,990} (99)
+      // and id=0 itself → 108100.
+      val j = left.join(right, "k").groupBy().agg(count(lit(1)).as("n"))
+      assert(j.head().getLong(0) == 108100L)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.unset(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    }
+  }
+
   test("plans: dynamic partition pruning reaches a hive-partitioned fact scan") {
     val dir = Files.createTempDirectory("graft-dpp").toString + "/t"
     val fact = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
