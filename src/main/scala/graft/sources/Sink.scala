@@ -82,6 +82,33 @@ object Sink {
     (parts.length, nOut, bytes)
   }
 
+  /** [[compact]] for a hive-partitioned dataset: every leaf partition
+    * directory compacts independently (its own byte-derived file count,
+    * its own atomic swap), so a reader mid-maintenance sees each
+    * partition either fully old or fully new — and a huge backlog can be
+    * compacted partition-by-partition across maintenance windows.
+    * Returns per-partition (relativeDir, filesBefore, filesAfter).
+    */
+  def compactPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long = 128L << 20): Seq[(String, Int, Int)] = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(hconf)
+    def leafDirs(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val kids = fs.listStatus(p).toIndexedSeq
+      val dirs = kids.filter(_.isDirectory).map(_.getPath)
+      if (dirs.isEmpty) Seq(p) else dirs.flatMap(leafDirs)
+    }
+    val rootUri = root.toUri.getPath
+    leafDirs(root).filter(_ != root).map { leaf =>
+      // Partition columns live in the directory name, not the files —
+      // read the leaf alone and write back only the file columns.
+      val (nb, na, _) = compact(spark.read.parquet(leaf.toString),
+        leaf.toString, targetBytes)
+      (leaf.toUri.getPath.stripPrefix(rootUri).stripPrefix("/"), nb, na)
+    }
+  }
+
   /** Artifact write with an oversize manifest (reference etl/load.py's
     * artifact upload: artifacts beyond the size cap are recorded as a
     * manifest of their parts instead of one oversized blob). Writes the

@@ -162,6 +162,21 @@ class EngineSpec extends AnyFunSuite {
     assert(!new java.io.File(dir + ".__compact_old").exists())
   }
 
+  test("compaction of a hive-partitioned dataset: per-partition, reads intact") {
+    val dir = Files.createTempDirectory("graft-compact-part").toString + "/ds"
+    val df = Seq.tabulate(900)(i => (i.toLong, i % 3)).toDF("id", "part")
+    df.repartition(6).write.partitionBy("part").parquet(dir)
+    val results = graft.sources.Sink.compactPartitioned(spark, dir, 1L << 30)
+    assert(results.length == 3 && results.forall(_._3 == 1))
+    assert(results.forall { case (rel, nb, _) => rel.startsWith("part=") && nb > 1 })
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 900)
+    // partition columns still resolve from the directory layout
+    assert(back.filter(col("part") === 1).count() == 300)
+    assert(new java.io.File(dir + "/part=2").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("artifact write emits an oversize manifest listing every part") {
     val dir = Files.createTempDirectory("graft-artifact").toString
     val df = spark.range(1000).toDF("id")
