@@ -59,6 +59,53 @@ object LshIndex {
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/index")
   }
 
+  /** Append a batch to a persisted index WITHOUT a rebuild: signature
+    * rows and band postings land as new files in only the partition
+    * directories the batch touches (bounded by batch × numBands — the
+    * incremental crawl-drop case never rewrites the standing corpus).
+    * The build-time bucket cap is enforced against COMBINED occupancy,
+    * read from just the touched partitions: a bucket that would cross
+    * `maxBucket` receives no new postings (its existing rows remain, so
+    * per-bucket candidate cost stays bounded either way — a full
+    * [[build]] remains the periodic defrag/repair pass). Probe equality
+    * with a rebuild over the union holds while no bucket crosses the
+    * cap (spec'd).
+    */
+  def append(newDocs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (shingleN, numHashes, rowsPerBand, maxBucket, keyBuckets) = (
+      meta.getAs[Int]("shingle_n"), meta.getAs[Int]("num_hashes"),
+      meta.getAs[Int]("rows_per_band"), meta.getAs[Int]("max_bucket"),
+      meta.getAs[Int]("key_buckets"))
+    // Materialize: the signature computation feeds two writes and the
+    // occupancy counts — compute it once.
+    val sigs = Materialize(TextDedup.withMinhashSignature(
+        newDocs.select(col(idCol).as("corpus_id"), col(textCol)),
+        textCol, shingleN, numHashes)
+      .select(col("corpus_id"),
+        TextDedup.bandKeys(col("sig"), numHashes, rowsPerBand).as("bands"),
+        col("sig")))
+    sigs.select(col("corpus_id"), col("sig"))
+      .write.mode("append").parquet(s"$path/sigs")
+    val ix = Materialize(sigs
+      .select(col("corpus_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .withColumn("pb", pbCol(col("band"), col("key"), keyBuckets)))
+    val pbs = ix.select("pb").distinct().collect().map(_.getInt(0)).sorted
+    val existing = spark.read.parquet(s"$path/index")
+      .filter(col("pb").isin(pbs.map(Int.box): _*))
+      .groupBy("band", "key").agg(count(lit(1)).as("n_old"))
+    val keep = ix.groupBy("band", "key").agg(count(lit(1)).as("n_new"))
+      .join(existing, Seq("band", "key"), "left")
+      .filter(coalesce(col("n_old"), lit(0L)) + col("n_new") <= maxBucket)
+      .select("band", "key")
+    ix.join(keep, Seq("band", "key"))
+      .repartition(col("pb"))
+      .select(col("band"), col("key"), col("corpus_id"), col("pb"))
+      .write.mode("append").partitionBy("pb").parquet(s"$path/index")
+  }
+
   /** band·keyBuckets + (key mod keyBuckets) — the single partition value
     * shared by build and probe (one definition, no drift). */
   private def pbCol(band: org.apache.spark.sql.Column,

@@ -28,6 +28,26 @@ class LshIndexSpec extends AnyFunSuite {
     assert(persisted.nonEmpty, "synthetic corpus should produce collisions")
   }
 
+  test("append: probe after incremental append equals a full rebuild") {
+    val a = docs.filter(col("doc_id") < 300)
+    val b = docs.filter(col("doc_id") >= 300 && col("doc_id") < 400)
+    val batch = docs.filter(col("doc_id") >= 400)
+    // cap high enough that no bucket crosses it — the regime where
+    // append == rebuild is the contract (crossing buckets keep their
+    // old rows under append but drop entirely under rebuild).
+    val incr = java.nio.file.Files.createTempDirectory("lshix3").toString
+    LshIndex.build(a, "doc_id", "text", incr, maxBucket = 1000)
+    LshIndex.append(b, "doc_id", "text", incr)
+    val full = java.nio.file.Files.createTempDirectory("lshix4").toString
+    LshIndex.build(a.union(b), "doc_id", "text", full, maxBucket = 1000)
+    val got = LshIndex.probe(spark, incr, batch, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    val want = LshIndex.probe(spark, full, batch, "doc_id", "text", threshold = 0.3)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sorted
+    assert(got == want)
+    assert(got.nonEmpty, "cross-boundary duplicates should collide")
+  }
+
   test("small-batch probe prunes index partitions via a static pb filter") {
     val corpus = docs.filter(col("doc_id") < 400)
     val batch = docs.filter(col("doc_id") >= 497) // 3 docs
