@@ -185,6 +185,22 @@ object IvfIndex {
     assigned.write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
+  /** Append new vectors to a persisted index WITHOUT retraining: assign
+    * them with the SAVED codebook, landing new files in only the touched
+    * cell directories — batch-cost maintenance for a corpus-scale index.
+    * The codebook ages as the corpus drifts (recall decays gracefully,
+    * correctness never — probes still search the cells nearest each
+    * query); periodic [[train]]+[[save]] is the repair pass. Probe after
+    * append exactly equals probing the union assigned with the same
+    * codebook (spec'd).
+    */
+  def append(newRows: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val model = loadModel(newRows.sparkSession, path)
+    assign(newRows, idCol, vecCol, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+  }
+
   def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model =
     Model(spark.read.parquet(s"$path/codebook")
       .orderBy("cell").collect()

@@ -311,4 +311,27 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(cellsProbed > 0 && cellsProbed <= 6,
       s"expected ≤ 2 queries × 3 probes cells in the partition filter, got $cellsProbed")
   }
+
+  test("persisted IVF append: probe equals the union assigned with the same codebook") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = Tables.embeddings(spark, sfDir)
+    val a = emb.filter(col("vec_id") % 4 =!= 0)
+    val b = emb.filter(col("vec_id") % 4 === 0)
+    val queries = emb.filter(col("vec_id") < 2)
+    val model = IvfIndex.train(a, "embedding", k = 8)
+    val path = java.nio.file.Files.createTempDirectory("ivf-append").toString
+    IvfIndex.save(IvfIndex.assign(a, "vec_id", "embedding", model), model, path)
+    IvfIndex.append(b, "vec_id", "embedding", path)
+    val got = IvfIndex.searchPersisted(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+      .select("query_id", "id", "rk").as[(Long, Long, Int)].collect().toSet
+    val want = IvfIndex.search(
+        IvfIndex.assign(emb, "vec_id", "embedding", model),
+        queries, "vec_id", "embedding", model, k = 5, nProbe = 3)
+      .select("query_id", "id", "rk").as[(Long, Long, Int)].collect().toSet
+    assert(got == want)
+    // the appended rows really landed in the persisted inverted file
+    assert(spark.read.parquet(path + "/index")
+      .filter(col("id") % 4 === 0).count() > 0)
+  }
 }
