@@ -38,6 +38,36 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("bucket").parquet(s"$path/postings")
   }
 
+  /** Append a batch WITHOUT a rebuild: posting rows land as new files in
+    * only the buckets the batch's tokens hash to, and the corpus stats
+    * merge ADDITIVELY (n_docs and tot_dl are plain sums; per-term df is
+    * derived from the postings at search time, so it is right
+    * automatically). Search after append is bit-identical to a rebuild
+    * over the union — same posting rows, same stats, same scoring
+    * expressions (spec'd). Postings are appended before the stats swap,
+    * so a crash in between leaves the batch under-weighted in idf (N one
+    * batch stale) but never double-counted; re-running append or a
+    * periodic [[build]] repairs it.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String,
+      path: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val old = spark.read.parquet(s"$path/stats").head()
+    val nBuckets = old.getAs[Int]("n_buckets")
+    val toks = TextRank.tokenized(docs, idCol, textCol)
+    toks.select(col("id"), col("dl"), explode(col("tk")).as("tok"))
+      .groupBy(col("id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", pmod(xxhash64(col("tok")), lit(nBuckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$path/postings")
+    val add = TextRank.corpusStats(toks).head()
+    Seq((old.getAs[Double]("n_docs") + add.getAs[Double]("n_docs"),
+        old.getAs[Long]("tot_dl") + add.getAs[Long]("tot_dl"), nBuckets))
+      .toDF("n_docs", "tot_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** The bucket ids for `terms` under the SAME hash the build used —
     * evaluated through a one-row Spark plan so driver and executors can
     * never disagree on the hash function.

@@ -156,6 +156,26 @@ class TextOpsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == 3L))
   }
 
+  test("text index append: search equals a rebuild over the union bit-for-bit") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val a = docs.filter(col("doc_id") < 350)
+    val b = docs.filter(col("doc_id") >= 350)
+    val incr = java.nio.file.Files.createTempDirectory("tix-app").toString
+    graft.operators.TextIndex.build(a, "doc_id", "text", incr, nBuckets = 64)
+    graft.operators.TextIndex.append(b, "doc_id", "text", incr)
+    val full = java.nio.file.Files.createTempDirectory("tix-full").toString
+    graft.operators.TextIndex.build(docs, "doc_id", "text", full, nBuckets = 64)
+    val terms = Seq("join", "merge", "query")
+    // Additive stats + complete per-bucket postings → identical df, idf,
+    // and the same fixed-order scoring chain: bit-equality, no tolerance.
+    val got = graft.operators.TextIndex.search(spark, incr, terms, topK = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    val want = graft.operators.TextIndex.search(spark, full, terms, topK = 10)
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("persisted text index: bucket-pruned search == corpus bm25 bit-for-bit") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val path = java.nio.file.Files.createTempDirectory("tix").toString
