@@ -335,27 +335,45 @@ class EngineSpec extends AnyFunSuite {
     // size (the detection RULE is identical at 100 TB: a partition
     // > factor × median and > threshold splits into advisory-sized
     // chunks joined against a replicated other side).
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set(
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+    // Pin the partition count: the median-vs-hot math must not depend on
+    // what another test left in the shared session.
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    // The join feeds an aggregate, so splitting would add a shuffle and
+    // the rule declines by default — force it, which is also the right
+    // call when one straggler partition dominates the stage wall-clock.
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
     try {
       // 90% of the left side lands on one key → one shuffle partition
       // dwarfs the median.
+      // High-entropy payload: shuffle blocks are compressed, and a
+      // repetitive string would shrink the hot partition below the
+      // detection threshold.
       val left = spark.range(0, 120000).select(
         when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
-        concat(lit("payload-payload-payload-"), col("id")).as("v"))
+        sha2(concat(lit("x"), col("id").cast("string")), 256).as("v"))
       val right = spark.range(0, 1000).select(col("id").as("k"),
         col("id").cast("string").as("w"))
       // matches: 108000 rows with k=0, plus k=id ∈ {10,20,…,990} (99)
-      // and id=0 itself → 108100.
-      val j = left.join(right, "k").groupBy().agg(count(lit(1)).as("n"))
-      assert(j.head().getLong(0) == 108100L)
+      // and id=0 itself → 108100. collect() (NOT head(), which executes
+      // a separate limited plan) finalizes THIS dataset's adaptive plan.
+      // max(v) keeps the payload alive through the shuffle — count alone
+      // would let column pruning strip it and deflate the hot partition
+      // below the skew threshold.
+      val j = left.join(right, "k")
+        .groupBy().agg(count(lit(1)).as("n"), max(col("v")).as("mx"))
+      assert(j.collect()(0).getLong(0) == 108100L)
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       spark.conf.unset(
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
       spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
