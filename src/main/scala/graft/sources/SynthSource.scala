@@ -3,7 +3,8 @@ package graft.sources
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
@@ -90,12 +91,44 @@ private class SynthTable(rows: Long, partitions: Int) extends Table with Support
 }
 
 private class SynthScanBuilder(rows: Long, partitions: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var lo = 0L // inclusive
   private var hi = rows // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = SynthSource.schema
+  private var pushedAgg: Option[Aggregation] = None
+
+  /** AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): ungrouped
+    * COUNT/MIN/MAX over doc_id are CLOSED-FORM on a generated [lo, hi)
+    * range — count = hi−lo, min = lo, max = hi−1 — so the scan answers
+    * them from arithmetic alone, generating ZERO rows (spec-asserted via
+    * the `generated` counter). Complete pushdown: Spark plans no partial
+    * aggregation at all. Filters push BEFORE aggregates in the V2
+    * pushdown order, so a doc_id range narrows [lo, hi) first and the
+    * closed form stays exact.
+    */
+  private def docIdRef(e: Any): Boolean = e match {
+    case n: NamedReference => n.fieldNames.sameElements(Array("doc_id"))
+    case _ => false
+  }
+  private def supported(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case c: Count => !c.isDistinct && docIdRef(c.column)
+    case m: Min => docIdRef(m.column)
+    case m: Max => docIdRef(m.column)
+    case _ => false
+  }
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    val ok = agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(supported)
+    if (ok) pushedAgg = Some(agg)
+    ok
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.forall(supported)
 
   /** doc_id range/equality predicates narrow [lo, hi); everything else
     * stays residual (returned for Spark to re-apply post-scan).
@@ -125,7 +158,47 @@ private class SynthScanBuilder(rows: Long, partitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(lo, hi, partitions, required, pushed)
+  override def build(): Scan = pushedAgg match {
+    case Some(agg) => new SynthAggScan(lo, hi, agg)
+    case None => new SynthScan(lo, hi, partitions, required, pushed)
+  }
+}
+
+/** One-partition, one-row scan answering a completely-pushed ungrouped
+  * COUNT/MIN/MAX from the range arithmetic — no row is ever generated.
+  */
+private class SynthAggScan(lo: Long, hi: Long, agg: Aggregation)
+    extends Scan with Batch {
+  private val n = math.max(0L, hi - lo)
+  override def readSchema(): StructType = StructType(
+    agg.aggregateExpressions.toIndexedSeq.zipWithIndex.map {
+      case (_: CountStar | _: Count, i) =>
+        StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-synth-agg [$lo,$hi) ${agg.aggregateExpressions.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SynthPartition(0, 1))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val values: IndexedSeq[Any] = agg.aggregateExpressions.toIndexedSeq.map {
+      case _: CountStar => n
+      case _: Count => n
+      case _: Min => if (n > 0) lo else null
+      case _: Max => if (n > 0) hi - 1 else null
+      case other => throw new IllegalStateException(s"unsupported pushed agg $other")
+    }
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(values)
+          override def close(): Unit = ()
+        }
+    }
+  }
 }
 
 private case class SynthPartition(lo: Long, hi: Long) extends InputPartition

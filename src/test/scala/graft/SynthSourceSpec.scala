@@ -41,6 +41,32 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(res.count() == res.collect().length)
   }
 
+  test("aggregate pushdown: ungrouped count/min/max cost ZERO generated rows") {
+    val df = synth(100000)
+    SynthSource.generated.reset()
+    val r = df.filter(col("doc_id") >= 10 && col("doc_id") < 50)
+      .agg(count(lit(1)).as("c"), min(col("doc_id")).as("mn"),
+        max(col("doc_id")).as("mx"))
+    val row = r.collect()(0)
+    assert(row.getLong(0) == 40L && row.getLong(1) == 10L && row.getLong(2) == 49L)
+    // The whole answer came from range arithmetic — filters narrow
+    // [lo, hi) first, then the closed form replies without synthesizing
+    // a single row.
+    assert(SynthSource.generated.sum() == 0,
+      s"pushed aggregate still generated ${SynthSource.generated.sum()} rows")
+    // Complete pushdown: no aggregate exec remains in the final plan.
+    val plan = r.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), s"aggregate not fully pushed:\n$plan")
+
+    // Unsupported shapes (grouping, other columns) fall back to the
+    // row-generating scan and stay correct.
+    SynthSource.generated.reset()
+    val grouped = df.filter(col("doc_id") < 100)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+    assert(grouped.agg(sum(col("n"))).collect()(0).getLong(0) == 100L)
+    assert(SynthSource.generated.sum() > 0)
+  }
+
   test("column pruning reaches the reader: only requested fields synthesized") {
     val df = synth(500).select("doc_id", "lang")
     val plan = df.queryExecution.executedPlan.toString
