@@ -92,13 +92,44 @@ private class SynthTable(rows: Long, partitions: Int) extends Table with Support
 
 private class SynthScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo = 0L // inclusive
   private var hi = rows // exclusive
   private var pushed = Array.empty[Filter]
   private var required: StructType = SynthSource.schema
   private var pushedAgg: Option[Aggregation] = None
+  private var descending = false
+
+  /** LIMIT pushdown: rows are generated in doc_id order, so LIMIT n over
+    * [lo, hi) is exactly [lo, lo+n) — the other hi−lo−n rows are never
+    * created. A TOP-N ordered by doc_id is equally closed-form: ASC is
+    * the same prefix; DESC is the suffix [hi−n, hi) emitted in reverse.
+    * Both report fully-pushed, so Spark plans no Limit/TakeOrdered over
+    * more than n rows.
+    */
+  private var limited = false
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + math.max(0, limit).toLong)
+    limited = true
+    true
+  }
+  override def isPartiallyPushed(): Boolean = false
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.SortDirection
+    val onDocId = orders.length == 1 && docIdRef(orders.head.expression)
+    if (!onDocId) return false
+    if (orders.head.direction == SortDirection.ASCENDING) {
+      hi = math.min(hi, lo + math.max(0, limit).toLong)
+    } else {
+      lo = math.max(lo, hi - math.max(0, limit).toLong)
+      descending = true
+    }
+    limited = true
+    true
+  }
 
   /** AGGREGATE PUSHDOWN (`SupportsPushDownAggregates`): ungrouped
     * COUNT/MIN/MAX over doc_id are CLOSED-FORM on a generated [lo, hi)
@@ -160,7 +191,12 @@ private class SynthScanBuilder(rows: Long, partitions: Int)
 
   override def build(): Scan = pushedAgg match {
     case Some(agg) => new SynthAggScan(lo, hi, agg)
-    case None => new SynthScan(lo, hi, partitions, required, pushed)
+    case None =>
+      // A pushed limit/top-N leaves ≤ n rows: one partition keeps the
+      // fully-pushed ordering contract (partition concatenation order IS
+      // the output order).
+      val parts = if (limited) 1 else partitions
+      new SynthScan(lo, hi, parts, required, pushed, descending)
   }
 }
 
@@ -204,11 +240,31 @@ private class SynthAggScan(lo: Long, hi: Long, agg: Aggregation)
 private case class SynthPartition(lo: Long, hi: Long) extends InputPartition
 
 private class SynthScan(lo: Long, hi: Long, partitions: Int,
-    required: StructType, pushed: Array[Filter]) extends Scan with Batch {
+    required: StructType, pushed: Array[Filter], descending: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synth [$lo,$hi) pushed=${pushed.mkString(",")} cols=${required.fieldNames.mkString(",")}"
+
+  /** EXACT statistics (`SupportsReportStatistics`): the generator knows
+    * its row count after pushdown, so the optimizer sizes joins against
+    * this source correctly — a narrowed slice broadcast-joins instead of
+    * shuffling (spec-asserted).
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val n = math.max(0L, hi - lo)
+    private val width = required.fieldNames.map {
+      case "doc_id" => 8L
+      case "lang" => 3L
+      case "source" => 6L
+      case "text" => 240L
+    }.sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n * width)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(n)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val n = math.max(0L, hi - lo)
@@ -220,13 +276,16 @@ private class SynthScan(lo: Long, hi: Long, partitions: Int,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // locals only: the anonymous factory must not capture the Scan
     val fields = required.fieldNames
+    val desc = descending
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val SynthPartition(plo, phi) = partition.asInstanceOf[SynthPartition]
         new PartitionReader[InternalRow] {
-          private var id = plo - 1
-          override def next(): Boolean = { id += 1; id < phi }
+          private var id = if (desc) phi else plo - 1
+          override def next(): Boolean =
+            if (desc) { id -= 1; id >= plo } else { id += 1; id < phi }
           override def get(): InternalRow = {
             SynthSource.generated.increment()
             InternalRow.fromSeq(fields.toIndexedSeq.map {

@@ -67,6 +67,41 @@ class SynthSourceSpec extends AnyFunSuite {
     assert(SynthSource.generated.sum() > 0)
   }
 
+  test("limit and top-N pushdown: only the requested slice is generated") {
+    val df = synth(100000)
+    SynthSource.generated.reset()
+    assert(df.limit(5).collect().length == 5)
+    assert(SynthSource.generated.sum() <= 5,
+      s"LIMIT 5 generated ${SynthSource.generated.sum()} rows")
+    // top-N by doc_id DESC is the closed-form suffix, emitted in order
+    SynthSource.generated.reset()
+    val top = df.orderBy(col("doc_id").desc).limit(3)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(99999L, 99998L, 99997L))
+    assert(SynthSource.generated.sum() <= 3,
+      s"TopN DESC generated ${SynthSource.generated.sum()} rows")
+    // ascending top-N composes with a pushed range filter
+    SynthSource.generated.reset()
+    val asc = df.filter(col("doc_id") >= 100).orderBy("doc_id").limit(2)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(asc == Seq(100L, 101L))
+    assert(SynthSource.generated.sum() <= 2,
+      s"TopN ASC generated ${SynthSource.generated.sum()} rows")
+  }
+
+  test("exact reported statistics: a narrowed slice broadcast-joins unhinted") {
+    // Without SupportsReportStatistics a V2 relation defaults to an
+    // unknown (huge) size and the join below plans sort-merge; with the
+    // generator's exact post-pushdown stats the 50-row slice broadcasts.
+    val dim = synth(100000).filter(col("doc_id") < 50).select("doc_id", "lang")
+    val fact = spark.range(0, 10000).select(col("id").as("doc_id"))
+    val j = fact.join(dim, "doc_id")
+    assert(j.count() == 50)
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"narrowed synth slice did not broadcast:\n$plan")
+  }
+
   test("column pruning reaches the reader: only requested fields synthesized") {
     val df = synth(500).select("doc_id", "lang")
     val plan = df.queryExecution.executedPlan.toString
