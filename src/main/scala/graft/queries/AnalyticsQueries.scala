@@ -138,6 +138,31 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Window FRAME value functions: first/last/nth over an explicit ROWS
+    // frame, plus IGNORE NULLS lag — pure value passthrough (no float
+    // arithmetic), so both engines must agree bit-for-bit.
+    Q("q_frame_values",
+      (s, dir) => Tables.events(s, dir).selectExpr(
+        "event_id",
+        "first_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS fv",
+        "last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lv",
+        "nth_value(value, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS nv",
+        "lag(nullif(value, 0)) IGNORE NULLS OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_nn")
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT event_id,
+               first_value(value) OVER w AS fv,
+               last_value(value) OVER w AS lv,
+               nth_value(value, 2) OVER w AS nv,
+               lag(nullif(value, 0) IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag_nn
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
     // Running totals: cumulative spend per user over event time.
     Q("q_running_total",
       (s, dir) => {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, EqualTo}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -241,8 +241,28 @@ private case class SynthPartition(lo: Long, hi: Long) extends InputPartition
 
 private class SynthScan(lo: Long, hi: Long, partitions: Int,
     required: StructType, pushed: Array[Filter], descending: Boolean = false)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
+
+  /** RUNTIME filtering (`SupportsRuntimeFiltering`): a DPP-style filter
+    * derived from a selective join build side arrives AT EXECUTION as
+    * In/EqualTo on doc_id, and narrows the generated range before input
+    * partitions are re-planned — best-effort by contract (the join still
+    * filters rows), so collapsing the In-set to its [min, max] envelope
+    * is sound and keeps generation range-shaped.
+    */
+  private var rlo = Long.MinValue
+  private var rhi = Long.MaxValue // exclusive
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("doc_id"))
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In("doc_id", vs) if vs.nonEmpty =>
+      val ids = vs.collect { case v: java.lang.Long => v.longValue() }
+      if (ids.length == vs.length) { rlo = ids.min; rhi = ids.max + 1 }
+    case EqualTo("doc_id", v: java.lang.Long) => rlo = v; rhi = v + 1
+    case _ => // unsupported runtime filter: keep the full range
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-synth [$lo,$hi) pushed=${pushed.mkString(",")} cols=${required.fieldNames.mkString(",")}"
@@ -267,11 +287,13 @@ private class SynthScan(lo: Long, hi: Long, partitions: Int,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val n = math.max(0L, hi - lo)
+    val elo = math.max(lo, rlo)
+    val ehi = math.min(hi, rhi)
+    val n = math.max(0L, ehi - elo)
     if (n == 0) return Array.empty
     val p = math.min(partitions.toLong, n).toInt
     Array.tabulate(p) { i =>
-      SynthPartition(lo + n * i / p, lo + n * (i + 1) / p)
+      SynthPartition(elo + n * i / p, elo + n * (i + 1) / p)
     }
   }
 
