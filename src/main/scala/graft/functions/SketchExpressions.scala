@@ -335,7 +335,16 @@ case class CdcChunks(child: Expression, window: Int, maskBits: Int,
       h = h * POLY + c
       if (i - start + 1 > window) h -= s.charAt(i - window).toLong * powW * POLY
       val len = i - start + 1
-      if (len >= maxLen || (len >= minLen && (h & mask) == 0L)) {
+      // Never cut between the halves of a surrogate pair: chunks become
+      // UTF-8 (UTF8String), and a lone surrogate encodes as '?' —
+      // silently corrupting non-BMP text at chunk joins. Deferring the
+      // cut by one char keeps chunks valid; the max-length bound loosens
+      // to maxLen+1 only at a pair boundary (never on BMP-only text, so
+      // the cross-engine oracle over the ASCII corpus is unaffected).
+      val splitsPair = Character.isHighSurrogate(s.charAt(i)) && i + 1 < n &&
+        Character.isLowSurrogate(s.charAt(i + 1))
+      if (!splitsPair &&
+          (len >= maxLen || (len >= minLen && (h & mask) == 0L))) {
         out += UTF8String.fromString(s.substring(start, i + 1))
         start = i + 1
         h = 0L

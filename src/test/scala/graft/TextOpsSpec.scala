@@ -221,6 +221,20 @@ class TextOpsSpec extends AnyFunSuite {
     def grid(s: String) = s.grouped(64).toSeq
     val gridShared = grid(base).toSet.intersect(grid(shifted).toSet).size
     assert(gridShared <= 1, s"fixed grid unexpectedly survived the shift: $gridShared")
+
+    // Non-BMP safety: chunks travel as UTF-8 (UTF8String), so a cut
+    // between surrogate halves would mangle the pair to '?'. Dense
+    // emoji text forces boundary decisions at every position — the
+    // deferred-cut rule must keep every chunk valid and the concat
+    // byte-lossless through actual expression evaluation.
+    val emoji = new String(Character.toChars(0x1F600))
+    val mixed = (1 to 80).map(i => s"w$i$emoji").mkString(" ") // surrogates everywhere
+    val chM = Seq(mixed).toDF("t")
+      .select(cdcChunks(col("t")).as("ch")).as[Seq[String]].collect()(0)
+    assert(chM.mkString("") == mixed,
+      "cdc chunks corrupted non-BMP text at a chunk boundary")
+    assert(chM.size > 1, "emoji text should still split into chunks")
+    assert(chM.forall(c => !c.contains('�') && !c.contains("??")))
   }
 
   test("cdcDedup: identical documents collapse to the first") {
