@@ -50,10 +50,24 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
       }
     } else {
       val s = toks.mkString(" ")
-      if (s.length <= n) out += UTF8String.fromString(s)
+      // Windows advance by CODEPOINT, not UTF-16 unit: a window cutting
+      // through a surrogate pair would UTF-8-encode its halves as '?',
+      // collapsing distinct non-BMP n-grams into identical mangled ones.
+      val bounds = {
+        val buf = mutable.ArrayBuffer.empty[Int]
+        var p = 0
+        while (p < s.length) { buf += p; p += Character.charCount(s.codePointAt(p)) }
+        buf += s.length
+        buf.toArray
+      }
+      val m = bounds.length - 1 // codepoint count
+      if (m <= n) out += UTF8String.fromString(s)
       else {
-        var i = 0
-        while (i <= s.length - n) { out += UTF8String.fromString(s.substring(i, i + n)); i += 1 }
+        var k = 0
+        while (k <= m - n) {
+          out += UTF8String.fromString(s.substring(bounds(k), bounds(k + n)))
+          k += 1
+        }
       }
     }
     new GenericArrayData(out.toArray[Any])

@@ -235,6 +235,15 @@ class TextOpsSpec extends AnyFunSuite {
       "cdc chunks corrupted non-BMP text at a chunk boundary")
     assert(chM.size > 1, "emoji text should still split into chunks")
     assert(chM.forall(c => !c.contains('�') && !c.contains("??")))
+
+    // Char shingles advance by codepoint: every 3-gram of an emoji run
+    // must round-trip with its pairs intact (no '?' mangling).
+    val sh3 = Seq(emoji * 6).toDF("t")
+      .select(TextDedup.charShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect()(0)
+    assert(sh3.nonEmpty && sh3.forall(g =>
+      g.codePointCount(0, g.length) == 3 && !g.contains('?')),
+      s"char shingles split surrogate pairs: $sh3")
   }
 
   test("cdcDedup: identical documents collapse to the first") {
