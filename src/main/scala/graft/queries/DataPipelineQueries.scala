@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextDedup, TextStats}
+import graft.operators.{TextDedup, TextStats, WebText}
 import graft.sources.Tables
 
 /** Training-data curation operators beyond the sketch family (SURVEY.md
@@ -636,6 +636,207 @@ object DataPipelineQueries {
           .select(col("doc_id"), col("lang"), col("source"), col("log_w"))
           .orderBy(col("doc_id"))
       },
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // URL canonicalization — the crawl dedup key. The documents table
+    // carries no URLs, so a messy one (mixed-case scheme/host, default
+    // and explicit ports, duplicate slashes, dot segments, trailing
+    // slash, unsorted + tracking query params, fragment) is synthesized
+    // from doc_id IDENTICALLY on both engines; each side then normalizes
+    // with its own machinery (Spark: parse_url + codegen string ops;
+    // DuckDB: regexp part extraction), so a rule drifting on either side
+    // breaks the hash.
+    Q("x_url_normalize",
+      (s, dir) => {
+        val m4 = col("doc_id") % 4
+        val url = concat(
+          when(m4 === 0, "HTTP").when(m4 === 1, "https")
+            .when(m4 === 2, "HTTP").otherwise("HttpS"),
+          lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+          when(m4 === 0, ":80").when(m4 === 1, ":443")
+            .when(m4 === 2, ":8080").otherwise(""),
+          lit("//Docs//"), (col("doc_id") % 13).cast("string"), lit("/./page"),
+          when(col("doc_id") % 3 === 0, "/").otherwise(""),
+          lit("?utm_source=feed&b="), (col("doc_id") % 5).cast("string"), lit("&a=1"),
+          when(m4 === 0, "&fbclid=xyz").otherwise(""),
+          lit("#sec"), (col("doc_id") % 11).cast("string"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"),
+            graft.operators.WebText.urlNormalize(col("url")).as("url_norm"),
+            graft.operators.WebText.urlHost(col("url")).as("host"),
+            size(graft.operators.WebText.keptParams(col("url"))).cast("long")
+              .as("n_params"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                      WHEN 2 THEN 'HTTP' ELSE 'HttpS' END
+                 || '://WWW.Example' || (doc_id % 7) || '.COM'
+                 || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                         WHEN 2 THEN ':8080' ELSE '' END
+                 || '//Docs//' || (doc_id % 13) || '/./page'
+                 || CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+                 || '?utm_source=feed&b=' || (doc_id % 5) || '&a=1'
+                 || CASE WHEN doc_id % 4 = 0 THEN '&fbclid=xyz' ELSE '' END
+                 || '#sec' || (doc_id % 11) AS url
+          FROM documents),
+        parts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+                 regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+                                '^www\.', '') AS auth0,
+                 regexp_replace(regexp_replace(
+                     regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1),
+                     '/{2,}', '/', 'g'), '/\./', '/', 'g') AS p2,
+                 regexp_extract(url, '^[^?#]*\?([^#]*)', 1) AS q
+          FROM urls),
+        norm AS (
+          SELECT doc_id, scheme,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(auth0, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(auth0, ':443$', '')
+                      ELSE auth0 END AS host,
+                 CASE WHEN p2 = '' OR p2 = '/' THEN '/'
+                      ELSE regexp_replace(p2, '/$', '') END AS path,
+                 list_sort(list_filter(string_split(q, '&'),
+                   p -> p <> '' AND substr(p, 1, 4) <> 'utm_'
+                        AND NOT list_contains(['fbclid', 'gclid'],
+                                              string_split(p, '=')[1]))) AS kept
+          FROM parts)
+        SELECT doc_id,
+               scheme || '://' || host || path ||
+                 CASE WHEN len(kept) = 0 THEN ''
+                      ELSE '?' || array_to_string(kept, '&') END AS url_norm,
+               host,
+               CAST(len(kept) AS BIGINT) AS n_params
+        FROM norm ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Outlink / anchor extraction from HTML — the link-graph feed of a
+    // crawl pipeline. Markup with mixed-case tags, single- and
+    // double-quoted hrefs, a fragment link and an href-less anchor is
+    // synthesized identically on both sides; extraction is
+    // regexp_extract_all group 1 in both engines.
+    Q("x_anchor_extract",
+      (s, dir) => {
+        val html = concat(
+          lit("<p>see <a href=\"http://x"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p"), (col("doc_id") % 13).cast("string"),
+          lit("\">link one</a> and <A HREF='/rel/"), (col("doc_id") % 5).cast("string"),
+          lit("'>two</A>"),
+          when(col("doc_id") % 3 === 0, " <a class=\"x\" href=\"#frag\">self</a>")
+            .otherwise(""),
+          lit(" <a name=\"n\">nohref</a></p>"))
+        Tables.documents(s, dir)
+          .select(col("doc_id"), graft.operators.WebText.extractHrefs(html).as("links"))
+          .select(col("doc_id"),
+            size(col("links")).cast("long").as("n_links"),
+            array_join(col("links"), " ").as("hrefs"),
+            element_at(col("links"), 1).as("first_href"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH h AS (
+          SELECT doc_id,
+                 '<p>see <a href="http://x' || (doc_id % 7) || '.com/p' || (doc_id % 13)
+                 || '">link one</a> and <A HREF=''/rel/' || (doc_id % 5) || '''>two</A>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' <a class="x" href="#frag">self</a>' ELSE '' END
+                 || ' <a name="n">nohref</a></p>' AS html
+          FROM documents),
+        l AS (SELECT doc_id,
+                     regexp_extract_all(html,
+                       '(?i)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1) AS links
+              FROM h)
+        SELECT doc_id,
+               CAST(len(links) AS BIGINT) AS n_links,
+               array_to_string(links, ' ') AS hrefs,
+               links[1] AS first_href
+        FROM l ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Corpus-level boilerplate line removal (CCNet/RefinedWeb line
+    // dedup). Every document gets a universal banner line and a
+    // per-source footer injected (identically on both sides); lines
+    // whose trimmed form appears in >= 10 distinct documents vanish,
+    // the rest reassemble in order. The Spark side anti-joins the
+    // FILTERED boilerplate frame (small by definition → AQE broadcast).
+    Q("x_boilerplate_lines",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("cookie notice please accept\n"), col("text"),
+            lit("\ncopyright "), col("source")).as("text"))
+        graft.operators.WebText.stripBoilerplateLines(docs, "doc_id", "text",
+            minDocs = 10L)
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH lined AS (
+          SELECT doc_id,
+                 'cookie notice please accept' || chr(10) || text || chr(10)
+                   || 'copyright ' || source AS t
+          FROM documents),
+        ls AS (SELECT doc_id, string_split(t, chr(10)) AS ls FROM lined),
+        ex AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i FROM ls),
+        ex2 AS (SELECT doc_id, i, ls[i] AS line, trim(ls[i]) AS k FROM ex),
+        freq AS (SELECT k FROM ex2 GROUP BY k HAVING COUNT(DISTINCT doc_id) >= 10),
+        kept AS (SELECT e.doc_id, e.i, e.line
+                 FROM ex2 e ANTI JOIN freq f ON e.k = f.k),
+        agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS clean_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(string_split(t, chr(10))) AS n_total FROM lined)
+        SELECT t.doc_id,
+               coalesce(a.clean_text, '') AS clean_text,
+               CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+               CAST(t.n_total - coalesce(a.n_kept, 0) AS BIGINT) AS n_dropped
+        FROM tot t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Integer-weight linear quality classifier (the fastText-style
+    // "trained filter applied at scale" shape, distinct from the
+    // rule-band filters above): margin = w · [n_stop, n_short,
+    // n_distinct, n_tokens] with integer weights, keep = margin >= 0.
+    // All-integer arithmetic → bit-exact cross-engine.
+    Q("x_quality_classifier",
+      (s, dir) => {
+        import graft.functions.normText
+        val toksC = split(normText(col("text")), " ")
+        val nTok = size(toksC).cast("long")
+        val nStop = size(filter(toksC, t => t.isin(EnStop: _*))).cast("long")
+        val nShort = size(filter(toksC, t => length(t) <= 2)).cast("long")
+        val nDist = size(array_distinct(toksC)).cast("long")
+        val margin = lit(240L) * nStop - lit(90L) * nShort +
+          lit(110L) * nDist - lit(100L) * nTok
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            margin.as("margin_num"),
+            nTok.as("n_tokens"),
+            (margin >= 0).cast("int").as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+        f AS (SELECT doc_id,
+                     len(tk) AS n_tokens,
+                     len(list_filter(tk, x -> list_contains(
+                       ['the','a','of','and','to','in','is','that','it','for'], x))) AS n_stop,
+                     len(list_filter(tk, x -> length(x) <= 2)) AS n_short,
+                     len(list_distinct(tk)) AS n_distinct
+              FROM t)
+        SELECT doc_id,
+               CAST(240 * n_stop - 90 * n_short + 110 * n_distinct
+                    - 100 * n_tokens AS BIGINT) AS margin_num,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CASE WHEN 240 * n_stop - 90 * n_short + 110 * n_distinct
+                         - 100 * n_tokens >= 0 THEN 1 ELSE 0 END AS keep
+        FROM f ORDER BY doc_id
+      """))
   )
 }

@@ -356,7 +356,11 @@ object TransformQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // 13: schema validation report (rows-only: list-typed metadata output)
+    // 13: schema validation report. Oracled: DuckDB re-derives the
+    // actual column set from DESCRIBE over the same projection, diffs it
+    // against the expected set, and recomputes the populated-ness checks
+    // (critical / recommended) from real COUNTs — presence of the absent
+    // geo pair is checked against DESCRIBE, not hardcoded.
     Q("t_schema_validate",
       (s, dir) => {
         val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
@@ -374,11 +378,39 @@ object TransformQueries {
         val spark = s
         import spark.implicits._
         Seq((cfg.dataset, diff.missing.mkString(","), diff.extra.mkString(","),
-          diff.diffs, missAll.mkString(","), missAny.size, recWarns.mkString(",")))
+          diff.diffs.toLong, missAll.mkString(","), missAny.size.toLong,
+          recWarns.mkString(",")))
           .toDF("dataset", "missing_cols", "extra_cols", "n_diffs",
             "critical_missing_all", "critical_missing_any_groups", "recommended_warnings")
       },
-      None),
+      Some("""
+        WITH actual AS (
+          SELECT column_name AS c
+          FROM (DESCRIBE SELECT doc_id, lang, source, n_chars FROM documents)),
+        expected AS (
+          SELECT * FROM (VALUES ('doc_id'), ('lang'), ('source'), ('n_chars'),
+                                ('quality_tier'), ('latitud'), ('longitud')) v(c)),
+        miss AS (SELECT c FROM expected EXCEPT SELECT c FROM actual),
+        ext AS (SELECT c FROM actual EXCEPT SELECT c FROM expected),
+        counts AS (SELECT COUNT(doc_id) AS n_doc_id, COUNT(lang) AS n_lang,
+                          COUNT(source) AS n_source
+                   FROM documents)
+        SELECT 'documents_demo' AS dataset,
+               coalesce((SELECT string_agg(c, ',' ORDER BY c) FROM miss), '') AS missing_cols,
+               coalesce((SELECT string_agg(c, ',' ORDER BY c) FROM ext), '') AS extra_cols,
+               CAST((SELECT COUNT(*) FROM miss) + (SELECT COUNT(*) FROM ext) AS BIGINT)
+                 AS n_diffs,
+               CASE WHEN n_doc_id = 0 THEN 'doc_id' ELSE '' END AS critical_missing_all,
+               CAST(CASE WHEN n_lang + n_source = 0 THEN 1 ELSE 0 END AS BIGINT)
+                 AS critical_missing_any_groups,
+               concat_ws(',',
+                 CASE WHEN n_lang = 0 THEN 'missing:lang' ELSE NULL END,
+                 CASE WHEN (SELECT COUNT(*) FROM actual
+                            WHERE c IN ('latitud', 'longitud')) = 0
+                      THEN 'any_of_missing:latitud|longitud' ELSE NULL END)
+                 AS recommended_warnings
+        FROM counts
+      """)),
 
     // ------------------------------------------------------------------
     // 20: the full reference transform pipeline composed end-to-end
