@@ -68,6 +68,14 @@ object WebText {
   def extractHrefs(html: Column): Column =
     regexp_extract_all(html, lit("(?i)<a\\s[^>]*href\\s*=\\s*[\"']([^\"']*)[\"']"), lit(1))
 
+  /** Destination host of a link: absolute http(s) URLs resolve through
+    * urlHost; everything else (relative paths, fragments) stays on the
+    * page's own host.
+    */
+  def resolveDstHost(href: Column, srcHost: Column): Column =
+    when(lower(href).startsWith("http://") || lower(href).startsWith("https://"),
+      urlHost(href)).otherwise(srcHost)
+
   /** Corpus-level boilerplate line removal (the line-dedup step of
     * CCNet / RefinedWeb): a line whose trimmed form appears in at least
     * `minDocs` DISTINCT documents is boilerplate and is dropped from

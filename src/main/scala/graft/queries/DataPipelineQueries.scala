@@ -837,6 +837,108 @@ object DataPipelineQueries {
                CASE WHEN 240 * n_stop - 90 * n_short + 110 * n_distinct
                          - 100 * n_tokens >= 0 THEN 1 ELSE 0 END AS keep
         FROM f ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Host-level link graph — the crawl-frontier / domain-ranking feed:
+    // page URL and outlinks synthesized as in x_url_normalize /
+    // x_anchor_extract, edges = (src host, resolved dst host), exact
+    // in/out degree and distinct-neighbor counts per host via a full
+    // outer join of the two degree aggregates. Scale shape: one narrow
+    // explode, two host-keyed aggregations, output is host-cardinality.
+    Q("x_link_graph",
+      (s, dir) => {
+        val m4 = col("doc_id") % 4
+        val url = concat(
+          when(m4 === 0, "HTTP").when(m4 === 1, "https")
+            .when(m4 === 2, "HTTP").otherwise("HttpS"),
+          lit("://WWW.Example"), (col("doc_id") % 7).cast("string"), lit(".COM"),
+          when(m4 === 0, ":80").when(m4 === 1, ":443")
+            .when(m4 === 2, ":8080").otherwise(""),
+          lit("/p"))
+        val html = concat(
+          lit("<p>see <a href=\"http://x"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p"), (col("doc_id") % 13).cast("string"),
+          lit("\">link one</a> and <A HREF='/rel/"), (col("doc_id") % 5).cast("string"),
+          lit("'>two</A>"),
+          when(col("doc_id") % 3 === 0, " <a class=\"x\" href=\"#frag\">self</a>")
+            .otherwise(""),
+          lit(" <a name=\"n\">nohref</a></p>"))
+        val edges = Tables.documents(s, dir)
+          .select(WebText.urlHost(url).as("src_host"),
+            explode(WebText.extractHrefs(html)).as("href"))
+          .select(col("src_host"),
+            WebText.resolveDstHost(col("href"), col("src_host")).as("dst_host"))
+        val out = edges.groupBy(col("src_host").as("host"))
+          .agg(count(lit(1)).as("out_links"),
+            countDistinct(col("dst_host")).as("out_hosts"))
+        val in = edges.groupBy(col("dst_host").as("host"))
+          .agg(count(lit(1)).as("in_links"),
+            countDistinct(col("src_host")).as("in_hosts"))
+        out.join(in, Seq("host"), "full_outer")
+          .select(col("host"),
+            coalesce(col("out_links"), lit(0L)).as("out_links"),
+            coalesce(col("out_hosts"), lit(0L)).as("out_hosts"),
+            coalesce(col("in_links"), lit(0L)).as("in_links"),
+            coalesce(col("in_hosts"), lit(0L)).as("in_hosts"))
+          .orderBy(col("host"))
+      },
+      Some("""
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 4 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https'
+                      WHEN 2 THEN 'HTTP' ELSE 'HttpS' END
+                 || '://WWW.Example' || (doc_id % 7) || '.COM'
+                 || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                         WHEN 2 THEN ':8080' ELSE '' END
+                 || '/p' AS url
+          FROM documents),
+        hosts AS (
+          SELECT doc_id,
+                 CASE WHEN scheme = 'http' THEN regexp_replace(a0, ':80$', '')
+                      WHEN scheme = 'https' THEN regexp_replace(a0, ':443$', '')
+                      ELSE a0 END AS src_host
+          FROM (SELECT doc_id,
+                       lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
+                       regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
+                                      '^www\.', '') AS a0
+                FROM urls)),
+        h AS (
+          SELECT doc_id,
+                 '<p>see <a href="http://x' || (doc_id % 7) || '.com/p' || (doc_id % 13)
+                 || '">link one</a> and <A HREF=''/rel/' || (doc_id % 5) || '''>two</A>'
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN ' <a class="x" href="#frag">self</a>' ELSE '' END
+                 || ' <a name="n">nohref</a></p>' AS html
+          FROM documents),
+        links AS (SELECT doc_id,
+                         unnest(regexp_extract_all(html,
+                           '(?i)<a\s[^>]*href\s*=\s*["'']([^"'']*)["'']', 1)) AS href
+                  FROM h),
+        edges AS (
+          SELECT s.src_host,
+                 CASE WHEN lower(href) LIKE 'http://%'
+                      THEN regexp_replace(regexp_replace(lower(
+                             regexp_extract(href, '^[^:]+://([^/?#]*)', 1)),
+                             '^www\.', ''), ':80$', '')
+                      WHEN lower(href) LIKE 'https://%'
+                      THEN regexp_replace(regexp_replace(lower(
+                             regexp_extract(href, '^[^:]+://([^/?#]*)', 1)),
+                             '^www\.', ''), ':443$', '')
+                      ELSE s.src_host END AS dst_host
+          FROM links l JOIN hosts s USING (doc_id)),
+        o AS (SELECT src_host AS host, COUNT(*) AS out_links,
+                     COUNT(DISTINCT dst_host) AS out_hosts
+              FROM edges GROUP BY 1),
+        i AS (SELECT dst_host AS host, COUNT(*) AS in_links,
+                     COUNT(DISTINCT src_host) AS in_hosts
+              FROM edges GROUP BY 1)
+        SELECT coalesce(o.host, i.host) AS host,
+               CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links,
+               CAST(coalesce(o.out_hosts, 0) AS BIGINT) AS out_hosts,
+               CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links,
+               CAST(coalesce(i.in_hosts, 0) AS BIGINT) AS in_hosts
+        FROM o FULL JOIN i ON o.host = i.host ORDER BY host
       """))
   )
 }
