@@ -446,4 +446,43 @@ object TextDedup {
       .orderBy(col("hamming").asc, col("id_a"), col("id_b"))
       .limit(k)
   }
+
+  // ------------------------------------------------------------------
+  // Bloom-gated incremental exact dedup
+  // ------------------------------------------------------------------
+
+  /** New-rows-only gate for incremental EXACT dedup where the corpus is
+    * huge and the batch is small — the 100 TB shape where even a
+    * broadcast-batch semi-join against the corpus is worth avoiding
+    * unless needed:
+    *
+    *  1. the corpus keys fold into a Bloom filter via constant-size
+    *     per-partition sketches (`stat.bloomFilter` treeAggregates — the
+    *     corpus is READ once and never shuffled);
+    *  2. the batch probes the broadcast filter — most genuinely-new keys
+    *     die here at ~zero cost;
+    *  3. only the tiny might-contain survivor set is confirmed against
+    *     the corpus with a broadcast semi-join (corpus side stays a
+    *     map-side scan — still no corpus shuffle), eliminating Bloom
+    *     false positives.
+    *
+    * Exactness: the filter has no false negatives, so dropping
+    * non-members at step 2 loses nothing, and step 3 restores exactness
+    * for false positives. Returns the batch rows whose `keyCol` is NOT
+    * in the corpus — byte-equal to a plain anti-join (spec'd).
+    *
+    * The probe is a scalar UDF — acceptable here because it runs only on
+    * the BATCH side (the corpus-sized pass is the codegen'd aggregate);
+    * Spark's native BloomFilterMightContain is not public API.
+    */
+  def bloomGate(corpus: DataFrame, batch: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    val bloom = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val candidates = batch.select(col(keyCol)).filter(mightContain(col(keyCol))).distinct()
+    val confirmed = corpus.select(col(keyCol))
+      .join(broadcast(candidates), Seq(keyCol), "left_semi").distinct()
+    batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")
+  }
 }

@@ -939,6 +939,66 @@ object DataPipelineQueries {
                CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links,
                CAST(coalesce(i.in_hosts, 0) AS BIGINT) AS in_hosts
         FROM o FULL JOIN i ON o.host = i.host ORDER BY host
+      """)),
+
+    // ------------------------------------------------------------------
+    // T5/UL2-style span corruption (operators/SpanMask): deterministic
+    // sha256-decided mask spans → numbered sentinels in the input,
+    // sentinel+swallowed tokens in the target. The whole denoising
+    // preprocessing — start decisions, span lengths, run merging,
+    // sentinel numbering, both reassemblies — is integer/window logic,
+    // replayed in DuckDB with the portable sha256-prefix hash.
+    Q("x_span_corrupt",
+      (s, dir) => graft.operators.SpanMask.spanCorrupt(
+          Tables.documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id")),
+      Some(s"""
+        WITH toks AS (SELECT doc_id, $Toks AS tk FROM documents),
+        ex AS (SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i, tk FROM toks),
+        hx AS (SELECT doc_id, i - 1 AS pos, tk[i] AS tok,
+                      sha256('m:' || doc_id || ':' || (i - 1)) AS h
+               FROM ex),
+        flg AS (SELECT doc_id, pos, tok,
+                       (('0x' || substr(h, 1, 8))::BIGINT % 1000) < 80 AS start,
+                       CASE WHEN (('0x' || substr(h, 1, 8))::BIGINT % 1000) < 80
+                            THEN pos + (('0x' || substr(h, 9, 8))::BIGINT % 3) + 1
+                       END AS span_end
+                FROM hx),
+        mk AS (SELECT *, coalesce(MAX(span_end) OVER
+                   (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) >= pos,
+                 FALSE) AS masked
+               FROM flg),
+        rn AS (SELECT *, masked AND NOT coalesce(lag(masked) OVER
+                   (PARTITION BY doc_id ORDER BY pos), FALSE) AS new_run
+               FROM mk),
+        ri AS (SELECT *, SUM(CASE WHEN new_run THEN 1 ELSE 0 END) OVER
+                   (PARTITION BY doc_id ORDER BY pos) AS run_idx
+               FROM rn),
+        inp AS (SELECT doc_id,
+                       string_agg(CASE WHEN masked THEN '<m' || (run_idx - 1) || '>'
+                                       ELSE tok END, ' ' ORDER BY pos) AS masked_input
+                FROM ri WHERE NOT masked OR new_run GROUP BY doc_id),
+        tgt AS (SELECT doc_id,
+                       string_agg(CASE WHEN new_run
+                                       THEN '<m' || (run_idx - 1) || '> ' || tok
+                                       ELSE tok END, ' ' ORDER BY pos) AS target
+                FROM ri WHERE masked GROUP BY doc_id),
+        st AS (SELECT doc_id,
+                      SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+                      SUM(CASE WHEN new_run THEN 1 ELSE 0 END) AS n_spans
+               FROM ri GROUP BY doc_id)
+        SELECT d.doc_id,
+               coalesce(i.masked_input, '') AS masked_input,
+               coalesce(t.target, '') AS target,
+               CAST(coalesce(st.n_masked, 0) AS BIGINT) AS n_masked,
+               CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans
+        FROM documents d
+        LEFT JOIN inp i USING (doc_id)
+        LEFT JOIN tgt t ON t.doc_id = d.doc_id
+        LEFT JOIN st ON st.doc_id = d.doc_id
+        ORDER BY d.doc_id
       """))
   )
 }

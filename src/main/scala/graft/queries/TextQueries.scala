@@ -40,6 +40,33 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 30d: Bloom-gated incremental exact dedup (TextDedup.bloomGate):
+    // corpus keys fold into a Bloom filter (treeAggregate — the corpus
+    // is READ once, never shuffled), the batch probes the broadcast
+    // filter, and the tiny might-contain survivor set is confirmed with
+    // a broadcast semi-join. Exactness is the oracle: the published
+    // survivors must equal a plain anti-join (Bloom has no false
+    // negatives; false positives die in the confirm join) — so any
+    // filter-logic bug hash-mismatches.
+    Q("d_dedup_bloom",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+          .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+        TextDedup.bloomGate(
+            docs.filter(col("doc_id") % 5 =!= 0),
+            docs.filter(col("doc_id") % 5 === 0),
+            "h", expectedItems = 10000, fpp = 0.03)
+          .select(col("doc_id"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        c AS (SELECT h FROM d WHERE doc_id % 5 <> 0),
+        b AS (SELECT doc_id, h FROM d WHERE doc_id % 5 = 0)
+        SELECT doc_id FROM b ANTI JOIN c USING (h) ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 31: word-3-gram Jaccard set-similarity join, top-20 pairs. Oracle-
     // checked: the corpus is ASCII/lowercase/single-spaced, so the native
     // tokenizer reduces to string_split and the whole posting/df-cut/

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextDedup
+import graft.sources.Tables
+
+/** The Bloom-gated incremental exact dedup must be byte-equal to the
+  * plain anti-join (no false negatives by construction; false positives
+  * removed by the confirm join), while the corpus side never shuffles —
+  * its only appearances are the treeAggregated Bloom build and a
+  * broadcast-probe scan.
+  */
+class BloomGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("bloomGate equals the plain anti-join and keeps the corpus unshuffled") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    // Mostly-new rows plus a slice ALREADY IN the corpus, so the gate
+    // must provably drop members and keep non-members.
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(corpus.filter(col("doc_id") % 9 === 1))
+
+    // Tiny filter (high fpp) to force false positives through the
+    // confirm join; exactness must survive them.
+    val gated = TextDedup.bloomGate(corpus, batch, "h",
+      expectedItems = 64, fpp = 0.5)
+    val plain = batch.join(corpus.select("h"), Seq("h"), "left_anti")
+
+    val g = gated.select("doc_id").collect().map(_.getLong(0)).sorted
+    val p = plain.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(g.sameElements(p), s"gate=${g.take(20).mkString(",")} plain=${p.take(20).mkString(",")}")
+    // The batch contains duplicated texts (the corpus has exact dups), so
+    // the gate must actually drop something — and keep something.
+    assert(g.length < batch.count())
+    assert(g.nonEmpty)
+
+    // Plan shape: both joins broadcast the SMALL side; no shuffle
+    // exchange anywhere (the corpus reaches the confirm join as a plain
+    // scan probed by the broadcast candidate set).
+    val plan = gated.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
+  }
+}
