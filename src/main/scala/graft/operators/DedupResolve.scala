@@ -94,6 +94,15 @@ object DedupResolve {
     * min id. Public so high-diameter graphs can skip the driver probe.
     * When `inputPersisted`, `pairs` is released after the first round
     * reads it.
+    *
+    * Direct callers whose pair pipeline is expensive AND uncached should
+    * persist `pairs` first: vertices and the edge canonicalization below
+    * each evaluate it once. (Negative result, sf0.1: checkpointing
+    * `pairs` here unconditionally measured SLOWER on d_dedup_components
+    * — 6.2 s → 7.6 s — because the similarity joins feeding it already
+    * materialize their reused frames internally, so the second
+    * evaluation re-runs only the cheap final join while the extra
+    * checkpoint pays a full write.)
     */
   def starComponents(pairs: DataFrame, maxIter: Int = 20,
       inputPersisted: Boolean = false): DataFrame = {

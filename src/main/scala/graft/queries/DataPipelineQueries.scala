@@ -999,6 +999,68 @@ object DataPipelineQueries {
         LEFT JOIN tgt t ON t.doc_id = d.doc_id
         LEFT JOIN st ON st.doc_id = d.doc_id
         ORDER BY d.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // PageRank (3 unrolled iterations) in FIXED-POINT INTEGER arithmetic
+    // — every step is a join + sum + floor division, so the iterative
+    // ranks themselves are bit-exact cross-engine (floor div of
+    // positives is engine-independent; float PageRank never hashes).
+    // Edge set is a deterministic doc_id-derived host graph; dangling
+    // mass drops identically on both sides. Scale shape per iteration:
+    // one equi-join on src (ranks side is node-cardinality → broadcast),
+    // one dst-keyed sum — the standard distributed PageRank step with no
+    // driver-side state beyond the single-row node count.
+    Q("q_pagerank",
+      (s, dir) => {
+        val S = 1000000000000L
+        val edges = Tables.documents(s, dir).select(
+            concat(lit("h"), (col("doc_id") % 7).cast("string")).as("src"),
+            concat(lit("h"), ((col("doc_id") * 3 + 1) % 11).cast("string")).as("dst"))
+          .distinct()
+        val nodes = edges.select(col("src").as("host"))
+          .union(edges.select(col("dst").as("host"))).distinct()
+        val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val base = nodes.crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+        var ranks = base.select(col("host"), col("n"), expr(s"$S div n").as("r"))
+        for (_ <- 1 to 3) {
+          val contrib = edges
+            .join(ranks.select(col("host").as("src"), col("r")), Seq("src"))
+            .join(deg, Seq("src"))
+            .select(col("dst"), expr("r div deg").as("c"))
+            .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+          ranks = base.join(contrib, base("host") === contrib("dst"), "left")
+            .select(base("host"), base("n"),
+              (expr(s"${15 * S} div (100 * n)") +
+                expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        }
+        ranks.select(col("host"), col("r").as("rank_e12")).orderBy(col("host"))
+      },
+      Some("""
+        WITH edges AS (SELECT DISTINCT 'h' || (doc_id % 7) AS src,
+                                       'h' || ((doc_id * 3 + 1) % 11) AS dst
+                       FROM documents),
+        nodes AS (SELECT src AS host FROM edges UNION SELECT dst FROM edges),
+        deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM nodes),
+        q AS (SELECT host, n FROM nodes CROSS JOIN nn),
+        r0 AS (SELECT host, n, 1000000000000 // n AS r FROM q),
+        c1 AS (SELECT e.dst, SUM(r.r // d.deg) AS s FROM edges e
+               JOIN r0 r ON r.host = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r1 AS (SELECT q.host, q.n, 15000000000000 // (100 * q.n)
+                      + (85 * coalesce(c.s, 0)) // 100 AS r
+               FROM q LEFT JOIN c1 c ON c.dst = q.host),
+        c2 AS (SELECT e.dst, SUM(r.r // d.deg) AS s FROM edges e
+               JOIN r1 r ON r.host = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r2 AS (SELECT q.host, q.n, 15000000000000 // (100 * q.n)
+                      + (85 * coalesce(c.s, 0)) // 100 AS r
+               FROM q LEFT JOIN c2 c ON c.dst = q.host),
+        c3 AS (SELECT e.dst, SUM(r.r // d.deg) AS s FROM edges e
+               JOIN r2 r ON r.host = e.src JOIN deg d ON d.src = e.src GROUP BY e.dst),
+        r3 AS (SELECT q.host, 15000000000000 // (100 * q.n)
+                      + (85 * coalesce(c.s, 0)) // 100 AS r
+               FROM q LEFT JOIN c3 c ON c.dst = q.host)
+        SELECT host, CAST(r AS BIGINT) AS rank_e12 FROM r3 ORDER BY host
       """))
   )
 }

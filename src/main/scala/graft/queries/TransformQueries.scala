@@ -356,6 +356,37 @@ object TransformQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 16b: order-independent table checksum — the migration-validation
+    // primitive for anyone switching engines: canonical per-row
+    // serialization (null-marked, pipe-joined in column order) → sha256
+    // prefix as int → per-group SUM + count. Any cell drift anywhere
+    // flips the checksum; sums are order/partitioning-independent, so
+    // the comparison is valid across engines and cluster layouts. Both
+    // engines compute it independently from their own scans.
+    Q("t_table_checksum",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val rowStr = concat_ws("|",
+          d.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*)
+        d.select(col("lang"),
+            conv(substring(sha2(rowStr, 256), 1, 8), 16, 10).cast("long").as("h"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+          .orderBy(col("lang"))
+      },
+      Some("""
+        SELECT lang, COUNT(*) AS n_rows,
+               CAST(SUM(('0x' || substr(sha256(
+                   coalesce(CAST(doc_id AS VARCHAR), '\N') || '|' ||
+                   coalesce(text, '\N') || '|' ||
+                   coalesce(lang, '\N') || '|' ||
+                   coalesce(source, '\N') || '|' ||
+                   coalesce(CAST(n_chars AS VARCHAR), '\N')), 1, 8))::BIGINT)
+                 AS BIGINT) AS checksum
+        FROM documents GROUP BY lang ORDER BY lang
+      """)),
+
+    // ------------------------------------------------------------------
     // 13: schema validation report. Oracled: DuckDB re-derives the
     // actual column set from DESCRIBE over the same projection, diffs it
     // against the expected set, and recomputes the populated-ness checks
