@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -48,28 +48,25 @@ object SpanMask {
       .withColumn("run_idx",
         sum(when(col("new_run"), 1).otherwise(0)).over(w))
     val sentinel = concat(lit("<m"), (col("run_idx") - 1).cast("string"), lit(">"))
-    def assemble(p: DataFrame, name: String) = p.groupBy("id")
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("pos"), col("piece")))),
-          s => s("piece")), " ").as(name))
-    val inputPieces = runs.filter(!col("masked") || col("new_run"))
-      .select(col("id"), col("pos"),
-        when(col("masked"), sentinel).otherwise(col("tok")).as("piece"))
-    val targetPieces = runs.filter(col("masked"))
-      .select(col("id"), col("pos"),
-        when(col("new_run"), concat(sentinel, lit(" "), col("tok")))
-          .otherwise(col("tok")).as("piece"))
-    val stats = runs.groupBy("id").agg(
-      sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
-      sum(when(col("new_run"), 1L).otherwise(0L)).as("n_spans"))
-    df.select(col(idCol).as("id"))
-      .join(assemble(inputPieces, "masked_input"), Seq("id"), "left")
-      .join(assemble(targetPieces, "target"), Seq("id"), "left")
-      .join(stats, Seq("id"), "left")
-      .select(col("id"),
-        coalesce(col("masked_input"), lit("")).as("masked_input"),
-        coalesce(col("target"), lit("")).as("target"),
-        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+    // BOTH reassemblies and the stats come out of ONE aggregation over the
+    // single window pipeline: per-row conditional pieces (null = token
+    // absent from that side; array_join skips nulls after the positional
+    // sort), conditional sums for the counters. A join-of-three-branches
+    // formulation re-evaluated the explode+window chain once per branch
+    // (4 corpus scans in the plan); this shape scans once. Every doc
+    // tokenizes to >= 1 row, so no outer join back is needed.
+    def assembled(piece: Column) =
+      array_join(transform(
+        sort_array(collect_list(struct(col("pos"), piece.as("p")))),
+        s => s("p")), " ")
+    runs.groupBy(col("id"))
+      .agg(
+        assembled(when(!col("masked"), col("tok"))
+          .when(col("new_run"), sentinel)).as("masked_input"),
+        assembled(when(col("masked"),
+          when(col("new_run"), concat(sentinel, lit(" "), col("tok")))
+            .otherwise(col("tok")))).as("target"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("new_run"), 1L).otherwise(0L)).as("n_spans"))
   }
 }

@@ -1061,6 +1061,47 @@ object DataPipelineQueries {
                       + (85 * coalesce(c.s, 0)) // 100 AS r
                FROM q LEFT JOIN c3 c ON c.dst = q.host)
         SELECT host, CAST(r AS BIGINT) AS rank_e12 FROM r3 ORDER BY host
+      """)),
+
+    // ------------------------------------------------------------------
+    // CCNet-style LM buckets: per-language head/middle/tail terciles by
+    // the char-bigram LM fluency proxy (mean corpus df per bigram,
+    // integer-scaled with floor division → engine-exact ordering and
+    // NTILE boundaries; the float bits/char the users consume orders
+    // identically). Per-LANG windows — bounded partitions, unlike a
+    // global sort; the sketch-boundary q_ntile_approx is the path when
+    // even one language outgrows a partition.
+    Q("x_ccnet_buckets",
+      (s, dir) => {
+        import graft.operators.TextClean
+        val docs = Tables.documents(s, dir)
+        val scored = TextClean.charLmScore(docs, "doc_id", "text")
+          .select(col("id").as("doc_id"), col("n_bigrams"), col("sum_df"))
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(col("metric").desc, col("doc_id"))
+        scored.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .withColumn("metric", expr("(sum_df * 1000000) div n_bigrams"))
+          .withColumn("bucket", ntile(3).over(w).cast("long"))
+          .select(col("doc_id"), col("lang"), col("metric"), col("bucket"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, length(text)),
+                        i -> substr(text, i, 2))) AS bigram
+          FROM documents),
+        cnt AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY 1),
+        scored AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                          CAST(SUM(c) AS BIGINT) AS sum_df
+                   FROM bg JOIN cnt USING (bigram) GROUP BY bg.doc_id),
+        m AS (SELECT s.doc_id, d.lang,
+                     (sum_df * 1000000) // n_bigrams AS metric
+              FROM scored s JOIN documents d USING (doc_id))
+        SELECT doc_id, lang, CAST(metric AS BIGINT) AS metric,
+               NTILE(3) OVER (PARTITION BY lang
+                              ORDER BY metric DESC, doc_id) AS bucket
+        FROM m ORDER BY doc_id
       """))
   )
 }
