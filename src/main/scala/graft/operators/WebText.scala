@@ -31,7 +31,7 @@ object WebText {
   def urlNormalize(u: Column): Column = {
     val scheme = lower(parse_url(u, lit("PROTOCOL")))
     val rawAuth = regexp_replace(
-      lower(coalesce(parse_url(u, lit("AUTHORITY")), lit(""))), "^www\\.", "")
+      lower(coalesce(parse_url(u, lit("AUTHORITY")), lit(""))), "^(www\\.)+", "")
     val auth = when(scheme === "http", regexp_replace(rawAuth, ":80$", ""))
       .when(scheme === "https", regexp_replace(rawAuth, ":443$", ""))
       .otherwise(rawAuth)
@@ -56,7 +56,7 @@ object WebText {
   def urlHost(u: Column): Column = {
     val scheme = lower(parse_url(u, lit("PROTOCOL")))
     val rawAuth = regexp_replace(
-      lower(coalesce(parse_url(u, lit("AUTHORITY")), lit(""))), "^www\\.", "")
+      lower(coalesce(parse_url(u, lit("AUTHORITY")), lit(""))), "^(www\\.)+", "")
     when(scheme === "http", regexp_replace(rawAuth, ":80$", ""))
       .when(scheme === "https", regexp_replace(rawAuth, ":443$", ""))
       .otherwise(rawAuth)

@@ -688,7 +688,7 @@ object DataPipelineQueries {
           SELECT doc_id,
                  lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
                  regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
-                                '^www\.', '') AS auth0,
+                                '^(www\.)+', '') AS auth0,
                  regexp_replace(regexp_replace(
                      regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1),
                      '/{2,}', '/', 'g'), '/\./', '/', 'g') AS p2,
@@ -901,7 +901,7 @@ object DataPipelineQueries {
           FROM (SELECT doc_id,
                        lower(regexp_extract(url, '^([^:]+)://', 1)) AS scheme,
                        regexp_replace(lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)),
-                                      '^www\.', '') AS a0
+                                      '^(www\.)+', '') AS a0
                 FROM urls)),
         h AS (
           SELECT doc_id,
@@ -920,11 +920,11 @@ object DataPipelineQueries {
                  CASE WHEN lower(href) LIKE 'http://%'
                       THEN regexp_replace(regexp_replace(lower(
                              regexp_extract(href, '^[^:]+://([^/?#]*)', 1)),
-                             '^www\.', ''), ':80$', '')
+                             '^(www\.)+', ''), ':80$', '')
                       WHEN lower(href) LIKE 'https://%'
                       THEN regexp_replace(regexp_replace(lower(
                              regexp_extract(href, '^[^:]+://([^/?#]*)', 1)),
-                             '^www\.', ''), ':443$', '')
+                             '^(www\.)+', ''), ':443$', '')
                       ELSE s.src_host END AS dst_host
           FROM links l JOIN hosts s USING (doc_id)),
         o AS (SELECT src_host AS host, COUNT(*) AS out_links,

@@ -233,4 +233,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("urlNormalize is idempotent over messy generated URLs") {
+    import graft.operators.WebText
+    val genUrl = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HttpS", "ftp")
+      www <- Gen.oneOf("", "www.", "WWW.", "www.www.")
+      host <- Gen.oneOf("Example.COM", "site.org", "h7.io")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      path <- Gen.oneOf("", "/", "//a//b/./c/", "/x/y", "/x/")
+      query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=t&z=9&fbclid=k",
+        "?utm_a=1&utm_b=2")
+      frag <- Gen.oneOf("", "#frag")
+    } yield s"$scheme://$www$host$port$path$query$frag"
+    val urls = samples(genUrl, 120).distinct
+    val once = urls.toDF("u").select(WebText.urlNormalize(col("u")).as("n"))
+      .collect().map(_.getString(0))
+    val twice = once.toSeq.toDF("u").select(WebText.urlNormalize(col("u")).as("n"))
+      .collect().map(_.getString(0))
+    once.zip(twice).zip(urls).foreach { case ((a, b), raw) =>
+      assert(a == b, s"not idempotent for $raw: $a -> $b")
+    }
+  }
+
+  test("stripBoilerplateLines: identity above corpus size, annihilation at 1") {
+    import graft.operators.WebText
+    val genDoc = Gen.listOfN(3, Gen.oneOf("alpha", "beta b", "gamma", "common"))
+      .map(_.mkString("\n"))
+    val docs = samples(genDoc, 12).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val identity = WebText.stripBoilerplateLines(docs, "id", "text",
+        minDocs = 1000L)
+      .join(docs, "id").collect()
+    identity.foreach { r =>
+      assert(r.getAs[String]("clean_text") == r.getAs[String]("text"))
+      assert(r.getAs[Long]("n_dropped") == 0L)
+    }
+    val nothing = WebText.stripBoilerplateLines(docs, "id", "text", minDocs = 1L)
+      .collect()
+    nothing.foreach { r =>
+      assert(r.getAs[String]("clean_text") == "")
+      assert(r.getAs[Long]("n_kept") == 0L)
+    }
+  }
 }
