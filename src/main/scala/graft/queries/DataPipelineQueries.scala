@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{TextDedup, TextStats, WebText}
+import graft.operators.{DedupResolve, TextDedup, TextStats, WebText}
 import graft.sources.Tables
 
 /** Training-data curation operators beyond the sketch family (SURVEY.md
@@ -1102,6 +1102,66 @@ object DataPipelineQueries {
                NTILE(3) OVER (PARTITION BY lang
                               ORDER BY metric DESC, doc_id) AS bucket
         FROM m ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Leakage-safe train/heldout split: near-dup COMPONENTS (the same
+    // deterministic exact-Jaccard edges + star-contraction d_dedup_
+    // components verifies) are the split unit, so two near-duplicate
+    // documents can never land on opposite sides of the split — the
+    // group-integrity property a plain per-doc hash split (x_hash_
+    // sample) cannot give. Deterministic: the component label's sha256
+    // decides the side. The oracle replays closure + split in DuckDB.
+    Q("x_leakage_split",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val comps = DedupResolve.starComponents(
+          TextDedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.8)
+            .select(col("id_a"), col("id_b")))
+          .withColumnRenamed("id", "doc_id")
+        docs.select(col("doc_id"))
+          .join(comps, Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("grp"))
+          .withColumn("bucket",
+            conv(substring(sha2(col("grp").cast("string"), 256), 1, 8), 16, 10)
+              .cast("long") % 100)
+          .select(col("doc_id"), col("grp"),
+            when(col("bucket") < 90, lit("train")).otherwise(lit("heldout"))
+              .as("split"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        p AS (SELECT c.id_a, c.id_b
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b
+              WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p
+              UNION SELECT id_a, id_a FROM p
+              UNION SELECT id_b, id_b FROM p),
+        reach(u, v) AS (SELECT u, v FROM e
+                        UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        lab AS (SELECT u AS id, MIN(v) AS label FROM reach GROUP BY u),
+        g AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS grp
+              FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+        SELECT doc_id, grp,
+               CASE WHEN ('0x' || substr(sha256(CAST(grp AS VARCHAR)), 1, 8))::UBIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM g ORDER BY doc_id
       """))
   )
 }
