@@ -468,6 +468,89 @@ object AnalyticsQueries {
         .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"))
         .orderBy(col("event_type")),
-      None)
+      None),
+
+    // ------------------------------------------------------------------
+    // Triangle counting on the supplier co-occurrence graph (suppliers
+    // that ship in the same order are adjacent) — the clustering-
+    // coefficient primitive for community/fraud analytics. Scale shape:
+    //  - co-occurrence pairs ride a self-join on l_orderkey with a
+    //    BOUNDED per-order fan-out (≤ 7 lineitems per TPC-H order →
+    //    ≤ 21 pairs), so the explode is linear in input;
+    //  - each edge is ORIENTED from the (degree, id)-smaller endpoint
+    //    to the larger before the wedge join. Out-degrees are then
+    //    bounded by O(sqrt(|E|)) on any graph (arboricity bound), so
+    //    the wedge intermediate is O(|E|^1.5) worst-case instead of
+    //    sum-of-squared-degrees — the difference between feasible and
+    //    explosive on a power-law web graph;
+    //  - each triangle is produced exactly once, from its lowest-
+    //    ordered vertex; no distinct over the wedge output.
+    Q("q_triangle_count",
+      (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = li.as("a").join(li.as("b"), Seq("ok"))
+          .filter(col("a.sk") < col("b.sk"))
+          .select(col("a.sk").as("u"), col("b.sk").as("v"))
+          .distinct()
+        val deg = edges.select(col("u").as("node"))
+          .unionAll(edges.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        // Total order for orientation: ord = deg * 2^20 + node (node ids
+        // are unique, so ord is a strict total order even on ties).
+        val ord = deg.select(col("node"),
+          (col("deg") * lit(1048576L) + col("node")).as("ord"))
+        val oriented = edges
+          .join(ord.select(col("node").as("u"), col("ord").as("ou")), "u")
+          .join(ord.select(col("node").as("v"), col("ord").as("ov")), "v")
+          .select(
+            when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("src"),
+            when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("dst"),
+            greatest(col("ou"), col("ov")).as("dord"))
+        val wedges = oriented.as("e1").join(oriented.as("e2"),
+            col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
+          .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+            col("e2.dst").as("z"))
+        val tris = wedges.join(oriented.as("e3"),
+            col("y") === col("e3.src") && col("z") === col("e3.dst"))
+          .select("x", "y", "z")
+        val support = tris.select(explode(array(col("x"), col("y"), col("z")))
+            .as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+        deg.select(col("node")).join(support, Seq("node"), "left")
+          .select(col("node").as("suppkey"),
+            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+          .orderBy(col("suppkey"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        edges AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        deg AS (SELECT node, COUNT(*) AS deg FROM (
+                  SELECT u AS node FROM edges
+                  UNION ALL SELECT v FROM edges) GROUP BY node),
+        ordv AS (SELECT node, deg * 1048576 + node AS ord FROM deg),
+        oriented AS (
+          SELECT CASE WHEN ou.ord < ov.ord THEN e.u ELSE e.v END AS src,
+                 CASE WHEN ou.ord < ov.ord THEN e.v ELSE e.u END AS dst,
+                 greatest(ou.ord, ov.ord) AS dord
+          FROM edges e
+          JOIN ordv ou ON ou.node = e.u
+          JOIN ordv ov ON ov.node = e.v),
+        wedges AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                   FROM oriented e1 JOIN oriented e2
+                     ON e1.src = e2.src AND e1.dord < e2.dord),
+        tris AS (SELECT x, y, z FROM wedges
+                 JOIN oriented e3 ON e3.src = wedges.y AND e3.dst = wedges.z),
+        support AS (SELECT node, COUNT(*) AS n_triangles FROM (
+                      SELECT x AS node FROM tris
+                      UNION ALL SELECT y FROM tris
+                      UNION ALL SELECT z FROM tris) GROUP BY node)
+        SELECT d.node AS suppkey, COALESCE(s.n_triangles, 0) AS n_triangles
+        FROM deg d LEFT JOIN support s ON s.node = d.node
+        ORDER BY suppkey
+      """))
   )
 }

@@ -1162,6 +1162,63 @@ object DataPipelineQueries {
                          % 100 < 90
                     THEN 'train' ELSE 'heldout' END AS split
         FROM g ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Deterministic weighted sampling WITHOUT replacement (per-language
+    // top-k), the quality-weighted document sampler a mixing stage runs.
+    // Efraimidis–Spirakis semantics with an INTEGER-EXACT key: a doc of
+    // integer weight w draws w independent 32-bit hashes h(doc_id, j)
+    // and keeps the minimum. P(min_i < min_j) = w_i / (w_i + w_j) — the
+    // exact A-ES pairwise inclusion law — with no transcendental math
+    // (no ln/pow), so Spark and DuckDB agree bit-for-bit and the draw is
+    // reproducible run-to-run. Weights are bounded (1..8 from a length
+    // bucket), so the explode is a ≤8× narrow fan-out; the per-doc min
+    // is a map-side partial agg; the per-group top-k goes through
+    // TopKAgg's bounded heaps (k rows per group per partition cross the
+    // shuffle — never a data-sized window sort). That is the 100 TB
+    // shape: linear scan, bounded fan-out, bounded shuffle.
+    Q("x_weighted_sample",
+      (s, dir) => {
+        val d = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"),
+            least(greatest(expr("n_chars DIV 64"), lit(1)), lit(8)).as("w"))
+        val keyed = d
+          .select(col("doc_id"), col("lang"),
+            explode(sequence(lit(1), col("w"))).as("j"))
+          .select(col("doc_id"), col("lang"),
+            conv(substring(sha2(concat(col("doc_id").cast("string"), lit(":"),
+              col("j").cast("string")), 256), 1, 8), 16, 10)
+              .cast("long").as("hk"))
+          .groupBy(col("doc_id"), col("lang"))
+          .agg(min(col("hk")).as("samp_key"))
+        // score = -key: TopKAgg keeps the k highest scores, i.e. the k
+        // SMALLEST keys; its tie-break (equal score → smaller payload
+        // retained first) matches the oracle's ORDER BY samp_key, doc_id.
+        graft.operators.ScaleJoins.topKPerGroup(
+            keyed.withColumn("neg_key", -col("samp_key")),
+            Seq("lang"), "neg_key", "doc_id", k = 5)
+          .select(col("lang"), col("doc_id"),
+            (-col("neg_key")).cast("long").as("samp_key"),
+            col("rk").cast("int").as("rk"))
+          .orderBy(col("lang"), col("rk"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, lang,
+                          least(greatest(n_chars // 64, 1), 8) AS w
+                   FROM documents),
+        keyed AS (SELECT doc_id, lang,
+                         MIN(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || ':' ||
+                                             CAST(j AS VARCHAR)), 1, 8))::BIGINT)
+                           AS samp_key
+                  FROM d, unnest(range(1, w + 1)) AS t(j)
+                  GROUP BY doc_id, lang),
+        ranked AS (SELECT lang, doc_id, samp_key,
+                          ROW_NUMBER() OVER (PARTITION BY lang
+                                             ORDER BY samp_key, doc_id) AS rk
+                   FROM keyed)
+        SELECT lang, doc_id, samp_key, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY lang, rk
       """))
   )
 }
