@@ -5,7 +5,7 @@ import org.apache.spark.sql.types.StringType
 
 import graft.config._
 import graft.functions.{normText, uuid5}
-import graft.operators.Transform
+import graft.operators.{Diff, Transform}
 import graft.sources.Tables
 
 /** The reference's transform/load operators (SURVEY.md §2.1), each applied
@@ -566,6 +566,69 @@ object TransformQueries {
                  AS is_current
         FROM changes
         ORDER BY user_id, event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 16c: keyed snapshot diff (Diff.tableDiff) — when t_table_checksum
+    // says two snapshots drifted, this names every drifted key and the
+    // columns that moved, in ONE full-outer join on the key. The two
+    // versions are derived deterministically from events: "old" drops
+    // event_id % 7 == 0 (those become 'added'), "new" drops
+    // event_id % 11 == 3 ('removed') and mutates value (% 5) and
+    // event_type (% 13) ('changed', with changed_cols naming which).
+    // The oracle replays the full-outer classification with
+    // IS DISTINCT FROM — the SQL spelling of the null-safe compare.
+    Q("t_table_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val oldV = ev.filter(col("event_id") % 7 =!= 0)
+        val newV = ev.filter(col("event_id") % 11 =!= 3)
+          .withColumn("value",
+            when(col("event_id") % 5 === 0, col("value") + 1.0)
+              .otherwise(col("value")))
+          .withColumn("event_type",
+            when(col("event_id") % 13 === 0, concat(col("event_type"), lit("_v2")))
+              .otherwise(col("event_type")))
+        Diff.tableDiff(oldV, newV, Seq("event_id"),
+            Seq("user_id", "event_type", "value", "props"))
+          .filter(col("diff_status") =!= "unchanged")
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH oldv AS (SELECT * FROM events WHERE event_id % 7 <> 0),
+        newv AS (SELECT event_id, user_id,
+                        CASE WHEN event_id % 13 = 0 THEN event_type || '_v2'
+                             ELSE event_type END AS event_type,
+                        CASE WHEN event_id % 5 = 0 THEN value + 1.0
+                             ELSE value END AS value,
+                        props
+                 FROM events WHERE event_id % 11 <> 3),
+        j AS (SELECT o.event_id AS o_id, n.event_id AS n_id,
+                     o.user_id IS DISTINCT FROM n.user_id AS d_user,
+                     o.event_type IS DISTINCT FROM n.event_type AS d_type,
+                     o.value IS DISTINCT FROM n.value AS d_value,
+                     o.props IS DISTINCT FROM n.props AS d_props
+              FROM oldv o FULL OUTER JOIN newv n ON o.event_id = n.event_id),
+        c AS (SELECT coalesce(n_id, o_id) AS event_id,
+                     CASE WHEN o_id IS NULL THEN 'added'
+                          WHEN n_id IS NULL THEN 'removed'
+                          WHEN d_user OR d_type OR d_value OR d_props THEN 'changed'
+                          ELSE 'unchanged' END AS diff_status,
+                     d_user, d_type, d_value, d_props
+              FROM j)
+        SELECT event_id, diff_status,
+               CASE WHEN diff_status = 'changed' THEN concat_ws(',',
+                      CASE WHEN d_user THEN 'user_id' END,
+                      CASE WHEN d_type THEN 'event_type' END,
+                      CASE WHEN d_value THEN 'value' END,
+                      CASE WHEN d_props THEN 'props' END)
+                    ELSE '' END AS changed_cols,
+               CASE WHEN diff_status = 'changed'
+                    THEN CAST(d_user AS INT) + CAST(d_type AS INT) +
+                         CAST(d_value AS INT) + CAST(d_props AS INT)
+                    ELSE 0 END::BIGINT AS n_changed
+        FROM c WHERE diff_status <> 'unchanged'
+        ORDER BY event_id
       """))
   )
 }
