@@ -635,6 +635,103 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 35b: ANN EVALUATION — recall@10 of the bucketed hyperplane-LSH
+    // search against the exact cosine top-10, per probe. The missing
+    // piece between "an ANN index exists" and "the ANN index is good
+    // enough to deploy": a production pipeline runs exactly this query
+    // on a probe sample after every index build, and tunes
+    // planes/nProbe until recall clears its bar. Everything is engine-
+    // exact (portable sha256 planes, fixed-order dot folds, ties broken
+    // by id), so the WHOLE eval — both rankings and their intersection —
+    // is replayed by the oracle bit-for-bit. Scale shape: probes are a
+    // broadcast sample (never the corpus), the corpus is scanned once
+    // for buckets, candidates ride the bucket equi-join, and the
+    // per-probe windows sort candidate sets, not the corpus.
+    Q("x_recall_eval",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = Tables.embeddings(s, dir)
+        val planes = Similarity.portablePlanes(4, 64)
+        val b = emb.select(col("vec_id"), col("embedding"),
+          Similarity.lshBucketFromPlanes(col("embedding"), planes).as("bucket"))
+        val probes = b.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("bucket"))
+        val cand = b.join(broadcast(probes), Seq("bucket"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .withColumn("cosine", Similarity.cosine(col("embedding"), col("qvec")))
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+        val ann = cand.withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 10).select(col("query_id"), col("vec_id").as("id"))
+        val exact = Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 10)
+          .select(col("query_id"), col("id"))
+        val nCand = cand.groupBy(col("query_id"))
+          .agg(count(lit(1)).as("n_candidates"))
+        val nHits = ann.join(exact, Seq("query_id", "id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+        probes.select(col("query_id"))
+          .join(nCand, Seq("query_id"), "left")
+          .join(nHits, Seq("query_id"), "left")
+          .select(col("query_id"),
+            coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) * 100000L).as("recall_e6"))
+          .orderBy(col("query_id"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM v),
+        planes AS (SELECT p, list_transform(range(0, 64), d ->
+                     ((('0x' || substr(sha256(CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                       - 2147483648) / 2147483648.0)) AS pl
+                   FROM (SELECT unnest(range(0, 4)) AS p)),
+        bits AS (SELECT vec_id,
+                   CAST(SUM(CASE WHEN list_reduce(list_transform(range(1, 65), i -> v[i] * pl[i]),
+                                                  (a, b) -> a + b) >= 0
+                            THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+                 FROM n, planes GROUP BY vec_id),
+        b2 AS (SELECT n.vec_id, bucket, v, nrm FROM n JOIN bits USING (vec_id)),
+        probes AS (SELECT vec_id AS query_id, bucket, v AS qv, nrm AS qnrm
+                   FROM b2 WHERE vec_id < 10),
+        cand AS (SELECT query_id, b2.vec_id AS id,
+                        list_reduce(list_transform(range(1, 65), i -> v[i] * qv[i]),
+                                    (a, b) -> a + b) / (qnrm * nrm) AS cosine
+                 FROM probes JOIN b2 USING (bucket)
+                 WHERE b2.vec_id <> query_id),
+        ann AS (SELECT query_id, id FROM (
+                  SELECT query_id, id,
+                         row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, id) AS rk
+                  FROM cand) WHERE rk <= 10),
+        pairs AS (SELECT q.query_id, n.vec_id AS id,
+                         list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]),
+                                     (a, b) -> a + b) / (q.qnrm * n.nrm) AS cosine
+                  FROM probes q, n WHERE n.vec_id <> q.query_id),
+        exact AS (SELECT query_id, id FROM (
+                    SELECT query_id, id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, id) AS rk
+                    FROM pairs) WHERE rk <= 10),
+        nc AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1),
+        nh AS (SELECT a.query_id, COUNT(*) AS n_hits
+               FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.id = e.id
+               GROUP BY 1)
+        SELECT p.query_id,
+               COALESCE(nc.n_candidates, 0) AS n_candidates,
+               COALESCE(nh.n_hits, 0) AS n_hits,
+               COALESCE(nh.n_hits, 0) * 100000 AS recall_e6
+        FROM probes p
+        LEFT JOIN nc ON nc.query_id = p.query_id
+        LEFT JOIN nh ON nh.query_id = p.query_id
+        ORDER BY p.query_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 36: ANN via wider LSH buckets (4 planes → coarser, higher recall)
     Q("s_ann_lsh",
       (s, dir) => Similarity.annLshTopK(
