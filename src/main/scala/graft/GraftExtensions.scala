@@ -83,6 +83,8 @@ object GraftExtensions {
     "pair_combos" -> { exprs => PairCombos(exprs.head) },
     // aggregates — the analyzer wraps these into AggregateExpressions
     "space_saving" -> { exprs => SpaceSavingAgg(exprs(0), intLit(exprs(1))) },
+    "count_min" -> { exprs =>
+      CountMinAgg(exprs(0), intLit(exprs(1)), intLit(exprs(2))) },
     "top_k_pairs" -> { exprs => TopKAgg(exprs(0), exprs(1), intLit(exprs(2))) },
     "vec_min" -> { exprs => VecMinAgg(exprs(0), intLit(exprs(1))) })
 

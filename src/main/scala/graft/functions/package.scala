@@ -72,6 +72,14 @@ package object functions {
     GraftBridge.column(
       VecMinAgg(GraftBridge.expression(c), width).toAggregateExpression())
 
+  /** Count-Min frequency sketch of a string column: struct(total,
+    * counters) with a depth×width counter grid, merged by elementwise sum
+    * (see [[CountMinAgg]]; read with [[CountMinAgg.estimate]]).
+    */
+  def countMin(item: Column, depth: Int, width: Int): Column =
+    GraftBridge.column(
+      CountMinAgg(GraftBridge.expression(item), depth, width).toAggregateExpression())
+
   /** Content-defined chunks of `text` (rolling-hash boundaries, see
     * [[CdcChunks]]): shift-robust, concatenation-lossless.
     */

@@ -551,6 +551,50 @@ object AnalyticsQueries {
         SELECT d.node AS suppkey, COALESCE(s.n_triangles, 0) AS n_triangles
         FROM deg d LEFT JOIN support s ON s.node = d.node
         ORDER BY suppkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // Key-skew report — the diagnostic an engineer runs BEFORE picking a
+    // partitioning/salting strategy for a join or aggregation key: the
+    // top-20 heaviest keys with their absolute and cumulative share of
+    // all rows (integer-exact, parts-per-million). Scale shape: one
+    // partial-agg count per key, a TakeOrdered top-20 (never a global
+    // sort), the two-row total broadcast by a crossJoin, and the
+    // running-sum window over exactly 20 rows. The decision rule it
+    // feeds: a top-key share over ~1/shuffle.partitions means the
+    // largest reducer is key-bound → salt or let AQE split it.
+    Q("x_skew_report",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val counts = Tables.events(s, dir)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_keys"))
+        val top = counts.orderBy(col("n").desc, col("user_id")).limit(20)
+        val w = Window.orderBy(col("n").desc, col("user_id"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum_n", sum(col("n")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("rk").cast("long").as("rk"), col("user_id"),
+            col("n"), col("n_keys"),
+            expr("n * 1000000 DIV total").as("share_e6"),
+            expr("cum_n * 1000000 DIV total").as("cum_share_e6"))
+          .orderBy(col("rk"))
+      },
+      Some("""
+        WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts),
+        top AS (SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT 20),
+        ranked AS (SELECT user_id, n,
+                          ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk,
+                          SUM(n) OVER (ORDER BY n DESC, user_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_n
+                   FROM top)
+        SELECT rk, user_id, n, n_keys,
+               n * 1000000 // total AS share_e6,
+               cum_n * 1000000 // total AS cum_share_e6
+        FROM ranked, tot ORDER BY rk
       """))
   )
 }

@@ -1219,6 +1219,43 @@ object DataPipelineQueries {
                    FROM keyed)
         SELECT lang, doc_id, samp_key, CAST(rk AS INT) AS rk
         FROM ranked WHERE rk <= 5 ORDER BY lang, rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // Count-Min token frequencies (CountMinAgg): point-estimates for the
+    // exact top-20 tokens read from ONE depth×width counter grid whose
+    // shuffle is constant-size regardless of vocabulary (the per-item
+    // frequency plan that survives an open 100 TB token space; see the
+    // aggregate's scaladoc). The published columns are the exact counts
+    // (oracled) plus the sketch's soundness verdicts: est_ge_exact must
+    // be TRUE for every token (one-sidedness is unconditional), and
+    // est_within_bound must be TRUE at this corpus (deterministic
+    // dataset + deterministic hashes → the ≤ 2N/width overshoot either
+    // always holds or never does). The estimate itself is read back with
+    // pure Catalyst array ops — same builtin xxhash64 family as the
+    // update path. Magnitude checks live in CountMinSpec.
+    Q("x_countmin_freq",
+      (s, dir) => {
+        import graft.functions.{countMin, tokens, CountMinAgg}
+        val toks = Tables.documents(s, dir)
+          .select(explode(tokens(col("text"))).as("tok"))
+        val sk = toks.agg(countMin(col("tok"), 4, 2048).as("sk"))
+        val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+          .orderBy(col("n_exact").desc, col("tok")).limit(20)
+        val est = CountMinAgg.estimate(col("sk"), col("tok"), 4, 2048)
+        exact.crossJoin(broadcast(sk))
+          .select(col("tok"), col("n_exact"),
+            (est >= col("n_exact")).as("est_ge_exact"),
+            (est - col("n_exact") <=
+              col("sk").getField("total") * 2 / 2048).as("est_within_bound"))
+          .orderBy(col("n_exact").desc, col("tok"))
+      },
+      Some(s"""
+        WITH t AS (SELECT $Toks AS toks FROM documents),
+        e AS (SELECT unnest(toks) AS tok FROM t),
+        counts AS (SELECT tok, COUNT(*) AS n_exact FROM e GROUP BY 1)
+        SELECT tok, n_exact, TRUE AS est_ge_exact, TRUE AS est_within_bound
+        FROM counts ORDER BY n_exact DESC, tok LIMIT 20
       """))
   )
 }
