@@ -629,6 +629,71 @@ object TransformQueries {
                     ELSE 0 END::BIGINT AS n_changed
         FROM c WHERE diff_status <> 'unchanged'
         ORDER BY event_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 16d: PARTITION-PRUNED diff (Diff.partitionPrunedDiff) — the same
+    // row-level answer as t_table_diff, reached the way a 100 TB run
+    // must: per-day checksums on each side first (one narrow agg, no
+    // join), then the full-outer row diff over ONLY the drifted days
+    // (here 2 of 30 — the literal isin filter is what a date-partitioned
+    // lake pushes down to skip 28/30 of both scans). Drift is partition-
+    // local by construction: changed rows on Jan 5 (value bump, %5),
+    // added (%3) and removed (%7) rows on Jan 20. The oracle replays the
+    // PLAIN full diff — pruning must be semantically invisible, so the
+    // pruned path hash-matching the unpruned SQL is itself the
+    // correctness claim.
+    Q("t_partition_diff",
+      (s, dir) => {
+        val ev = Tables.events(s, dir).withColumn("day", to_date(col("ts")))
+        val oldV = ev.filter(
+          !(col("day") === lit("2024-01-20").cast("date") && col("event_id") % 3 === 0))
+        val newV = ev.filter(
+            !(col("day") === lit("2024-01-20").cast("date") && col("event_id") % 7 === 1))
+          .withColumn("value",
+            when(col("day") === lit("2024-01-05").cast("date") && col("event_id") % 5 === 0,
+              col("value") + 1.0).otherwise(col("value")))
+        Diff.partitionPrunedDiff(oldV, newV, Seq("event_id"),
+            Seq("user_id", "event_type", "value", "props"), "day")
+          .filter(col("diff_status") =!= "unchanged")
+          .orderBy(col("event_id"))
+      },
+      Some("""
+        WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS day, user_id,
+                           event_type, value, props FROM events),
+        oldv AS (SELECT * FROM ev
+                 WHERE NOT (day = DATE '2024-01-20' AND event_id % 3 = 0)),
+        newv AS (SELECT event_id, day, user_id, event_type,
+                        CASE WHEN day = DATE '2024-01-05' AND event_id % 5 = 0
+                             THEN value + 1.0 ELSE value END AS value,
+                        props
+                 FROM ev WHERE NOT (day = DATE '2024-01-20' AND event_id % 7 = 1)),
+        j AS (SELECT o.event_id AS o_id, n.event_id AS n_id,
+                     o.user_id IS DISTINCT FROM n.user_id AS d_user,
+                     o.event_type IS DISTINCT FROM n.event_type AS d_type,
+                     o.value IS DISTINCT FROM n.value AS d_value,
+                     o.props IS DISTINCT FROM n.props AS d_props
+              FROM oldv o FULL OUTER JOIN newv n ON o.event_id = n.event_id),
+        c AS (SELECT coalesce(n_id, o_id) AS event_id,
+                     CASE WHEN o_id IS NULL THEN 'added'
+                          WHEN n_id IS NULL THEN 'removed'
+                          WHEN d_user OR d_type OR d_value OR d_props THEN 'changed'
+                          ELSE 'unchanged' END AS diff_status,
+                     d_user, d_type, d_value, d_props
+              FROM j)
+        SELECT event_id, diff_status,
+               CASE WHEN diff_status = 'changed' THEN concat_ws(',',
+                      CASE WHEN d_user THEN 'user_id' END,
+                      CASE WHEN d_type THEN 'event_type' END,
+                      CASE WHEN d_value THEN 'value' END,
+                      CASE WHEN d_props THEN 'props' END)
+                    ELSE '' END AS changed_cols,
+               CASE WHEN diff_status = 'changed'
+                    THEN CAST(d_user AS INT) + CAST(d_type AS INT) +
+                         CAST(d_value AS INT) + CAST(d_props AS INT)
+                    ELSE 0 END::BIGINT AS n_changed
+        FROM c WHERE diff_status <> 'unchanged'
+        ORDER BY event_id
       """))
   )
 }

@@ -56,6 +56,41 @@ class DiffSpec extends AnyFunSuite {
     assert(m == Map("unchanged" -> 1L, "changed" -> 1L, "removed" -> 1L, "added" -> 1L))
   }
 
+  test("partitionPrunedDiff equals the plain diff and prunes clean partitions") {
+    val oldDf = Seq(
+      (1L, "p1", "a"), (2L, "p1", "b"), // p1 untouched
+      (3L, "p2", "c"), (4L, "p2", "d"), // p2: row 4 changes
+      (5L, "p3", "e") // p3: row 5 removed, row 6 added
+    ).toDF("k", "part", "v")
+    val newDf = Seq(
+      (1L, "p1", "a"), (2L, "p1", "b"),
+      (3L, "p2", "c"), (4L, "p2", "D2"),
+      (6L, "p3", "f")
+    ).toDF("k", "part", "v")
+
+    val plain = rows(Diff.tableDiff(oldDf, newDf, Seq("k"), Seq("v")))
+    val pruned = rows(
+      Diff.partitionPrunedDiff(oldDf, newDf, Seq("k"), Seq("v"), "part"))
+    // Transparent up to the rows the pruning legitimately skips: clean
+    // partitions produce only 'unchanged' rows.
+    assert(pruned.filter(_._2 != "unchanged") == plain.filter(_._2 != "unchanged"))
+    // p1 was pruned: its keys never reach the row diff.
+    assert(!pruned.exists(r => r._1 == 1L || r._1 == 2L))
+  }
+
+  test("partitionPrunedDiff: no drift → empty; null partitions still diff") {
+    val same = Seq((1L, "p1", "x")).toDF("k", "part", "v")
+    assert(Diff.partitionPrunedDiff(same, same, Seq("k"), Seq("v"), "part")
+      .count() == 0L)
+
+    val oldN = Seq[(java.lang.Long, String, String)]((1L, null, "x"))
+      .toDF("k", "part", "v")
+    val newN = Seq[(java.lang.Long, String, String)]((1L, null, "y"))
+      .toDF("k", "part", "v")
+    val out = rows(Diff.partitionPrunedDiff(oldN, newN, Seq("k"), Seq("v"), "part"))
+    assert(out == Seq((1L: java.lang.Long, "changed", "v", 1L)))
+  }
+
   test("the diff join carries no extra shuffle beyond the keyed exchange") {
     val oldDf = Seq((1L, "a")).toDF("k", "v")
     val newDf = Seq((1L, "a")).toDF("k", "v")
