@@ -1256,6 +1256,60 @@ object DataPipelineQueries {
         counts AS (SELECT tok, COUNT(*) AS n_exact FROM e GROUP BY 1)
         SELECT tok, n_exact, TRUE AS est_ge_exact, TRUE AS est_within_bound
         FROM counts ORDER BY n_exact DESC, tok LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // URL-keyed dedup — the FIRST dedup pass of a crawl corpus (before
+    // any content hashing): canonicalize the page URL, keep the best
+    // fetch per canonical URL (longest content, then lowest doc_id).
+    // Every decoration here (scheme case, www, default :80, duplicate
+    // slashes, trailing slash, utm_*/fbclid params, fragment) must be
+    // erased by WebText.urlNormalize for the groups to form — the
+    // oracle builds the canonical form ARITHMETICALLY, so a normalizer
+    // regression surfaces as a hash mismatch, not just a changed group
+    // count. Scale shape: one narrow projection then a url-keyed window
+    // (WindowGroupLimit pushes the top-1); output is one row per
+    // canonical URL.
+    Q("x_dedup_url",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val m4 = col("doc_id") % 4
+        val url = concat(
+          when(m4 === 0, "HTTP").when(m4 === 1, "http")
+            .when(m4 === 2, "hTTp").otherwise("HtTP"),
+          lit("://"),
+          when(m4 % 2 === 0, "WWW.").otherwise(""),
+          lit("Example"), (col("doc_id") % 5).cast("string"), lit(".COM"),
+          when(m4 === 0, ":80").otherwise(""),
+          when(m4 === 1, "//Pg//").otherwise("/Pg/"),
+          (col("doc_id") % 10).cast("string"),
+          when(m4 === 3, "/").otherwise(""),
+          lit("?utm_source=feed"),
+          when(m4 === 1, "&fbclid=z").otherwise(""),
+          lit("#s"))
+        val w = Window.partitionBy(col("url_norm"))
+        val keyed = Tables.documents(s, dir)
+          .select(col("doc_id"), col("n_chars"),
+            graft.operators.WebText.urlNormalize(url).as("url_norm"))
+        keyed
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("n_chars").desc, col("doc_id"))))
+          .withColumn("n_dups", count(lit(1)).over(w))
+          .filter(col("rn") === 1)
+          .select(col("url_norm"), col("doc_id").as("keep_id"), col("n_dups"))
+          .orderBy(col("url_norm"))
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, n_chars,
+                          'http://example' || (doc_id % 5) || '.com/Pg/' ||
+                          (doc_id % 10) AS url_norm
+                   FROM documents)
+        SELECT url_norm, doc_id AS keep_id,
+               COUNT(*) OVER (PARTITION BY url_norm) AS n_dups
+        FROM d
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm
+                                   ORDER BY n_chars DESC, doc_id) = 1
+        ORDER BY url_norm
       """))
   )
 }
