@@ -1115,7 +1115,12 @@ object DataPipelineQueries {
     Q("x_leakage_split",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val comps = DedupResolve.starComponents(
+        // connectedComponents, not starComponents directly: it persists
+        // the expensive jaccard-join pair pipeline (one evaluation, not
+        // one per consumer) and solves the usually-tiny pair graph with
+        // the driver union-find fast path (measured 7.2 s → ~2.5 s at
+        // sf0.1; label semantics identical — spec'd in DedupResolveSpec).
+        val comps = DedupResolve.connectedComponents(
           TextDedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.8)
             .select(col("id_a"), col("id_b")))
           .withColumnRenamed("id", "doc_id")

@@ -112,6 +112,45 @@ object ExtendedQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // Winsorization — robust-statistics cleaning: clamp a metric to its
+    // per-group [p05, p95] band before aggregating, so a few wild rows
+    // can't own the mean. Cutoffs use percentile_disc (an ACTUAL data
+    // value — first value with cume_dist ≥ q, same definition in both
+    // engines), so the clamp compares real doubles with no interpolation
+    // arithmetic to drift cross-engine. Scale shape: the cutoff table is
+    // group-cardinality (broadcast back); clamp + sums are one narrow
+    // pass; the only data-sized work is the per-group percentile sort.
+    Q("t_winsorize",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val cuts = ev.groupBy(col("event_type")).agg(
+          expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY value)").as("lo"),
+          expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)").as("hi"))
+        ev.join(broadcast(cuts), Seq("event_type"))
+          .withColumn("wv", least(greatest(col("value"), col("lo")), col("hi")))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum((col("value") < col("lo")).cast("long")).as("n_clip_lo"),
+            sum((col("value") > col("hi")).cast("long")).as("n_clip_hi"),
+            Q.dsum(col("wv")).as("sum_winsorized"))
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH cuts AS (
+          SELECT event_type,
+                 quantile_disc(value, 0.05) AS lo,
+                 quantile_disc(value, 0.95) AS hi
+          FROM events GROUP BY 1)
+        SELECT e.event_type, COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
+               CAST(SUM(CAST(least(greatest(value, lo), hi) AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_winsorized
+        FROM events e JOIN cuts c ON c.event_type = e.event_type
+        GROUP BY e.event_type ORDER BY e.event_type
+      """)),
+
+    // ------------------------------------------------------------------
     // Outer-join aggregation: every customer, order stats defaulted to 0.
     Q("q_outer_agg",
       (s, dir) => {
