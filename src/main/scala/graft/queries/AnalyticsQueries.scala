@@ -487,40 +487,10 @@ object AnalyticsQueries {
     //    ordered vertex; no distinct over the wedge output.
     Q("q_triangle_count",
       (s, dir) => {
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .distinct()
-        val edges = li.as("a").join(li.as("b"), Seq("ok"))
-          .filter(col("a.sk") < col("b.sk"))
-          .select(col("a.sk").as("u"), col("b.sk").as("v"))
-          .distinct()
-        val deg = edges.select(col("u").as("node"))
-          .unionAll(edges.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        // Total order for orientation: ord = deg * 2^20 + node (node ids
-        // are unique, so ord is a strict total order even on ties).
-        val ord = deg.select(col("node"),
-          (col("deg") * lit(1048576L) + col("node")).as("ord"))
-        val oriented = edges
-          .join(ord.select(col("node").as("u"), col("ord").as("ou")), "u")
-          .join(ord.select(col("node").as("v"), col("ord").as("ov")), "v")
-          .select(
-            when(col("ou") < col("ov"), col("u")).otherwise(col("v")).as("src"),
-            when(col("ou") < col("ov"), col("v")).otherwise(col("u")).as("dst"),
-            greatest(col("ou"), col("ov")).as("dord"))
-        val wedges = oriented.as("e1").join(oriented.as("e2"),
-            col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
-          .select(col("e1.src").as("x"), col("e1.dst").as("y"),
-            col("e2.dst").as("z"))
-        val tris = wedges.join(oriented.as("e3"),
-            col("y") === col("e3.src") && col("z") === col("e3.dst"))
-          .select("x", "y", "z")
-        val support = tris.select(explode(array(col("x"), col("y"), col("z")))
-            .as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_triangles"))
-        deg.select(col("node")).join(support, Seq("node"), "left")
-          .select(col("node").as("suppkey"),
-            coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+        val edges = graft.operators.Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        graft.operators.Graphs.triangleSupport(edges)
+          .select(col("node").as("suppkey"), col("n_triangles"))
           .orderBy(col("suppkey"))
       },
       Some("""
@@ -551,6 +521,116 @@ object AnalyticsQueries {
         SELECT d.node AS suppkey, COALESCE(s.n_triangles, 0) AS n_triangles
         FROM deg d LEFT JOIN support s ON s.node = d.node
         ORDER BY suppkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // Local clustering coefficient — triangles normalized by the node's
+    // wedge count 2T/(d(d-1)): the community-density metric on top of
+    // q_triangle_count's support (Graphs.triangleSupport + degrees, same
+    // oriented-wedge plan). Integer-scaled (floor ppm) so the division
+    // is engine-exact; d < 2 publishes 0.
+    Q("q_clustering_coeff",
+      (s, dir) => {
+        import graft.operators.Graphs
+        val edges = Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        Graphs.triangleSupport(edges)
+          .join(Graphs.degrees(edges), Seq("node"))
+          .select(col("node").as("suppkey"), col("deg"), col("n_triangles"),
+            when(col("deg") >= 2,
+              expr("2 * n_triangles * 1000000 DIV (deg * (deg - 1))"))
+              .otherwise(lit(0L)).as("lcc_e6"))
+          .orderBy(col("suppkey"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        edges AS (SELECT DISTINCT a.sk AS u, b.sk AS v
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk),
+        deg AS (SELECT node, COUNT(*) AS deg FROM (
+                  SELECT u AS node FROM edges
+                  UNION ALL SELECT v FROM edges) GROUP BY node),
+        ordv AS (SELECT node, deg * 1048576 + node AS ord FROM deg),
+        oriented AS (
+          SELECT CASE WHEN ou.ord < ov.ord THEN e.u ELSE e.v END AS src,
+                 CASE WHEN ou.ord < ov.ord THEN e.v ELSE e.u END AS dst,
+                 greatest(ou.ord, ov.ord) AS dord
+          FROM edges e
+          JOIN ordv ou ON ou.node = e.u
+          JOIN ordv ov ON ov.node = e.v),
+        wedges AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+                   FROM oriented e1 JOIN oriented e2
+                     ON e1.src = e2.src AND e1.dord < e2.dord),
+        tris AS (SELECT x, y, z FROM wedges
+                 JOIN oriented e3 ON e3.src = wedges.y AND e3.dst = wedges.z),
+        support AS (SELECT node, COUNT(*) AS n_triangles FROM (
+                      SELECT x AS node FROM tris
+                      UNION ALL SELECT y FROM tris
+                      UNION ALL SELECT z FROM tris) GROUP BY node)
+        SELECT d.node AS suppkey, d.deg,
+               COALESCE(s.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.deg >= 2
+                    THEN 2 * COALESCE(s.n_triangles, 0) * 1000000
+                         // (d.deg * (d.deg - 1))
+                    ELSE 0 END AS lcc_e6
+        FROM deg d LEFT JOIN support s ON s.node = d.node
+        ORDER BY suppkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 3-round k-core peeling on the WEIGHTED co-supply graph (edges =
+    // supplier pairs sharing ≥ 28 orders — the weight cut is what makes
+    // the graph sparse enough for core structure to exist): each round
+    // drops nodes with degree < k and their edges (one degree agg + two
+    // semi-joins — Graphs.peel). Bounded unrolling, not a convergence
+    // loop: the standard approximate core a 100 TB pipeline runs when
+    // full peeling's O(peel-depth) rounds are too many; the oracle
+    // replays all three rounds verbatim.
+    Q("q_kcore",
+      (s, dir) => {
+        import graft.operators.Graphs
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = li.as("a").join(li.as("b"), Seq("ok"))
+          .filter(col("a.sk") < col("b.sk"))
+          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 28).select("u", "v")
+        val k = 10
+        val core = Graphs.peel(Graphs.peel(Graphs.peel(edges, k), k), k)
+        Graphs.degrees(core)
+          .select(col("node").as("suppkey"), col("deg"))
+          .orderBy(col("suppkey"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        e0 AS (SELECT a.sk AS u, b.sk AS v
+               FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+               GROUP BY 1, 2 HAVING COUNT(*) >= 28),
+        d0 AS (SELECT node, COUNT(*) AS deg FROM (
+                 SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+               GROUP BY node),
+        e1 AS (SELECT u, v FROM e0
+               WHERE u IN (SELECT node FROM d0 WHERE deg >= 10)
+                 AND v IN (SELECT node FROM d0 WHERE deg >= 10)),
+        d1 AS (SELECT node, COUNT(*) AS deg FROM (
+                 SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+               GROUP BY node),
+        e2 AS (SELECT u, v FROM e1
+               WHERE u IN (SELECT node FROM d1 WHERE deg >= 10)
+                 AND v IN (SELECT node FROM d1 WHERE deg >= 10)),
+        d2 AS (SELECT node, COUNT(*) AS deg FROM (
+                 SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+               GROUP BY node),
+        e3 AS (SELECT u, v FROM e2
+               WHERE u IN (SELECT node FROM d2 WHERE deg >= 10)
+                 AND v IN (SELECT node FROM d2 WHERE deg >= 10)),
+        d3 AS (SELECT node, COUNT(*) AS deg FROM (
+                 SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+               GROUP BY node)
+        SELECT node AS suppkey, deg FROM d3 ORDER BY suppkey
       """)),
 
     // ------------------------------------------------------------------

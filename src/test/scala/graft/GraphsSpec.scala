@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graphs
+
+class GraphsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("u", "v")
+
+  test("K4 has exactly 4 triangles, each node supporting 3") {
+    val k4 = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(Graphs.triangles(k4).count() == 4L)
+    val support = Graphs.triangleSupport(k4)
+      .as[(Long, Long)].collect().toMap
+    assert(support == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("a path graph is triangle-free but every node still reports") {
+    val path = edges((1L, 2L), (2L, 3L), (3L, 4L))
+    val support = Graphs.triangleSupport(path).as[(Long, Long)].collect().toMap
+    assert(support == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
+  test("each triangle is emitted exactly once (no orientation double-count)") {
+    // Two triangles sharing the edge (2,3).
+    val g = edges((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val tris = Graphs.triangles(g).as[(Long, Long, Long)].collect().toSet
+    assert(tris.size == 2)
+    assert(Graphs.triangles(g).count() == 2L) // no duplicates pre-distinct
+  }
+
+  test("peel removes a star's leaves at k=2 and fixes the core") {
+    val star = edges((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L))
+    // deg: 1→3, 2→2, 3→2, 4→1. k=2 drops node 4 and its edge.
+    val once = Graphs.peel(star, 2).as[(Long, Long)].collect().toSet
+    assert(once == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // The surviving triangle is a fixed point of further peeling.
+    assert(Graphs.peel(Graphs.peel(star, 2), 2).count() == 3L)
+  }
+
+  test("cooccurrenceEdges builds the canonical pair set") {
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 3L), (11L, 2L), (11L, 3L), (12L, 5L))
+      .toDF("g", "m")
+    val e = Graphs.cooccurrenceEdges(m, "g", "m").as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+}
