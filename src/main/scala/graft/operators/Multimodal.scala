@@ -470,4 +470,187 @@ object Multimodal {
       col(mimeCol).cast("string").as("mime")).as[MediaRow]
     extractFeatures(ds).toDF()
   }
+
+  // ======== Perceptual hashing (image near-dup dedup) ========
+
+  /** Deterministic TEXTURED PNG: linear gradient + diagonal stripes whose
+    * parameters derive from `id / 10` (the "scene"), while `id % 10` only
+    * shifts overall brightness (same-scene ids are near-duplicates that
+    * differ byte-wise) and `id % 10 >= 5` nudges the stripe phase by one
+    * pixel (a small perceptual perturbation). So each decade of ids is a
+    * planted near-dup cluster for [[pHash]] to find — with pairwise
+    * DIFFERENT content hashes, the case exact dedup cannot catch.
+    */
+  def synthPatternPng(id: Long): Array[Byte] = {
+    val scene = id / 10
+    val mix = scene * -7046029254386353131L + 0x9e3779b97f4a7c15L
+    val dim = 48
+    val gx = 1 + math.floorMod(mix, 5).toInt // gradient slopes
+    val gy = 1 + math.floorMod(mix >> 8, 5).toInt
+    val sf = 2 + math.floorMod(mix >> 16, 8).toInt // stripe frequency 2..9
+    val dir = math.floorMod(mix >> 24, 4).toInt // stripe direction
+    val sf2 = 3 + math.floorMod(mix >> 32, 4).toInt // overlay frequency
+    val dir2 = math.floorMod(mix >> 40, 4).toInt
+    val inv = math.floorMod(mix >> 44, 2) == 1L // stripe polarity
+    // Variant-local knobs: base moves ONLY overall brightness (clip-free
+    // by construction, so it shifts ONLY the DC coefficient — the hash
+    // ignores it up to integer-rounding jitter in the bilinear rescale);
+    // variants in the upper half additionally brighten one 8×8 patch by
+    // a small amount — a localized perceptual change (few AC bits).
+    val base = math.floorMod(id, 10).toInt * 3
+    val patch = math.floorMod(id, 10) >= 5
+    val px = 8 * (1 + math.floorMod(mix >> 48, 4).toInt)
+    val py = 8 * (1 + math.floorMod(mix >> 52, 4).toInt)
+    def coord(d: Int, x: Int, y: Int): Int = d match {
+      case 0 => x
+      case 1 => y
+      case 2 => x + y
+      case _ => x - y + dim - 1
+    }
+    val img = new java.awt.image.BufferedImage(dim, dim,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < dim) {
+      var x = 0
+      while (x < dim) {
+        val stripe =
+          if ((math.floorMod(coord(dir, x, y) / sf, 2) == 0) != inv) 36 else 0
+        val overlay =
+          if (math.floorMod(coord(dir2, x, y) / sf2, 3) == 0) 24 else 0
+        val patchV =
+          if (patch && x >= px && x < px + 8 && y >= py && y < py + 8) 8 else 0
+        def sm(seed: Long): Long = {
+          var z = scene * 0x9e3779b97f4a7c15L + seed * 0xbf58476d1ce4e5b9L
+          z ^= z >>> 27; z *= 0x94d049bb133111ebL
+          z >>> 33
+        }
+        // Two per-scene random fields: a COARSE 8×8-block field (its
+        // energy lands squarely in the hashed low-frequency band — this
+        // is what makes distinct scenes hash far apart) and a fine
+        // per-pixel dither (spreads the rest of the spectrum so
+        // coefficients are well-separated around the median — without it
+        // the stripes are spectrally sparse and any tiny perturbation
+        // reorders the near-zero mass, flipping half the hash).
+        val coarse = math.floorMod(sm((y / 8).toLong * 6 + x / 8), 40L).toInt
+        val fine = math.floorMod(sm(1000L + y.toLong * dim + x), 16L).toInt
+        // Max 27 + 36 + 24 + 8 + 39 + 15 + 78 = 227 < 255: never clips,
+        // so `base` is a pure DC shift.
+        val v = base + stripe + overlay + patchV + coarse + fine +
+          (gx * x + gy * y) / 6
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** 63-bit DCT perceptual hash (pHash family: Zauner, "Implementation
+    * and Benchmarking of Perceptual Image Hash Functions"): decode →
+    * 32×32 bilinear grayscale → 2D DCT-II → low-frequency 8×8 block
+    * minus the DC term → bit i = coefficient i > median. A constant
+    * brightness shift moves ONLY the DC coefficient, so same-scene
+    * brightness variants hash identically; small spatial perturbations
+    * flip few bits (Hamming-near). Pure double arithmetic on decoded
+    * pixels — deterministic for identical bytes. None for undecodable
+    * bytes.
+    */
+  def pHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val n = 32
+    val scaled = new java.awt.image.BufferedImage(n, n,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = scaled.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, n, n, null)
+    } finally g.dispose()
+    val gray = Array.ofDim[Double](n, n)
+    var y = 0
+    while (y < n) {
+      var x = 0
+      while (x < n) {
+        val rgb = scaled.getRGB(x, y)
+        gray(y)(x) = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    // 2D DCT-II, low 8×8 block only (64 of 1024 coefficients).
+    val k = 8
+    val dct = new Array[Double](k * k)
+    var u = 0
+    while (u < k) {
+      var v = 0
+      while (v < k) {
+        var sum = 0.0
+        var yy = 0
+        while (yy < n) {
+          var xx = 0
+          while (xx < n) {
+            sum += gray(yy)(xx) *
+              math.cos((2 * yy + 1) * u * math.Pi / (2 * n)) *
+              math.cos((2 * xx + 1) * v * math.Pi / (2 * n))
+            xx += 1
+          }
+          yy += 1
+        }
+        dct(u * k + v) = sum
+        v += 1
+      }
+      u += 1
+    }
+    val ac = dct.drop(1) // 63 AC coefficients; DC carries only brightness
+    val sorted = ac.sorted
+    val median = (sorted(31) + sorted(32)) / 2.0
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > median) hash |= 1L << i
+      i += 1
+    }
+    Some(hash)
+  }
+
+  /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxHamming`:
+    * candidates from an 8×8-bit band equi-join over the hash — by
+    * pigeonhole, any pair within 7 flipped bits is GUARANTEED to share a
+    * clean band (pairs at 8..maxHamming are caught probabilistically) —
+    * then verified with the native `bit_count(a XOR b)`. The media
+    * column is decoded ONCE per row (mapPartitions, like every decoder
+    * here); the join runs on 64-bit keys only — at corpus scale this is
+    * the image twin of the SimHash band join, with the same skew caveat
+    * (cap pathological buckets upstream if a constant image floods a
+    * band).
+    */
+  def phashPairs(df: DataFrame, idCol: String, mediaCol: String,
+      maxHamming: Int = 10): DataFrame = {
+    import df.sparkSession.implicits._
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+        col(mediaCol).cast("binary").as("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, m) => pHash(m).map(h => (id, h)) })
+      .toDF("id", "ph")
+    val bands = hashed.select(col("id"), col("ph"),
+        explode(array((0 until 8).map(b =>
+          struct(lit(b).as("b"),
+            shiftright(col("ph"), b * 8).bitwiseAND(0xffL).as("key"))): _*))
+          .as("bd"))
+      .select(col("id"), col("ph"), col("bd.b").as("b"), col("bd.key").as("key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

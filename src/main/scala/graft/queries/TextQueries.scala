@@ -1023,6 +1023,28 @@ object TextQueries {
       None),
 
     // ------------------------------------------------------------------
+    // 41d: image NEAR-DUP dedup by DCT perceptual hash — the multimodal
+    // twin of SimHash dedup: deterministic textured PNGs (each decade of
+    // doc_ids is a planted near-dup scene: brightness variants hash
+    // IDENTICALLY — pHash drops the DC term — and stripe-phase variants
+    // land Hamming-near, while every byte/content hash differs, so exact
+    // dedup finds nothing). REAL ImageIO decode + 32×32 DCT per row on
+    // executors; candidates from a 4×16-bit band equi-join on the
+    // 64-bit hash; native bit_count verify. Rows-only (no codec in
+    // DuckDB); PhashSpec pins the planted-cluster geometry.
+    Q("m_image_phash",
+      (s, dir) => {
+        import s.implicits._
+        val media = Tables.documents(s, dir)
+          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
+          .mapPartitions(_.map(id => (id, Multimodal.synthPatternPng(id))))
+          .toDF("doc_id", "media")
+        Multimodal.phashPairs(media, "doc_id", "media", maxHamming = 10)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
     // 41c: REAL audio decode — deterministic PCM WAVs (Multimodal
     // .synthWav: freq/duration/amplitude are pure functions of doc_id)
     // parsed on executors by javax.sound.sampled (zero external codecs).

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Multimodal
+
+class PhashSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ph(id: Long): Long =
+    Multimodal.pHash(Multimodal.synthPatternPng(id)).get
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("brightness-only variants are Hamming-near-zero; bytes still differ") {
+    // ids 0 and 3: same scene, different base brightness — a pure DC
+    // shift, but Java2D's bilinear rescale rounds integer pixels, so a
+    // few near-median bits may jitter. ≤ 6 is the measured envelope.
+    assert(hamming(ph(0L), ph(3L)) <= 6)
+    assert(!java.util.Arrays.equals(
+      Multimodal.synthPatternPng(0L), Multimodal.synthPatternPng(3L)))
+  }
+
+  test("patch variants are Hamming-near; other scenes are far") {
+    // ids 0 and 7: same scene, one 8×8 patch brightened.
+    assert(hamming(ph(0L), ph(7L)) <= 10)
+    // Different scenes should not sit within the near-dup threshold.
+    val far = for (s <- 1L to 5L) yield hamming(ph(0L), ph(s * 10L))
+    assert(far.forall(_ > 10), s"cross-scene distances too small: $far")
+  }
+
+  test("phashPairs finds every same-scene pair and no cross-scene pair") {
+    val ids = (0L until 30L) // 3 scenes × 10 variants
+    val media = ids.map(id => (id, Multimodal.synthPatternPng(id))).toDF("doc_id", "media")
+    val pairs = Multimodal.phashPairs(media, "doc_id", "media", maxHamming = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sameScene = for {
+      a <- ids; b <- ids if a < b && a / 10 == b / 10
+    } yield (a, b)
+    assert(sameScene.toSet.subsetOf(pairs), "missed planted near-dups")
+    assert(pairs.forall { case (a, b) => a / 10 == b / 10 },
+      s"cross-scene false positives: ${pairs.filterNot { case (a, b) => a / 10 == b / 10 }}")
+  }
+
+  test("pHash is None for undecodable bytes and deterministic for valid ones") {
+    assert(Multimodal.pHash("not a png".getBytes).isEmpty)
+    assert(Multimodal.pHash(Array.emptyByteArray).isEmpty)
+    assert(ph(42L) == ph(42L))
+  }
+}
