@@ -123,6 +123,23 @@ object StreamOps {
     graft.operators.Dsir.scoreStateless(docs, "doc_id", "text", model, numBuckets)
       .filter(col("dsir_score") >= threshold)
 
+  /** Streaming Count-Min sketch maintenance: a global streaming
+    * aggregation whose state is ONE depth×width counter grid (the custom
+    * mergeable CountMinAgg — the state store carries the serialized
+    * sketch, each micro-batch folds in by elementwise sum). Complete
+    * mode emits the up-to-date sketch every trigger; because the merge
+    * is exactly associative, the emitted sketch after N batches is
+    * bit-identical to the batch aggregate over their union (spec'd).
+    * This is the streaming shape of per-item frequency monitoring at an
+    * open vocabulary: constant state, no per-key streaming state store
+    * entries, no watermark.
+    */
+  def countMinStream(stream: DataFrame, itemCol: String,
+      depth: Int, width: Int): DataFrame =
+    stream.groupBy()
+      .agg(graft.functions.countMin(col(itemCol), depth, width).as("sk"))
+      .select(col("sk.total").as("total"), col("sk.counters").as("counters"))
+
   /** Watermarked stream-stream interval join: each left event pairs with
     * right events of the same key within `[l.ts, l.ts + window]`. Both
     * sides carry watermarks so join state is evicted once event time

@@ -27,6 +27,23 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  test("streaming Count-Min sketch equals the batch sketch over all drops") {
+    val dir = stageDrops(3)
+    val stream = StreamOps.countMinStream(
+      StreamOps.readParquetStream(spark, dir, Tables.events(spark, sfDir)),
+      "event_type", depth = 4, width = 64)
+    val q = stream.writeStream.format("memory").queryName("cmstream")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cmstream").head
+    val batch = Tables.events(spark, sfDir)
+      .agg(graft.functions.countMin(col("event_type"), 4, 64)).head.getStruct(0)
+    // Elementwise-sum merge is exactly associative → the streaming state
+    // after 3 micro-batches is bit-identical to the one-shot aggregate.
+    assert(got.getLong(0) == batch.getLong(0))
+    assert(got.getSeq[Long](1) == batch.getSeq[Long](1))
+  }
+
   test("incremental ingest: file-source stream sees all drops exactly once") {
     val dir = stageDrops(3)
     val stream = StreamOps.canonicalizeEvents(
