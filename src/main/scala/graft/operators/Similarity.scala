@@ -179,6 +179,45 @@ object Similarity {
       .select(col("id"), col("best.cid").as("assigned"), col("best.cosine").as("cosine"))
   }
 
+  /** One Lloyd assignment step: nearest centroid by squared L2, ties to
+    * the lower centroid id. `centroids` is a small (cid, cvec) frame —
+    * broadcast cross join (k rows replicated, corpus scanned once), the
+    * argmin folds through a map-side min(struct(dist, cid)). The
+    * distance is a FIXED-ORDER fold (0.0-seeded accumulate over
+    * zip_with), so a SQL engine replays the identical doubles — what
+    * makes the iterated k-means below oracle-checkable bit-for-bit.
+    */
+  def lloydAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    corpus.select(col(idCol).as("id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(centroids.select(col("cid"), col("cvec"))))
+      .withColumn("__vecd", transform(col("__vec"), x => x.cast("double")))
+      .withColumn("dist", aggregate(
+        zip_with(col("__vecd"), col("cvec"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("best"),
+        first(col("__vec")).as("vec"))
+      .select(col("id"), col("best.cid").as("cid"), col("best.dist").as("dist"),
+        col("vec"))
+
+  /** Recompute centroids from an assignment: decimal-exact per-dimension
+    * sums (order/partitioning-independent) cast to double, then ONE IEEE
+    * division by the member count — the same float discipline as
+    * [[labelCentroidAssign]], so both engines rebuild identical centroid
+    * doubles. Returns the (cid, cvec) frame for the next
+    * [[lloydAssign]]; empty clusters simply drop out.
+    */
+  def lloydMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("cid"), posexplode(col("vec")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("pos"))
+      .agg((sum(col("x").cast("decimal(28,10)")).cast("double") / count(lit(1)))
+        .as("cx"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("sorted"))
+      .select(col("cid"), transform(col("sorted"), _.getField("cx")).as("cvec"))
+
   /** All same-bucket candidate pairs with exact cosine, over explicit
     * planes — the shared core of the top-k and near-dup variants.
     * Candidates share the full bucket key (all sign bits); exact cosine

@@ -1186,6 +1186,65 @@ object TextQueries {
     // list_reduce fold bit-for-bit, the argmax compares (score, label)
     // structs identically on both engines, and the publication is
     // integer confusion counts.
+    // ------------------------------------------------------------------
+    // 36f: ITERATED k-means (two full Lloyd rounds), bit-level verified
+    // cross-engine — the "does distributed iterative ML stay exact"
+    // proof on top of the single-step s_label_centroids: deterministic
+    // seeds (vec_id < 8), fixed-order squared-L2 folds, ties to the
+    // lower centroid id, decimal-exact centroid means with one IEEE
+    // division; round-2 distances sum as floor-scaled integers (order-
+    // independent). Scale shape per round: one broadcast of k rows over
+    // one corpus scan, one (cid, pos)-keyed agg — no collect anywhere.
+    Q("s_kmeans_lloyd",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val c0 = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        val a1 = Similarity.lloydAssign(emb, "vec_id", "embedding", c0)
+        val c1 = Similarity.lloydMeans(a1)
+        val a2 = Similarity.lloydAssign(emb, "vec_id", "embedding", c1)
+        a2.groupBy(col("cid").as("centroid_id"))
+          .agg(count(lit(1)).as("n_members"),
+            sum(floor(col("dist") * 1e6).cast("long")).as("inertia_e6"))
+          .orderBy(col("centroid_id"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cvec FROM v WHERE vec_id < 8),
+        d1 AS (SELECT vec_id, cid,
+                      list_reduce(list_transform(range(1, 65),
+                        i -> (v.v[i] - cvec[i]) * (v.v[i] - cvec[i])),
+                        (a, b) -> a + b) AS dist
+               FROM v, c0),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        ex AS (SELECT a1.cid, unnest(v.v) AS x,
+                      unnest(range(1, len(v.v) + 1)) AS pos
+               FROM a1 JOIN v USING (vec_id)),
+        m1 AS (SELECT cid, pos,
+                      CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*) AS cx
+               FROM ex GROUP BY cid, pos),
+        c1 AS (SELECT cid, list(cx ORDER BY pos) AS cvec FROM m1 GROUP BY cid),
+        d2 AS (SELECT vec_id, cid,
+                      list_reduce(list_transform(range(1, 65),
+                        i -> (v.v[i] - cvec[i]) * (v.v[i] - cvec[i])),
+                        (a, b) -> a + b) AS dist
+               FROM v, c1),
+        a2 AS (SELECT vec_id, cid, dist FROM (
+                 SELECT vec_id, cid, dist,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+                 FROM d2) WHERE rn = 1)
+        SELECT cid AS centroid_id, COUNT(*) AS n_members,
+               CAST(SUM(CAST(floor(dist * 1e6) AS BIGINT)) AS BIGINT) AS inertia_e6
+        FROM a2 GROUP BY cid ORDER BY centroid_id
+      """)),
+
     Q("s_label_centroids",
       (s, dir) => Similarity.labelCentroidAssign(
         Tables.embeddings(s, dir), "vec_id", "embedding", "label"),
