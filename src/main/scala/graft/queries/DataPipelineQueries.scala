@@ -1315,6 +1315,37 @@ object DataPipelineQueries {
         QUALIFY ROW_NUMBER() OVER (PARTITION BY url_norm
                                    ORDER BY n_chars DESC, doc_id) = 1
         ORDER BY url_norm
+      """)),
+
+    // ------------------------------------------------------------------
+    // Repeated-passage mining — the boilerplate detector ABOVE line
+    // granularity (x_boilerplate_lines catches repeated lines; this
+    // catches repeated 8-gram passages anywhere in the text — license
+    // headers, navigation chrome, templated sentences): per-doc distinct
+    // 8-grams (one narrow native-expression projection), document
+    // frequency + first-seen example per passage, df ≥ 2 survivors
+    // ranked. TakeOrdered top-20 — at corpus scale the heavy tail stays
+    // distributed and only k rows reach the driver.
+    Q("x_passage_mine",
+      (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextDedup.wordShingles(col("text"), 8))
+          .as("passage"))
+        .groupBy(col("passage"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
+        .filter(col("df") >= 2)
+        .orderBy(col("df").desc, col("passage"))
+        .limit(20),
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+        g AS (SELECT doc_id,
+                     CASE WHEN len(toks) <= 8 THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 6),
+                                 i -> array_to_string(toks[i:i+7], ' '))) END AS grams
+              FROM t)
+        SELECT passage, COUNT(*) AS df, MIN(doc_id) AS example_doc
+        FROM (SELECT doc_id, unnest(grams) AS passage FROM g)
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        ORDER BY df DESC, passage LIMIT 20
       """))
   )
 }

@@ -27,6 +27,55 @@ object TextQueries {
       graft.operators.Bpe.trainFromCorpus(
         Tables.documents(s, dir), "text", numMerges = 50, maxWords = 2000))
 
+  /** Distinct lowercase-whitespace 3-gram shingles — the portable (sha256-
+    * replayable) tokenization shared by d_minhash_portable and
+    * x_dedup_eval. Shifted-zip kGrams: lambdas must not touch the `ts`
+    * alias — CollapseProject would inline the tokenizer per shingle
+    * (quadratic interpreted re-evaluation).
+    */
+  private def portableShingles(docs: org.apache.spark.sql.DataFrame) = {
+    val base = docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
+      .filter(size(col("ts")) >= 3)
+    base.select(col("doc_id"),
+      array_distinct(slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
+        greatest(size(col("ts")) - 2, lit(0)))).as("shs"))
+  }
+
+  /** Materialized portable MinHash signatures (doc_id, sig[32]): 4 sha256
+    * digests per DISTINCT shingle (not per occurrence — shingles repeat
+    * ~10× across documents), each digest yielding 8 independent 32-bit
+    * values via hex slices; per-doc elementwise-min through VecMinAgg
+    * (fixed 32-long buffer, map-side). Doc-keyed repartition BEFORE the
+    * explode spreads the single-file scan; the shared exchange is reused
+    * by both the distinct-shingle side and the join probe side.
+    */
+  private def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) = {
+    import graft.operators.Materialize
+    val hs = flatten(transform(
+      array((0 until 4).map(g =>
+        sha2(concat(lit(s"$g|"), col("shingle")), 256)): _*),
+      hex => transform(sequence(lit(0), lit(7)),
+        j => conv(hex.substr(j * 8 + 1, lit(8)), 16, 10).cast("long"))))
+    val docSh = portableShingles(docs).repartition(col("doc_id"))
+      .select(col("doc_id"), explode(col("shs")).as("shingle"))
+    val hashed = docSh.select("shingle").distinct()
+      .select(col("shingle"), hs.as("hs"))
+    Materialize(docSh.join(hashed, "shingle")
+      .groupBy("doc_id")
+      .agg(graft.functions.vecMin(col("hs"), 32).as("sig")))
+  }
+
+  /** 16 bands × 2 rows over a 32-long signature frame. */
+  private def portableBands(sig: org.apache.spark.sql.DataFrame) =
+    sig.select(col("doc_id"), explode(
+        transform(sequence(lit(0), lit(15)),
+          b => struct(b.as("b"),
+            element_at(col("sig"), b * 2 + 1).as("k1"),
+            element_at(col("sig"), b * 2 + 2).as("k2")))).as("bd"))
+      .select(col("doc_id"), col("bd.b").as("b"),
+        col("bd.k1").as("k1"), col("bd.k2").as("k2"))
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -365,60 +414,8 @@ object TextQueries {
     // production: band-key equi-join, never all-pairs.
     Q("d_minhash_portable",
       (s, dir) => {
-        import graft.operators.Materialize
-        val base = Tables.documents(s, dir)
-          .select(col("doc_id"),
-            filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
-          .filter(size(col("ts")) >= 3)
-        // Shifted-zip 3-grams (Winnow.kGrams): lambdas must not touch
-        // the `ts` alias — CollapseProject would inline the tokenizer
-        // per shingle (quadratic interpreted re-evaluation).
-        val shs = base.select(col("doc_id"),
-          array_distinct(slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
-            greatest(size(col("ts")) - 2, lit(0)))).as("shs"))
-        // 4 sha256 per DISTINCT shingle, not per occurrence: shingles
-        // repeat heavily across documents (sf0.1 corpus: 260k
-        // occurrences, 27k distinct — ~10×), so dedupe corpus-wide
-        // first, hash each distinct shingle once, and join the 32-hash
-        // vector back to the (doc, shingle) pairs. Seed i reads hex
-        // slice i%8 of digest i/8 — one 256-bit digest yields 8
-        // independent 32-bit values; the oracle slices identically.
-        // The digests live inside ONE array(...) consumed by a lambda,
-        // so each is evaluated exactly once per distinct shingle (no
-        // aliases for CollapseProject to inline into the lambdas).
-        // This is also the 100 TB shape: the hash table scales with the
-        // vocabulary, the join is a plain shuffle join (AQE-skew-safe),
-        // and no per-key state is unbounded.
-        val hs = flatten(transform(
-          array((0 until 4).map(g =>
-            sha2(concat(lit(s"$g|"), col("shingle")), 256)): _*),
-          hex => transform(sequence(lit(0), lit(7)),
-            j => conv(hex.substr(j * 8 + 1, lit(8)), 16, 10).cast("long"))))
-        // Doc-level repartition BEFORE the explode: the corpus scan is
-        // one file = one task, and without the spread the explode chain
-        // + joins run single-threaded. Both the distinct-shingle side
-        // and the join probe side read this frame — the shared
-        // repartition exchange is reused (ReusedExchange), so the scan
-        // + tokenize below it run once.
-        val docSh = shs.repartition(col("doc_id"))
-          .select(col("doc_id"), explode(col("shs")).as("shingle"))
-        val hashed = docSh.select("shingle").distinct()
-          .select(col("shingle"), hs.as("hs"))
-        // One aggregation from (doc, hash-vector) rows straight to the
-        // per-doc signature: elementwise-min VecMinAgg keeps a fixed
-        // 32-long buffer per doc on the map side — no 32× posexplode, no
-        // (doc, seed) shuffle, no collect_list reassembly. Signature is
-        // reused by the band explode and BOTH pair sides → Materialize.
-        val sig = Materialize(docSh.join(hashed, "shingle")
-          .groupBy("doc_id")
-          .agg(graft.functions.vecMin(col("hs"), 32).as("sig")))
-        val bands = sig.select(col("doc_id"), explode(
-            transform(sequence(lit(0), lit(15)),
-              b => struct(b.as("b"),
-                element_at(col("sig"), b * 2 + 1).as("k1"),
-                element_at(col("sig"), b * 2 + 2).as("k2")))).as("bd"))
-          .select(col("doc_id"), col("bd.b").as("b"),
-            col("bd.k1").as("k1"), col("bd.k2").as("k2"))
+        val sig = portableMinhashSig(Tables.documents(s, dir))
+        val bands = portableBands(sig)
         val pairs = bands.as("a").join(bands.as("b"),
             col("a.b") === col("b.b") && col("a.k1") === col("b.k1") &&
             col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
@@ -463,6 +460,100 @@ object TextQueries {
                    JOIN sig sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, CAST(n_eq AS BIGINT) AS n_eq
         FROM scored ORDER BY n_eq DESC, id_a, id_b LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // 32c: DEDUP EVALUATION — precision/recall of the banded-MinHash
+    // candidate detector (signature agreement ≥ 16/32 ≈ est. Jaccard
+    // ≥ 0.5) against the EXACT Jaccard-≥-0.5 truth set over the same
+    // portable shingles. "Measure, don't guess" for dedup: a production
+    // pipeline runs exactly this before trusting a sketch config, and
+    // tunes bands/rows until the numbers clear its bar. Both pipelines
+    // are engine-exact (sha256 portable family), so candidates, truth
+    // AND their intersection replay in the oracle bit-for-bit. The truth
+    // side is the only all-pairs-by-shared-shingle join — the eval runs
+    // on a probe sample at corpus scale, never the full corpus.
+    Q("x_dedup_eval",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val sig = portableMinhashSig(docs)
+        val bands = portableBands(sig)
+        val cand = bands.as("a").join(bands.as("b"),
+            col("a.b") === col("b.b") && col("a.k1") === col("b.k1") &&
+            col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+          .distinct()
+        val est = cand
+          .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sa")), "id_a")
+          .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sb")), "id_b")
+          .filter(size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+            p => p)) >= 16)
+          .select("id_a", "id_b")
+        val ex = portableShingles(docs)
+          .select(col("doc_id"), size(col("shs")).as("sz"),
+            explode(col("shs")).as("shingle"))
+        val truth = ex.as("a").join(ex.as("b"),
+            col("a.shingle") === col("b.shingle") &&
+            col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+          .agg(count(lit(1)).as("shared"))
+          .filter(col("shared") * 2 >= col("sz_a") + col("sz_b") - col("shared"))
+          .select("id_a", "id_b")
+        val hit = est.join(truth, Seq("id_a", "id_b"))
+        est.agg(count(lit(1)).as("n_est"))
+          .crossJoin(truth.agg(count(lit(1)).as("n_truth")))
+          .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+          .select(col("n_est"), col("n_truth"), col("n_hit"),
+            when(col("n_est") > 0, expr("n_hit * 1000000 DIV n_est"))
+              .otherwise(lit(0L)).as("precision_e6"),
+            when(col("n_truth") > 0, expr("n_hit * 1000000 DIV n_truth"))
+              .otherwise(lit(0L)).as("recall_e6"))
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '') AS ts
+          FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(ts) - 2),
+                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
+               FROM base WHERE len(ts) >= 3),
+        hx AS (SELECT doc_id, seed,
+                 MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
+                                     CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh
+               FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+                    (SELECT unnest(range(0, 32)) AS seed)
+               GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hx GROUP BY doc_id),
+        bands AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b
+                   ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
+                  AND a.doc_id < b.doc_id),
+        est AS (SELECT id_a, id_b FROM cand
+                JOIN sig sa ON sa.doc_id = id_a
+                JOIN sig sb ON sb.doc_id = id_b
+                WHERE len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i])) >= 16),
+        ex AS (SELECT doc_id, len(shs) AS sz, unnest(shs) AS shingle FROM sh),
+        truth AS (SELECT id_a, id_b FROM (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           a.sz AS sz_a, b.sz AS sz_b, COUNT(*) AS shared
+                    FROM ex a JOIN ex b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2, 3, 4)
+                  WHERE shared * 2 >= sz_a + sz_b - shared),
+        hit AS (SELECT * FROM est INTERSECT SELECT * FROM truth)
+        SELECT (SELECT COUNT(*) FROM est) AS n_est,
+               (SELECT COUNT(*) FROM truth) AS n_truth,
+               (SELECT COUNT(*) FROM hit) AS n_hit,
+               CASE WHEN (SELECT COUNT(*) FROM est) > 0
+                    THEN (SELECT COUNT(*) FROM hit) * 1000000
+                         // (SELECT COUNT(*) FROM est) ELSE 0 END AS precision_e6,
+               CASE WHEN (SELECT COUNT(*) FROM truth) > 0
+                    THEN (SELECT COUNT(*) FROM hit) * 1000000
+                         // (SELECT COUNT(*) FROM truth) ELSE 0 END AS recall_e6
       """)),
 
     // ------------------------------------------------------------------
