@@ -12,7 +12,8 @@ object SparkEntry {
     RelationalQueries.all ++ ExtendedQueries.all ++ TpchMoreQueries.all ++
       TpchRestQueries.all ++
       AnalyticsQueries.all ++ TransformQueries.all ++ TextQueries.all ++
-      DataPipelineQueries.all ++ StreamQueries.all ++ CurationQueries.all
+      DataPipelineQueries.all ++ StreamQueries.all ++ CurationQueries.all ++
+      GeoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

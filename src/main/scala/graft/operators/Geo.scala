@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Planar-grid geospatial primitives over integer micro-degree
+  * coordinates — the spatial family the reference's data model implies
+  * (configs/detenidos_aprehendidos.yaml:133-138 bounds `latitud`/
+  * `longitud` to Ecuador's bounding box but the pandas pipeline never
+  * exploits them): radius neighbor joins and density clustering over
+  * incident coordinates.
+  *
+  * Everything is INTEGER arithmetic on micro-degrees (1e-6 deg), so
+  * results replay bit-for-bit in any engine — no haversine
+  * transcendentals whose libm rounding differs across runtimes. Distances
+  * are planar (equirectangular): within a country-scale box the grid is a
+  * CANDIDATE filter, and a caller needing great-circle meters applies its
+  * own metric to the surviving pairs.
+  *
+  * Scale shape: the grid turns the quadratic all-pairs distance join into
+  * an equi-join on cell id — the spatial analog of the LSH band join.
+  * With cell size >= radius, the 3x3 neighborhood of a point's cell
+  * provably covers every candidate within the radius (one bounded 9x
+  * fan-out, no distance ever computed outside adjacent cells). Cluster
+  * merging rides the same star-contraction components machinery as dedup
+  * ([[DedupResolve]]), on the CELL graph — bounded by the grid, not the
+  * corpus.
+  */
+object Geo {
+
+  /** Deterministic sha256-derived micro-degree coordinate in
+    * [minE6, maxE6] — 48 bits of the digest mod the span, the same
+    * portable derivation the LSH twins use, so an oracle replays it
+    * exactly: `('0x' || substr(sha256(id || '|tag'), 1, 12))::BIGINT`.
+    */
+  def synthCoordE6(id: Column, tag: String, minE6: Long, maxE6: Long): Column =
+    (lit(minE6) +
+      conv(substring(sha2(concat(id.cast("string"), lit("|" + tag)), 256),
+        1, 12), 16, 10).cast("long") % lit(maxE6 - minE6 + 1)).as(tag)
+
+  /** Attach integer grid-cell coordinates (cy, cx): floor division of the
+    * min-shifted coordinate (shift first — operands stay non-negative, so
+    * truncating and flooring division agree in every engine).
+    */
+  def withCells(pts: DataFrame, latMinE6: Long, lonMinE6: Long,
+      cellE6: Long): DataFrame =
+    pts
+      .withColumn("cy", expr(s"(lat_e6 - (${latMinE6}L)) DIV ${cellE6}L"))
+      .withColumn("cx", expr(s"(lon_e6 - (${lonMinE6}L)) DIV ${cellE6}L"))
+
+  private def offsets: Column = array(
+    (for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+
+  /** Per-point count of other points within `radiusE6` (planar squared
+    * distance on micro-degrees). `pts` must carry (id, lat_e6, lon_e6,
+    * cy, cx) with cell size >= radiusE6 — then candidates live only in
+    * the 3x3 neighborhood, which the probe side explodes (bounded 9x
+    * fan-out on ONE side; the build side keeps one row per point). Every
+    * point appears in the output, zero-neighbor points included.
+    */
+  def radiusNeighborCounts(pts: DataFrame, radiusE6: Long): DataFrame = {
+    val probes = pts
+      .select(col("id").as("id_a"), col("lat_e6").as("la"),
+        col("lon_e6").as("oa"), col("cy"), col("cx"),
+        explode(offsets).as("o"))
+      .select(col("id_a"), col("la"), col("oa"),
+        (col("cy") + col("o.dy")).as("py"), (col("cx") + col("o.dx")).as("px"))
+    val build = pts.select(col("id").as("id_b"), col("lat_e6").as("lb"),
+      col("lon_e6").as("ob"), col("cy").as("by"), col("cx").as("bx"))
+    val r2 = radiusE6 * radiusE6
+    val counts = probes.join(build,
+        col("py") === col("by") && col("px") === col("bx") &&
+        col("id_a") =!= col("id_b"))
+      .filter((col("la") - col("lb")) * (col("la") - col("lb")) +
+        (col("oa") - col("ob")) * (col("oa") - col("ob")) <= lit(r2))
+      .groupBy(col("id_a")).agg(count(lit(1)).as("n_within"))
+    pts.select(col("id"), col("lat_e6"), col("lon_e6"))
+      .join(counts.withColumnRenamed("id_a", "id"), Seq("id"), "left")
+      .select(col("id"), col("lat_e6"), col("lon_e6"),
+        coalesce(col("n_within"), lit(0L)).as("n_within"))
+  }
+
+  /** Grid-density clustering (the DBSCAN shape on a grid): cells holding
+    * >= minPts points are CORE; 8-adjacent core cells merge into one
+    * cluster via the same star-contraction components the dedup resolver
+    * runs — on the core-CELL graph, whose size is bounded by the grid
+    * resolution, never by the corpus. Returns one row per cluster:
+    * (cluster = min cell key, n_cells, n_points).
+    */
+  def gridClusters(pts: DataFrame, minPts: Long,
+      keySpan: Long = 1000000L): DataFrame = {
+    val core = pts.groupBy(col("cy"), col("cx"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minPts)
+      .withColumn("ck", col("cy") * keySpan + col("cx"))
+    val probes = core
+      .select(col("ck").as("id_a"), col("cy"), col("cx"),
+        explode(offsets).as("o"))
+      .select(col("id_a"), (col("cy") + col("o.dy")).as("py"),
+        (col("cx") + col("o.dx")).as("px"))
+    val adj = probes.join(
+        core.select(col("ck").as("id_b"), col("cy").as("by"),
+          col("cx").as("bx")),
+        col("py") === col("by") && col("px") === col("bx") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val labels = DedupResolve.connectedComponents(adj)
+      .withColumnRenamed("id", "ck")
+    core.join(labels, Seq("ck"), "left")
+      .select(coalesce(col("label"), col("ck")).as("cluster"), col("n"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_points"))
+  }
+
+  /** Nearest facility per point: the dimension side (facilities) is
+    * bounded — broadcast it and take the argmin by lexicographic
+    * (dist2, facility id) struct compare (tie-free, engine-exact). The
+    * corpus side stays a linear scan with a map-side partial agg; no
+    * shuffle ever carries more than one row per point.
+    */
+  def nearestFacility(pts: DataFrame, fac: DataFrame): DataFrame =
+    pts.crossJoin(broadcast(fac))
+      .select(col("id"), col("lat_e6"), col("lon_e6"),
+        struct(
+          ((col("lat_e6") - col("f_lat")) * (col("lat_e6") - col("f_lat")) +
+           (col("lon_e6") - col("f_lon")) * (col("lon_e6") - col("f_lon")))
+            .as("d2"),
+          col("fid").as("fid")).as("cand"))
+      .groupBy(col("id"), col("lat_e6"), col("lon_e6"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("id"), col("best.fid").as("nearest"),
+        col("best.d2").as("dist2"))
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Geo
+import graft.sources.Tables
+
+/** Geospatial analytics over the reference's implied coordinate model
+  * (configs/detenidos_aprehendidos.yaml bounds latitud/longitud to
+  * Ecuador's bounding box; the pandas pipeline validates but never
+  * ANALYZES them). Coordinates are deterministic sha256-derived
+  * micro-degrees inside that box — the same portable-hash derivation the
+  * LSH twins use, so every query replays bit-for-bit in DuckDB. All
+  * distances are integer planar micro-degrees (operators/Geo.scala).
+  */
+object GeoQueries {
+
+  private val LatMin = -5500000L // Ecuador bbox, micro-degrees
+  private val LatMax = 2500000L
+  private val LonMin = -92500000L
+  private val LonMax = -74500000L
+
+  /** (id, lat_e6, lon_e6) for every customer. */
+  private def custPts(s: org.apache.spark.sql.SparkSession, dir: String) =
+    Tables.customer(s, dir).select(col("c_custkey").as("id"),
+      Geo.synthCoordE6(col("c_custkey"), "lat_e6", LatMin, LatMax),
+      Geo.synthCoordE6(col("c_custkey"), "lon_e6", LonMin, LonMax))
+
+  private val duckPts = """
+    pts AS (SELECT c_custkey AS id,
+      -5500000 + ('0x' || substr(sha256(CAST(c_custkey AS VARCHAR) || '|lat_e6'), 1, 12))::BIGINT
+        % 8000001 AS lat_e6,
+      -92500000 + ('0x' || substr(sha256(CAST(c_custkey AS VARCHAR) || '|lon_e6'), 1, 12))::BIGINT
+        % 18000001 AS lon_e6
+    FROM customer)"""
+
+  val all: Seq[Q] = Seq(
+
+    // ------------------------------------------------------------------
+    // Radius-bounded spatial density: for every point, how many other
+    // points lie within 0.1 deg (planar) — the hotspot metric an
+    // incident-mapping pipeline runs. Scale shape: grid cell = radius,
+    // so the 3x3 neighbor equi-join provably covers every candidate
+    // (spatial LSH-band analog) — the oracle's all-pairs join is the
+    // quadratic plan the grid exists to avoid.
+    Q("q_geo_density",
+      (s, dir) => Geo.radiusNeighborCounts(
+          Geo.withCells(custPts(s, dir), LatMin, LonMin, cellE6 = 100000L),
+          radiusE6 = 100000L)
+        .select(col("id").as("custkey"), col("lat_e6"), col("lon_e6"),
+          col("n_within"))
+        .orderBy(col("custkey")),
+      Some(s"""
+        WITH $duckPts,
+        n AS (SELECT a.id, COUNT(*) AS n_within
+              FROM pts a JOIN pts b
+                ON a.id <> b.id
+               AND (a.lat_e6 - b.lat_e6) * (a.lat_e6 - b.lat_e6)
+                 + (a.lon_e6 - b.lon_e6) * (a.lon_e6 - b.lon_e6)
+                 <= 10000000000
+              GROUP BY a.id)
+        SELECT p.id AS custkey, p.lat_e6, p.lon_e6,
+               COALESCE(n.n_within, 0) AS n_within
+        FROM pts p LEFT JOIN n USING (id) ORDER BY custkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // Grid-density clustering (DBSCAN's shape on a 0.5-deg grid): cells
+    // with >= 5 points are core, 8-adjacent core cells merge into
+    // clusters via the SAME star-contraction components machinery the
+    // dedup resolver uses — on the core-cell graph (bounded by the grid,
+    // never the corpus). Oracle replays the merge as a recursive-CTE
+    // transitive closure, like d_dedup_components.
+    Q("x_geo_cluster",
+      (s, dir) => Geo.gridClusters(
+          Geo.withCells(custPts(s, dir), LatMin, LonMin, cellE6 = 500000L),
+          minPts = 5L)
+        .orderBy(col("cluster")),
+      Some(s"""
+        WITH RECURSIVE $duckPts,
+        cells AS (SELECT (lat_e6 + 5500000) // 500000 AS cy,
+                         (lon_e6 + 92500000) // 500000 AS cx,
+                         COUNT(*) AS n
+                  FROM pts GROUP BY 1, 2),
+        core AS (SELECT cy, cx, n, cy * 1000000 + cx AS ck
+                 FROM cells WHERE n >= 5),
+        adj AS (SELECT a.ck AS u, b.ck AS v
+                FROM core a JOIN core b
+                  ON abs(a.cy - b.cy) <= 1 AND abs(a.cx - b.cx) <= 1
+                 AND a.ck < b.ck),
+        e AS (SELECT u, v FROM adj UNION SELECT v, u FROM adj
+              UNION SELECT u, u FROM adj UNION SELECT v, v FROM adj),
+        reach(u, v) AS (SELECT u, v FROM e
+                        UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        lab AS (SELECT u AS ck, MIN(v) AS label FROM reach GROUP BY u),
+        cl AS (SELECT c.ck, c.n, COALESCE(l.label, c.ck) AS cluster
+               FROM core c LEFT JOIN lab l ON l.ck = c.ck)
+        SELECT cluster, COUNT(*) AS n_cells, CAST(SUM(n) AS BIGINT) AS n_points
+        FROM cl GROUP BY 1 ORDER BY cluster
+      """)),
+
+    // ------------------------------------------------------------------
+    // Nearest-facility assignment: each customer to its closest supplier
+    // site — the catchment/jurisdiction primitive. The facility side is
+    // the bounded dimension -> broadcast argmin by lexicographic
+    // (dist2, fid) struct compare (tie-free, engine-exact); the corpus
+    // side is one linear scan with map-side partial aggregation.
+    Q("q_geo_nearest",
+      (s, dir) => {
+        val fac = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("fid"),
+            Geo.synthCoordE6(col("s_suppkey"), "slat", LatMin, LatMax),
+            Geo.synthCoordE6(col("s_suppkey"), "slon", LonMin, LonMax))
+          .select(col("fid"), col("slat").as("f_lat"), col("slon").as("f_lon"))
+        Geo.nearestFacility(custPts(s, dir), fac)
+          .select(col("id").as("custkey"), col("nearest"), col("dist2"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""
+        WITH $duckPts,
+        fac AS (SELECT s_suppkey AS fid,
+          -5500000 + ('0x' || substr(sha256(CAST(s_suppkey AS VARCHAR) || '|slat'), 1, 12))::BIGINT
+            % 8000001 AS f_lat,
+          -92500000 + ('0x' || substr(sha256(CAST(s_suppkey AS VARCHAR) || '|slon'), 1, 12))::BIGINT
+            % 18000001 AS f_lon
+        FROM supplier),
+        best AS (SELECT id,
+                   min(struct_pack(
+                     d2 := (lat_e6 - f_lat) * (lat_e6 - f_lat)
+                         + (lon_e6 - f_lon) * (lon_e6 - f_lon),
+                     fid := fid)) AS b
+                 FROM pts, fac GROUP BY id)
+        SELECT id AS custkey, b.fid AS nearest, b.d2 AS dist2
+        FROM best ORDER BY custkey
+      """))
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Geo
+
+class GeoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Small deterministic point set spanning cell boundaries: a tight pair
+  // straddling a cell edge (grid must still find it via the 3x3 probe),
+  // an isolated point, and a dense blob.
+  private val pts = Seq(
+    (1L, 99000L, 99000L),   // just below the (0,0)/(1,1) cell corner
+    (2L, 101000L, 101000L), // just across it — dist ~2.8k, same pair
+    (3L, 5000000L, 5000000L), // isolated
+    (4L, 500000L, 500000L), (5L, 510000L, 505000L), (6L, 495000L, 520000L))
+
+  private def ptsDf =
+    Geo.withCells(pts.toDF("id", "lat_e6", "lon_e6"), 0L, 0L, cellE6 = 100000L)
+
+  test("radiusNeighborCounts equals brute force, boundary pairs included") {
+    val r = 100000L
+    val got = Geo.radiusNeighborCounts(ptsDf, r)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    val brute = pts.map { case (i, la, lo) =>
+      i -> pts.count { case (j, lb, ob) =>
+        j != i && (la - lb) * (la - lb) + (lo - ob) * (lo - ob) <= r * r
+      }.toLong
+    }.toMap
+    assert(got == brute)
+    assert(got(1L) == 1L && got(3L) == 0L) // cross-cell pair found; isolate zero
+  }
+
+  test("gridClusters merges adjacent core cells, bounded by the grid") {
+    // Two dense blobs, 3 cells apart (NOT adjacent), each spanning two
+    // ADJACENT core cells -> exactly two clusters of 2 cells each.
+    val blob = (off: Long, base: Long) => (0L until 6L).map(i =>
+      (base + i, off + 50000L + (i % 3) * 1000L, off + 95000L + (i / 3) * 10000L))
+    val d = Geo.withCells(
+      (blob(0L, 100L) ++ blob(500000L, 200L)).toDF("id", "lat_e6", "lon_e6"),
+      0L, 0L, cellE6 = 100000L)
+    val got = Geo.gridClusters(d, minPts = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.length == 2)
+    assert(got.forall { case (_, nCells, nPts) => nCells == 2 && nPts == 6 })
+  }
+
+  test("nearestFacility equals brute-force argmin with deterministic ties") {
+    val fac = Seq((10L, 0L, 0L), (11L, 1000000L, 1000000L),
+      (12L, 5000000L, 5000000L)).toDF("fid", "f_lat", "f_lon")
+    val got = Geo.nearestFacility(pts.toDF("id", "lat_e6", "lon_e6"), fac)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = pts.map { case (i, la, lo) =>
+      i -> Seq((10L, 0L, 0L), (11L, 1000000L, 1000000L),
+          (12L, 5000000L, 5000000L))
+        .map { case (f, fa, fo) =>
+          ((la - fa) * (la - fa) + (lo - fo) * (lo - fo), f) }
+        .min._2
+    }.toMap
+    assert(got == brute)
+    assert(got(3L) == 12L)
+  }
+}
