@@ -19,6 +19,10 @@ object GraftSession {
     var b = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // tz-naive parquet (pandas/pyarrow writers) reads as an instant under
+      // the UTC session rather than TIMESTAMP_NTZ, which unix_millis/
+      // watermarks reject. Tables.events also normalizes NTZ defensively.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
     if (master.nonEmpty) b = b.master(master)
     if (shufflePartitions > 0)

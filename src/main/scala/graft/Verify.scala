@@ -15,6 +15,12 @@ object Verify {
     // ones). harness() also registers the SQL surface.
     val spark = GraftSession.harness(cpus)
     new java.io.File(outDir).mkdirs()
+    // A query that throws would otherwise just vanish from the round's
+    // correctness report (r5: three NTZ-broken queries were silently
+    // dropped and only a judge diff noticed). Accumulate name→error and
+    // publish VERIFY_ERRORS.json next to the per-query outputs so a
+    // registered-but-failing query is always loud.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -22,6 +28,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -40,6 +47,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/VERIFY_ERRORS.json"), errJson)
+    // Repo-root copy so the round snapshot carries it even if outDir is
+    // a scratch directory the driver discards.
+    Files.writeString(Paths.get("VERIFY_ERRORS.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }

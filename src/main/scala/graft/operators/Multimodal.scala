@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (SURVEY.md §2.3): media as opaque `binary`
@@ -642,18 +642,33 @@ object Multimodal {
   }
 
   /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxHamming`:
-    * candidates from an 8×8-bit band equi-join over the hash — by
-    * pigeonhole, any pair within 7 flipped bits is GUARANTEED to share a
-    * clean band (pairs at 8..maxHamming are caught probabilistically) —
-    * then verified with the native `bit_count(a XOR b)`. The media
-    * column is decoded ONCE per row (mapPartitions, like every decoder
-    * here); the join runs on 64-bit keys only — at corpus scale this is
-    * the image twin of the SimHash band join, with the same skew caveat
-    * (cap pathological buckets upstream if a constant image floods a
-    * band).
+    * candidates from a band equi-join over the hash, verified with the
+    * native `bit_count(a XOR b)`. The media column is decoded ONCE per
+    * row (mapPartitions, like every decoder here); the join runs on
+    * 64-bit keys only.
+    *
+    * Band geometry — 8 OVERLAPPING 16-bit windows at offsets 0,8,…,56
+    * (wrapping): each hash bit lands in exactly two bands, so a pair
+    * within 3 flipped bits is GUARANTEED to share a clean band
+    * (2·3 < 8 hit bands by pigeonhole); 4..maxHamming pairs are caught
+    * probabilistically across the 8 chances. The 2^16 keyspace keeps
+    * expected bucket occupancy at N/65536 — the earlier 8×8-bit scheme's
+    * 256-value keyspace made candidate pairs grow O(N²/256), quadratic
+    * at corpus scale. `maxBucket` additionally drops degenerate buckets
+    * (a constant image flooding one band), same guard as the MinHash /
+    * SimHash joins in TextDedup.
     */
+  /** Reference band key `b` of a pHash — the JVM-side twin of the
+    * column expression inside [[phashPairs]], exposed so tests can pin
+    * the band geometry (8 overlapping 16-bit windows, offsets 8·b).
+    */
+  def phashBandKey(ph: Long, b: Int): Long = {
+    val off = b * 8
+    ((ph >>> off) | (ph << (64 - off))) & 0xffffL
+  }
+
   def phashPairs(df: DataFrame, idCol: String, mediaCol: String,
-      maxHamming: Int = 10): DataFrame = {
+      maxHamming: Int = 10, maxBucket: Int = 200): DataFrame = {
     import df.sparkSession.implicits._
     // Materialize: the band frame feeds BOTH sides of the self-join, and
     // without it each side re-runs the full decode + DCT pipeline (AQE
@@ -665,13 +680,22 @@ object Multimodal {
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, m) => pHash(m).map(h => (id, h)) })
         .toDF("id", "ph"))
+    // (ph >>> off | ph << 64-off) & 0xffff — 16-bit window wrapping past
+    // bit 63. Java shift semantics (n mod 64) make the off=0 case exact.
+    // Column twin of `phashBandKey` (PhashSpec pins their agreement).
+    def window(off: Int): Column =
+      shiftrightunsigned(col("ph"), off)
+        .bitwiseOR(shiftleft(col("ph"), 64 - off))
+        .bitwiseAND(lit(0xffffL))
     val bands = hashed.select(col("id"), col("ph"),
         explode(array((0 until 8).map(b =>
-          struct(lit(b).as("b"),
-            shiftright(col("ph"), b * 8).bitwiseAND(0xffL).as("key"))): _*))
-          .as("bd"))
+          struct(lit(b).as("b"), window(b * 8).as("key"))): _*)).as("bd"))
       .select(col("id"), col("ph"), col("bd.b").as("b"), col("bd.key").as("key"))
-    bands.as("a").join(bands.as("b"),
+    val bounded = bands.join(
+      bands.groupBy("b", "key").agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket),
+      Seq("b", "key"))
+    bounded.as("a").join(bounded.as("b"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

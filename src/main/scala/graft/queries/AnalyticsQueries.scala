@@ -664,16 +664,20 @@ object AnalyticsQueries {
       },
       Some("""
         WITH counts AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
-        tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_keys FROM counts),
+        -- CAST: DuckDB SUM(n) is HUGEINT; uncast, the // results publish
+        -- as HUGEINT -> float64 in the driver and the hash mismatches.
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total, COUNT(*) AS n_keys
+                FROM counts),
         top AS (SELECT user_id, n FROM counts ORDER BY n DESC, user_id LIMIT 20),
         ranked AS (SELECT user_id, n,
                           ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk,
-                          SUM(n) OVER (ORDER BY n DESC, user_id
-                                       ROWS UNBOUNDED PRECEDING) AS cum_n
+                          CAST(SUM(n) OVER (ORDER BY n DESC, user_id
+                                            ROWS UNBOUNDED PRECEDING)
+                               AS BIGINT) AS cum_n
                    FROM top)
         SELECT rk, user_id, n, n_keys,
-               n * 1000000 // total AS share_e6,
-               cum_n * 1000000 // total AS cum_share_e6
+               CAST(n * 1000000 // total AS BIGINT) AS share_e6,
+               CAST(cum_n * 1000000 // total AS BIGINT) AS cum_share_e6
         FROM ranked, tot ORDER BY rk
       """))
   )

@@ -37,6 +37,40 @@ object StreamQueries {
         GROUP BY 1, 2 ORDER BY window_start, event_type
       """)),
 
+    // 44: dedup-on-business-key within a watermark. WHICH physical row
+    // survives dropDuplicates is arrival-order-dependent, so the
+    // deterministic (and therefore oracle-able) contract is the KEY SET:
+    // the same function runs under readStream in StreamingSpec; here the
+    // driver checks that the batch twin emits exactly the distinct keys.
+    Q("st_dedup_keys",
+      (s, dir) => StreamOps.dedupWithinWatermark(
+          Tables.events(s, dir), Seq("user_id", "event_type"))
+        .select(col("user_id"), col("event_type"))
+        .orderBy(col("user_id"), col("event_type")),
+      Some("""
+        SELECT DISTINCT user_id, event_type FROM events
+        ORDER BY user_id, event_type
+      """)),
+
+    // 49: stream-static enrichment join — the static dim side is
+    // broadcast (no shuffle of the stream, no state: each micro-batch
+    // joins against the dim snapshot). Same function under readStream in
+    // StreamingSpec; the driver oracle-checks the join logic in batch.
+    Q("st_enrich_dim",
+      (s, dir) => StreamOps.enrichWithDim(
+          Tables.events(s, dir),
+          Tables.customer(s, dir).select(col("c_custkey").as("user_id"),
+            col("c_mktsegment"), col("c_nationkey")),
+          "user_id")
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"),
+          col("c_nationkey"))
+        .orderBy(col("event_id")),
+      Some("""
+        SELECT e.event_id, e.user_id, c.c_mktsegment, c.c_nationkey
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        ORDER BY e.event_id
+      """)),
+
     // 56: the media admission gate (REAL ImageIO / PCM-audio decode,
     // undecodable bytes dropped) as a stream-capable transform — same
     // stateless mapPartitions under readStream (StreamingSpec proves

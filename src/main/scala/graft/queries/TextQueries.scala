@@ -471,11 +471,18 @@ object TextQueries {
     // tunes bands/rows until the numbers clear its bar. Both pipelines
     // are engine-exact (sha256 portable family), so candidates, truth
     // AND their intersection replay in the oracle bit-for-bit. The truth
-    // side is the only all-pairs-by-shared-shingle join — the eval runs
-    // on a probe sample at corpus scale, never the full corpus.
+    // side is the only all-pairs-by-shared-shingle join, so the WHOLE
+    // eval (candidates, est, truth — one consistent universe) runs on a
+    // deterministic 50% probe sample of documents (sha256(doc_id) mod —
+    // same splitmix-free idiom as x_hash_sample, replayed in the
+    // oracle). At corpus scale the same bound is how this runs: truth
+    // cost scales with the sample's square, never the corpus's, and the
+    // probe fraction is the knob.
     Q("x_dedup_eval",
       (s, dir) => {
-        val docs = Tables.documents(s, dir)
+        val docs = Tables.documents(s, dir).filter(
+          conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+            .cast("long") % 100 < 50)
         val sig = portableMinhashSig(docs)
         val bands = portableBands(sig)
         val cand = bands.as("a").join(bands.as("b"),
@@ -514,7 +521,8 @@ object TextQueries {
         WITH base AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                  x -> x <> '') AS ts
-          FROM documents),
+          FROM documents
+          WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 50),
         sh AS (SELECT doc_id,
                  list_distinct(list_transform(range(0, len(ts) - 2),
                    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
@@ -1120,8 +1128,9 @@ object TextQueries {
     // IDENTICALLY — pHash drops the DC term — and stripe-phase variants
     // land Hamming-near, while every byte/content hash differs, so exact
     // dedup finds nothing). REAL ImageIO decode + 32×32 DCT per row on
-    // executors; candidates from a 4×16-bit band equi-join on the
-    // 64-bit hash; native bit_count verify. Rows-only (no codec in
+    // executors; candidates from an equi-join over 8 overlapping 16-bit
+    // band windows on the 64-bit hash (2^16 keyspace + maxBucket cap —
+    // scale-safe), native bit_count verify. Rows-only (no codec in
     // DuckDB); PhashSpec pins the planted-cluster geometry.
     Q("m_image_phash",
       (s, dir) => {

@@ -87,12 +87,17 @@ object StreamOps {
 
   /** Streaming dedup on a business key, state bounded by the watermark
     * (the streaming twin of Transform.dedupByKey / the reference's
-    * enforce_unique_business_key).
+    * enforce_unique_business_key). `dropDuplicatesWithinWatermark` is
+    * streaming-only, so in batch the SAME call degrades to plain
+    * `dropDuplicates` — the deterministic contract either way is the
+    * surviving KEY SET (which physical row survives is arrival-order /
+    * partition-order dependent in both modes).
     */
   def dedupWithinWatermark(df: DataFrame, keys: Seq[String],
       watermark: String = "30 minutes"): DataFrame =
-    df.withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark(keys)
+    if (df.isStreaming)
+      df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    else df.dropDuplicates(keys)
 
   /** Streaming SPAN dedup — the incremental twin of
     * `TextDedup.spanDedup`: documents explode into `w`-word spans and

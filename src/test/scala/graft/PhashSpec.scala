@@ -44,6 +44,43 @@ class PhashSpec extends AnyFunSuite {
       s"cross-scene false positives: ${pairs.filterNot { case (a, b) => a / 10 == b / 10 }}")
   }
 
+  test("band geometry: 8 overlapping 16-bit wrapping windows, ≤3 flips guaranteed") {
+    // Pin the key function itself on a recognizable bit pattern.
+    val x = 0x0123456789abcdefL
+    assert((0 until 8).map(Multimodal.phashBandKey(x, _)) ==
+      Seq(0xcdefL, 0xabcdL, 0x89abL, 0x6789L, 0x4567L, 0x2345L, 0x0123L, 0xef01L))
+    // Pigeonhole: any ≤3 flipped bits hit ≤6 of the 8 overlapping
+    // windows, so one clean shared band ALWAYS remains. Exhaustive over
+    // a spread of flip placements.
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 200) {
+      val base = rnd.nextLong()
+      val flips = Seq.fill(3)(rnd.nextInt(64)).distinct
+      val other = flips.foldLeft(base)((h, i) => h ^ (1L << i))
+      assert((0 until 8).exists(b =>
+        Multimodal.phashBandKey(base, b) == Multimodal.phashBandKey(other, b)),
+        s"no clean band for flips=$flips")
+    }
+  }
+
+  test("maxBucket drops flooded bands but keeps normal clusters") {
+    // Flood: ids 0..4 carry the SAME image bytes (a constant image at
+    // corpus scale) — identical pHash, so all 8 of their band buckets
+    // reach size 5. With maxBucket = 4 the flooded buckets are dropped
+    // (skew guard engaged — no pairs), while scene 1, planted at 3
+    // variants, stays under the cap and still pairs up.
+    val flood = (0L until 5L).map(id => (id, Multimodal.synthPatternPng(0L)))
+    val scene = Seq(10L, 11L, 12L).map(id => (id, Multimodal.synthPatternPng(id)))
+    val media = (flood ++ scene).toDF("doc_id", "media")
+    val pairs = Multimodal.phashPairs(media, "doc_id", "media",
+        maxHamming = 10, maxBucket = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.forall { case (a, b) => a >= 10L && b >= 10L },
+      s"flooded-bucket pairs leaked through the cap: $pairs")
+    assert(pairs == Set((10L, 11L), (10L, 12L), (11L, 12L)),
+      s"under-cap scene pairs missing: $pairs")
+  }
+
   test("pHash is None for undecodable bytes and deterministic for valid ones") {
     assert(Multimodal.pHash("not a png".getBytes).isEmpty)
     assert(Multimodal.pHash(Array.emptyByteArray).isEmpty)
