@@ -51,8 +51,10 @@ object Verify {
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/VERIFY_ERRORS.json"), errJson)
     // Repo-root copy so the round snapshot carries it even if outDir is
-    // a scratch directory the driver discards.
-    Files.writeString(Paths.get("VERIFY_ERRORS.json"), errJson)
+    // a scratch directory the driver discards. FULL runs only: a
+    // filtered dev run (`only` set) must not clobber the last full
+    // run's manifest with a partial map.
+    if (only.isEmpty) Files.writeString(Paths.get("VERIFY_ERRORS.json"), errJson)
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()

@@ -641,66 +641,153 @@ object Multimodal {
     Some(hash)
   }
 
-  /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxHamming`:
-    * candidates from a band equi-join over the hash, verified with the
-    * native `bit_count(a XOR b)`. The media column is decoded ONCE per
-    * row (mapPartitions, like every decoder here); the join runs on
-    * 64-bit keys only.
+  /** LSH band geometry over a 64-bit hash: `windows` overlapping
+    * windows of `windowBits` bits at wrapping offsets `step·b`
+    * (step = 64/windows). Each bit lands in `cover = windowBits/step`
+    * windows, so d flipped bits dirty ≤ cover·d windows and a clean
+    * shared window is GUARANTEED while cover·d < windows, i.e.
+    * d ≤ `guaranteedHamming`. Beyond that, recall is probabilistic
+    * across the windows (PhashSpec pins a simulated floor).
     *
-    * Band geometry — 8 OVERLAPPING 16-bit windows at offsets 0,8,…,56
-    * (wrapping): each hash bit lands in exactly two bands, so a pair
-    * within 3 flipped bits is GUARANTEED to share a clean band
-    * (2·3 < 8 hit bands by pigeonhole); 4..maxHamming pairs are caught
-    * probabilistically across the 8 chances. The 2^16 keyspace keeps
-    * expected bucket occupancy at N/65536 — the earlier 8×8-bit scheme's
-    * 256-value keyspace made candidate pairs grow O(N²/256), quadratic
-    * at corpus scale. `maxBucket` additionally drops degenerate buckets
-    * (a constant image flooding one band), same guard as the MinHash /
-    * SimHash joins in TextDedup.
+    * The dial (simulated recall for RANDOM d-flip placements):
+    *   - default 16 windows × 12 bits (step 4, cover 3): guaranteed ≤5;
+    *     d=6→0.997, d=8→0.94, d=10→0.79. Keyspace 2^12 — expected
+    *     occupancy U/4096 per band for U DISTINCT hashes.
+    *   - wide 8 windows × 16 bits (step 8, cover 2): guaranteed ≤3;
+    *     d=4→0.987, d=6→0.80, d=10→0.30. Keyspace 2^16 — the choice
+    *     for extreme distinct-hash cardinality (occupancy U/65536),
+    *     trading high-d recall for 16× later `maxBucket` onset.
+    * Either way candidate pairs are bounded by windows·U·maxBucket.
     */
-  /** Reference band key `b` of a pHash — the JVM-side twin of the
-    * column expression inside [[phashPairs]], exposed so tests can pin
-    * the band geometry (8 overlapping 16-bit windows, offsets 8·b).
-    */
-  def phashBandKey(ph: Long, b: Int): Long = {
-    val off = b * 8
-    ((ph >>> off) | (ph << (64 - off))) & 0xffffL
+  final case class BandGeometry(windows: Int, windowBits: Int) {
+    require(64 % windows == 0, s"windows must divide 64: $windows")
+    val step: Int = 64 / windows
+    require(windowBits % step == 0 && windowBits <= 32,
+      s"windowBits must be a multiple of step=$step and ≤32: $windowBits")
+    val cover: Int = windowBits / step
+    /** Largest d with a clean shared window guaranteed (cover·d < windows). */
+    val guaranteedHamming: Int = (windows - 1) / cover
+    private val mask = (1L << windowBits) - 1
+    /** Band key `b` — JVM twin of [[keyCol]]; PhashSpec pins agreement. */
+    def key(ph: Long, b: Int): Long = {
+      val off = b * step
+      ((ph >>> off) | (ph << (64 - off))) & mask
+    }
+    /** Column twin of [[key]] — THE expression the production band join
+      * runs ((ph >>> off | ph << 64-off) & mask, a window wrapping past
+      * bit 63; Java shift semantics (n mod 64) make the off=0 case
+      * exact).
+      */
+    def keyCol(ph: Column, b: Int): Column = {
+      val off = b * step
+      shiftrightunsigned(ph, off)
+        .bitwiseOR(shiftleft(ph, 64 - off))
+        .bitwiseAND(lit(mask))
+    }
   }
 
+  /** Default geometry: 16 overlapping 12-bit windows — guaranteed
+    * recall at Hamming ≤5, ~0.79 at the default maxHamming=10. */
+  val defaultBands: BandGeometry = BandGeometry(16, 12)
+
+  /** Wide-window geometry for extreme distinct-hash cardinality. */
+  val wideBands: BandGeometry = BandGeometry(8, 16)
+
+  /** Near-duplicate image pairs by pHash Hamming distance ≤ `maxHamming`.
+    * The media column is decoded ONCE per row (mapPartitions, like every
+    * decoder here); everything downstream runs on 64-bit keys only — see
+    * [[phashPairsFromHashes]] for the candidate-generation geometry.
+    */
   def phashPairs(df: DataFrame, idCol: String, mediaCol: String,
       maxHamming: Int = 10, maxBucket: Int = 200): DataFrame = {
     import df.sparkSession.implicits._
-    // Materialize: the band frame feeds BOTH sides of the self-join, and
-    // without it each side re-runs the full decode + DCT pipeline (AQE
-    // exchange reuse does not always fire across the a/b aliases) — the
-    // decode is the dominant cost, so running it twice doubles the query.
+    // Materialize: the hash frame feeds multiple consumers (exact-equal
+    // grouping + both sides of the band self-join), and without it each
+    // consumer re-runs the full decode + DCT pipeline (AQE exchange
+    // reuse does not always fire across aliases) — the decode is the
+    // dominant cost, so running it N times N-tuples the query.
     val hashed = graft.operators.Materialize(
       df.select(col(idCol).cast("long").as("id"),
           col(mediaCol).cast("binary").as("media"))
         .as[(Long, Array[Byte])]
         .mapPartitions(_.flatMap { case (id, m) => pHash(m).map(h => (id, h)) })
         .toDF("id", "ph"))
-    // (ph >>> off | ph << 64-off) & 0xffff — 16-bit window wrapping past
-    // bit 63. Java shift semantics (n mod 64) make the off=0 case exact.
-    // Column twin of `phashBandKey` (PhashSpec pins their agreement).
-    def window(off: Int): Column =
-      shiftrightunsigned(col("ph"), off)
-        .bitwiseOR(shiftleft(col("ph"), 64 - off))
-        .bitwiseAND(lit(0xffffL))
-    val bands = hashed.select(col("id"), col("ph"),
-        explode(array((0 until 8).map(b =>
-          struct(lit(b).as("b"), window(b * 8).as("key"))): _*)).as("bd"))
-      .select(col("id"), col("ph"), col("bd.b").as("b"), col("bd.key").as("key"))
+    phashPairsFromHashes(hashed, maxHamming, maxBucket, defaultBands)
+  }
+
+  /** Candidate generation + verification over a pre-hashed `(id, ph)`
+    * frame — the unit the property specs drive directly (synthetic
+    * hashes, no decode cost).
+    *
+    * Two paths, unioned:
+    *
+    * EXACT-EQUAL (Hamming 0): a direct `groupBy(ph)`. Groups of size
+    * 2..`maxBucket` emit all pairs (occupancy-bounded self-join, ≤
+    * N·maxBucket candidates); larger groups — a constant image repeated
+    * a million times at corpus scale — emit STAR pairs to the min-id
+    * representative instead: linear in group size, and downstream
+    * component resolution (DedupResolve) sees the identical connected
+    * components. Exact duplicates therefore can NEVER silently vanish,
+    * which the pre-r7 band-only scheme allowed (a flooded bucket dropped
+    * the whole group).
+    *
+    * BANDED (Hamming ≥ 1): overlapping wrapping windows per
+    * [[BandGeometry]] (default 16×12-bit: guaranteed recall at ≤5
+    * flips, simulated ~0.79 at d=10 for random placements — the dial
+    * and its trade-offs live on the geometry's scaladoc) over the
+    * DISTINCT hash values — one band row per distinct pHash, so
+    * exact-duplicate floods contribute ONE unit of bucket occupancy
+    * and cannot flood a band. Adversarial flip placements past the
+    * guarantee (e.g. flips spaced to dirty every window) are
+    * deterministically missed — callers needing a hard guarantee
+    * should set `maxHamming ≤ geometry.guaranteedHamming`. `maxBucket`
+    * drops degenerate buckets (≥ maxBucket DISTINCT hashes sharing a
+    * window — a near-constant band region), same guard as the MinHash /
+    * SimHash joins in TextDedup; candidate pairs are bounded by
+    * windows·U·maxBucket regardless of input skew (PhashSpec asserts
+    * the bound on a pathological corpus).
+    *
+    * Hash-level pairs rejoin to doc ids at the end; a hash pair with
+    * m and n exact copies fans out to m·n doc pairs — inherent to the
+    * all-pairs output contract, not to the candidate generation.
+    */
+  def phashPairsFromHashes(hashed: DataFrame,
+      maxHamming: Int = 10, maxBucket: Int = 200,
+      geometry: BandGeometry = defaultBands): DataFrame = {
+    // ---- exact-equal path ------------------------------------------
+    val groups = hashed.groupBy("ph")
+      .agg(min(col("id")).as("rep"), count(lit(1)).as("grp_n"))
+    val withN = hashed.join(groups, Seq("ph"))
+    val smallG = withN.filter(col("grp_n") > 1 && col("grp_n") <= maxBucket)
+    val exactSmall = smallG.as("a").join(smallG.as("b"),
+        col("a.ph") === col("b.ph") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        lit(0L).as("hamming"))
+    val exactLarge = withN
+      .filter(col("grp_n") > maxBucket && col("id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("id").as("id_b"), lit(0L).as("hamming"))
+    // ---- banded path over DISTINCT hashes --------------------------
+    val uniq = graft.operators.Materialize(groups.select(col("ph")))
+    val bands = uniq.select(col("ph"),
+        explode(array((0 until geometry.windows).map(b =>
+          struct(lit(b).as("b"), geometry.keyCol(col("ph"), b).as("key"))): _*)).as("bd"))
+      .select(col("ph"), col("bd.b").as("b"), col("bd.key").as("key"))
     val bounded = bands.join(
       bands.groupBy("b", "key").agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > 1 && col("bucket_n") <= maxBucket),
       Seq("b", "key"))
-    bounded.as("a").join(bounded.as("b"),
+    val hashPairs = bounded.as("a").join(bounded.as("b"),
         col("a.b") === col("b.b") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ph") < col("b.ph"))
+      .select(col("a.ph").as("ph_a"), col("b.ph").as("ph_b"),
         bit_count(col("a.ph").bitwiseXOR(col("b.ph"))).cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
+      .filter(col("hamming") =!= 0L && col("hamming") <= maxHamming)
+    val banded = hashPairs
+      .join(hashed.select(col("ph").as("ph_a"), col("id").as("ida")), Seq("ph_a"))
+      .join(hashed.select(col("ph").as("ph_b"), col("id").as("idb")), Seq("ph_b"))
+      .select(least(col("ida"), col("idb")).as("id_a"),
+        greatest(col("ida"), col("idb")).as("id_b"), col("hamming"))
+    exactSmall.unionByName(exactLarge).unionByName(banded)
   }
 }

@@ -263,6 +263,44 @@ object TextDedup {
     val sets = cached(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
+    val cands = ppjoinCandidatesFromSets(sets, threshold)
+    // Verification is CPU-bound (one array_intersect per candidate pair):
+    // spread the pairs explicitly — AQE coalesces this small-bytes/
+    // high-CPU frame to a couple of tasks otherwise (measured 3s of the
+    // query's 5s on a single core).
+    spread(cands, col("id_a"))
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** PPJoin prefix-filter CANDIDATE pairs only — a DETERMINISTIC
+    * SUPERSET of the Jaccard ≥ `threshold` pairs (the prefix bound is
+    * sound: any two sets with Jaccard ≥ t share a shingle inside each
+    * other's first |s| − ⌈t·|s|⌉ + 1 rarest shingles), WITHOUT the
+    * per-pair exact-Jaccard verification. That verification (one
+    * `array_intersect` per candidate) is the CPU-dominant stage of
+    * [[ngramJaccardJoin]]; consumers that only need edges whose
+    * connected components CONTAIN the true near-dup components — e.g.
+    * a leakage-safe train/heldout split, where extra edges only merge
+    * more groups and can never put two near-duplicates on opposite
+    * sides — can take the candidate set directly and skip it.
+    * LeakageSplitSpec pins the superset property.
+    */
+  def ppjoinCandidates(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sets =
+      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+        .withColumn("sz", size(col("sh")))
+    ppjoinCandidatesFromSets(sets, threshold)
+  }
+
+  private def ppjoinCandidatesFromSets(sets: DataFrame,
+      threshold: Double): DataFrame = {
     // NOTE perf: unlike ngramJaccardTopK, pre-spreading this exploded
     // frame by shingle measured SLOWER (2.0 s vs 1.8 s at sf0.1) — the df
     // join needs the raw rows again, so partial-agg compression of the
@@ -289,21 +327,9 @@ object TextDedup {
         explode(slice(transform(col("sorted"), _.getField("shingle")),
           lit(1), (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
           .as("shingle"))
-    val cands = prefixes.as("a").join(prefixes.as("b"),
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
-    // Verification is CPU-bound (one array_intersect per candidate pair):
-    // spread the pairs explicitly — AQE coalesces this small-bytes/
-    // high-CPU frame to a couple of tasks otherwise (measured 3s of the
-    // query's 5s on a single core).
-    spread(cands, col("id_a"))
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   // ------------------------------------------------------------------

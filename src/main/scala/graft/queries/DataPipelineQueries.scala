@@ -22,6 +22,31 @@ object DataPipelineQueries {
 
   private val EnStop = TextStats.stopwords("en")
 
+  /** Leakage-safe split from an arbitrary near-dup EDGE frame
+    * (id_a, id_b): connected components are the split unit, the
+    * component label's sha256 decides the side. Any edge SUPERSET of
+    * the true near-dup pairs preserves split integrity — extra edges
+    * only merge more components, so two near-duplicates can never land
+    * on opposite sides (LeakageSplitSpec pins the refinement property
+    * between the exact and candidate edge sources).
+    */
+  private def leakageSplitFrom(docs: org.apache.spark.sql.DataFrame,
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val comps = DedupResolve.connectedComponents(
+        edges.select(col("id_a"), col("id_b")))
+      .withColumnRenamed("id", "doc_id")
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("grp"))
+      .withColumn("bucket",
+        conv(substring(sha2(col("grp").cast("string"), 256), 1, 8), 16, 10)
+          .cast("long") % 100)
+      .select(col("doc_id"), col("grp"),
+        when(col("bucket") < 90, lit("train")).otherwise(lit("heldout"))
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -1120,20 +1145,8 @@ object DataPipelineQueries {
         // one per consumer) and solves the usually-tiny pair graph with
         // the driver union-find fast path (measured 7.2 s → ~2.5 s at
         // sf0.1; label semantics identical — spec'd in DedupResolveSpec).
-        val comps = DedupResolve.connectedComponents(
-          TextDedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.8)
-            .select(col("id_a"), col("id_b")))
-          .withColumnRenamed("id", "doc_id")
-        docs.select(col("doc_id"))
-          .join(comps, Seq("doc_id"), "left")
-          .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("grp"))
-          .withColumn("bucket",
-            conv(substring(sha2(col("grp").cast("string"), 256), 1, 8), 16, 10)
-              .cast("long") % 100)
-          .select(col("doc_id"), col("grp"),
-            when(col("bucket") < 90, lit("train")).otherwise(lit("heldout"))
-              .as("split"))
-          .orderBy(col("doc_id"))
+        leakageSplitFrom(docs,
+          TextDedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.8))
       },
       Some("""
         WITH RECURSIVE
@@ -1157,6 +1170,69 @@ object DataPipelineQueries {
               UNION SELECT id_b, id_a FROM p
               UNION SELECT id_a, id_a FROM p
               UNION SELECT id_b, id_b FROM p),
+        reach(u, v) AS (SELECT u, v FROM e
+                        UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        lab AS (SELECT u AS id, MIN(v) AS label FROM reach GROUP BY u),
+        g AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS grp
+              FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+        SELECT doc_id, grp,
+               CASE WHEN ('0x' || substr(sha256(CAST(grp AS VARCHAR)), 1, 8))::UBIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM g ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // The CORPUS-SCALE leakage split: same split semantics, but the
+    // edges are the PPJoin prefix-filter CANDIDATES without the
+    // per-pair exact-Jaccard verification — the CPU-dominant stage of
+    // the exact query (one array_intersect per candidate). Candidates
+    // are a deterministic SUPERSET of the Jaccard ≥ t pairs (prefix
+    // bound), and for split integrity a superset is conservative: extra
+    // edges only merge more components, so two true near-duplicates
+    // still always share a side (LeakageSplitSpec proves the exact
+    // split's groups refine into this one's). At sf0.1/32 cores the
+    // saving is modest (2.0 vs 2.2 s isolated — spread() hides the
+    // verify stage behind parallelism); the point is the COST MODEL:
+    // the dropped stage does one array_intersect over both FULL shingle
+    // sets per candidate, O(cands·|doc|), while everything kept is
+    // prefix-sized — at corpus scale the verify stage dominates and the
+    // gap grows with candidate count. Oracle replays prefix selection
+    // (rarest-first (df, shingle) order), candidate join, closure, and
+    // split.
+    Q("x_leakage_split_fast",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        leakageSplitFrom(docs,
+          TextDedup.ppjoinCandidates(docs, "doc_id", "text", threshold = 0.8))
+      },
+      Some("""
+        WITH RECURSIVE
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        dfreq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
+        szs AS (SELECT doc_id, len(sh) AS sz FROM sh),
+        pfx AS (SELECT doc_id, shingle FROM (
+                  SELECT e.doc_id, e.shingle, s.sz,
+                         ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                            ORDER BY d.df, e.shingle) AS rn
+                  FROM ex e
+                  JOIN dfreq d USING (shingle)
+                  JOIN szs s USING (doc_id))
+                WHERE rn <= sz - CAST(ceil(sz * 0.8) AS BIGINT) + 1),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM pfx a JOIN pfx b
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+        e AS (SELECT id_a AS u, id_b AS v FROM cand
+              UNION SELECT id_b, id_a FROM cand
+              UNION SELECT id_a, id_a FROM cand
+              UNION SELECT id_b, id_b FROM cand),
         reach(u, v) AS (SELECT u, v FROM e
                         UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
         lab AS (SELECT u AS id, MIN(v) AS label FROM reach GROUP BY u),

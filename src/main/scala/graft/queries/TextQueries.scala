@@ -1128,10 +1128,13 @@ object TextQueries {
     // IDENTICALLY — pHash drops the DC term — and stripe-phase variants
     // land Hamming-near, while every byte/content hash differs, so exact
     // dedup finds nothing). REAL ImageIO decode + 32×32 DCT per row on
-    // executors; candidates from an equi-join over 8 overlapping 16-bit
-    // band windows on the 64-bit hash (2^16 keyspace + maxBucket cap —
-    // scale-safe), native bit_count verify. Rows-only (no codec in
-    // DuckDB); PhashSpec pins the planted-cluster geometry.
+    // executors; exact-equal hashes pair via a direct groupBy (star
+    // contraction past maxBucket — floods can never vanish), Hamming≥1
+    // candidates from an equi-join over overlapping band windows on the
+    // DISTINCT hash values (Multimodal.defaultBands: 16×12-bit, ≤5
+    // flips guaranteed, maxBucket cap — scale-safe), native bit_count
+    // verify. Rows-only (no codec in DuckDB); PhashSpec pins the
+    // planted-cluster geometry, the recall floors, and the skew bound.
     Q("m_image_phash",
       (s, dir) => {
         import s.implicits._
