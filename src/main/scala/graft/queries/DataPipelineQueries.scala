@@ -638,9 +638,16 @@ object DataPipelineQueries {
     // ------------------------------------------------------------------
     // DSIR stage 2+3: smoothed bucket log-likelihood-ratio model
     // (4096 rows — broadcast), per-doc importance weights, deterministic
-    // Gumbel top-k sample. Floats (ln) → rows-only; DsirSpec asserts
-    // determinism, target-language enrichment of the weights, and the
-    // TakeOrdered (no global sort) plan.
+    // Gumbel top-k sample. ORACLED via integer-scaled publication: the
+    // selected id set plus round(log_w·1e6) as BIGINT — cross-engine
+    // ln() differs by ~1 ulp (1e-16 relative) and the distributed float
+    // sum reorders at ~1e-12, both far inside the 1e-6 publication
+    // grain, so DuckDB replays the whole pipeline (features → smoothed
+    // LLR model → weights → sha256-Gumbel top-k) and hash-matches; a
+    // key collision inside float noise would need two Gumbel keys equal
+    // to ~1e-13, which the deterministic testdata does not contain.
+    // DsirSpec additionally asserts determinism, target-language
+    // enrichment, and the TakeOrdered (no global sort) plan.
     Q("x_dsir_select",
       (s, dir) => {
         import graft.operators.Dsir
@@ -658,10 +665,54 @@ object DataPipelineQueries {
             salt = "graft-dsir")
           .withColumnRenamed("id", "doc_id")
           .join(docs.select(col("doc_id"), col("lang"), col("source")), Seq("doc_id"))
-          .select(col("doc_id"), col("lang"), col("source"), col("log_w"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            round(col("log_w") * 1e6).cast("long").as("lw_fx"))
           .orderBy(col("doc_id"))
       },
-      None),
+      Some("""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS ts
+          FROM documents),
+        ngs AS (
+          SELECT doc_id, unnest(ts) AS ng FROM base
+          UNION ALL
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(ts)),
+                        i -> ts[i] || ' ' || ts[i + 1])) AS ng
+          FROM base),
+        feat AS (SELECT doc_id,
+                        ('0x' || substr(sha256(ng), 1, 8))::BIGINT % 4096 AS bucket,
+                        COUNT(*) AS cnt
+                 FROM ngs GROUP BY doc_id, bucket),
+        tb AS (SELECT f.bucket, SUM(f.cnt) AS cnt_t
+               FROM feat f JOIN documents d USING (doc_id)
+               WHERE d.lang = 'en' GROUP BY f.bucket),
+        rb AS (SELECT bucket, SUM(cnt) AS cnt_r FROM feat GROUP BY bucket),
+        j AS (SELECT COALESCE(rb.bucket, tb.bucket) AS bucket,
+                     COALESCE(cnt_t, 0) AS cnt_t, COALESCE(cnt_r, 0) AS cnt_r
+              FROM rb FULL JOIN tb ON rb.bucket = tb.bucket),
+        tot AS (SELECT SUM(cnt_t) AS tot_t, SUM(cnt_r) AS tot_r FROM j),
+        model AS (SELECT bucket,
+                         ln((cnt_t + 0.5) / (tot_t + 2048.0)) -
+                         ln((cnt_r + 0.5) / (tot_r + 2048.0)) AS log_ratio
+                  FROM j, tot),
+        w AS (SELECT f.doc_id, SUM(f.cnt * m.log_ratio) AS log_w
+              FROM feat f JOIN model m USING (bucket) GROUP BY f.doc_id),
+        keyed AS (SELECT doc_id, log_w,
+                         log_w - ln(-ln(
+                           (('0x' || substr(sha256('graft-dsir|' ||
+                              CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                           / 4503599627370496.0)) AS key
+                  FROM w),
+        sel AS (SELECT doc_id, log_w FROM keyed
+                ORDER BY key DESC, doc_id LIMIT 100)
+        SELECT s.doc_id, d.lang, d.source,
+               CAST(round(s.log_w * 1000000) AS BIGINT) AS lw_fx
+        FROM sel s JOIN documents d USING (doc_id)
+        ORDER BY s.doc_id
+      """)),
 
     // ------------------------------------------------------------------
     // URL canonicalization — the crawl dedup key. The documents table

@@ -135,6 +135,48 @@ object StreamQueries {
           AND round((length(clean) - length(regexp_replace(clean, '[.,!?;:]', '', 'g')))
                     / CAST(nullif(length(clean), 0) AS DOUBLE), 6) < 0.3
         ORDER BY doc_id
+      """)),
+
+    // 45: the foreachBatch upsert sink END-TO-END — not a batch
+    // re-expression: the events table is split into two parquet drops
+    // (event_id parity), a REAL readStream + AvailableNow upsertSink
+    // merges them micro-batch by micro-batch into the parquet target
+    // (write-new → rename swap), and the query publishes the final
+    // table. Keyed by (user_id, event_type), latest-by ts: the testdata
+    // carries no (key, ts) ties at any SF (checked sf0.001–0.1), so the
+    // merged table is uniquely the max-ts row per key whatever the
+    // micro-batch boundaries — which is exactly what the oracle
+    // replays with one window.
+    Q("st_upsert_merge",
+      (s, dir) => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-twin")
+        val drop = s"$tmp/drop"; val target = s"$tmp/target"; val ckpt = s"$tmp/ckpt"
+        val ev = Tables.events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+        ev.filter(col("event_id") % 2 === 0)
+          .coalesce(1).write.mode("append").parquet(drop)
+        ev.filter(col("event_id") % 2 === 1)
+          .coalesce(1).write.mode("append").parquet(drop)
+        val src = s.readStream
+          .schema("event_id LONG, user_id LONG, event_type STRING, " +
+            "ts TIMESTAMP_NTZ, value DOUBLE")
+          .option("maxFilesPerTrigger", 1).parquet(drop)
+        StreamOps.upsertSink(src, target, ckpt,
+          keys = Seq("user_id", "event_type"), latestBy = Some("ts"),
+          tieBreakers = Seq("event_id")).awaitTermination()
+        s.read.parquet(target)
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            col("ts"), col("value"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      Some("""
+        SELECT user_id, event_type, event_id, ts, value
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                           ORDER BY ts DESC, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+        ORDER BY user_id, event_type
       """))
   )
 }
