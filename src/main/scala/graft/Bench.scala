@@ -49,10 +49,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      reset()
-    }
+    // SPARK_GRAFT_WARMUP=0 skips the warmup pass — for large-SF scale
+    // runs where per-query runtime dwarfs one-time codegen cost and a
+    // second full pass would double an already-long wall clock.
+    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        reset()
+      }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

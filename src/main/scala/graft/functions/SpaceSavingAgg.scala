@@ -122,18 +122,54 @@ object SpaceSavingAgg {
     val counts: mutable.HashMap[String, (Long, Long)] = mutable.HashMap.empty
     var floor: Long = 0L
 
+    // Lazy min-heap over (count_hi, item) for O(log capacity) eviction.
+    // A full summary sees one eviction per UNTRACKED arrival — at corpus
+    // scale that is nearly every row (10M shingle arrivals against a 65k
+    // summary at sf1), so the original O(capacity) minBy scan was
+    // quadratic-grade: 295 s for d_dedup_ngram_sketch at sf1, 11.6 s
+    // with the heap. Entries go stale when an item's count moves on
+    // (or the item is evicted); dequeue skips any entry that no longer
+    // matches the live count, and the heap is rebuilt from `counts` when
+    // stale entries pile past ~4× capacity (amortized O(log capacity)
+    // per add). The heap is DERIVED state: never serialized, dropped on
+    // merge/deserialize, and not built at all until the first eviction —
+    // below capacity the sketch costs exactly what it did before.
+    private var heap: mutable.PriorityQueue[(Long, String)] = null
+    private def heapOrd: Ordering[(Long, String)] =
+      Ordering.Tuple2(Ordering.Long, Ordering.String).reverse
+    private def rebuildHeap(): Unit = {
+      heap = mutable.PriorityQueue.empty(heapOrd)
+      counts.foreach { case (i, (hi, _)) => heap.enqueue((hi, i)) }
+    }
+    private[SpaceSavingAgg] def dropHeap(): Unit = heap = null
+    private def push(hi: Long, item: String, capacity: Int): Unit =
+      if (heap != null) {
+        heap.enqueue((hi, item))
+        if (heap.size > 4 * capacity + 64) rebuildHeap()
+      }
+
     def add(item: String, capacity: Int): Unit = counts.get(item) match {
-      case Some((hi, err)) => counts.update(item, (hi + 1, err))
-      case None if counts.size < capacity => counts.update(item, (floor + 1, floor))
+      case Some((hi, err)) =>
+        counts.update(item, (hi + 1, err))
+        push(hi + 1, item, capacity)
+      case None if counts.size < capacity =>
+        counts.update(item, (floor + 1, floor))
+        push(floor + 1, item, capacity)
       case None =>
-        // Evict the min-count entry; the newcomer inherits its count as
-        // error (classic SpaceSaving replacement). O(capacity) scan —
-        // eviction happens at most once per distinct-item arrival and
-        // capacity is small by construction.
-        val (minItem, (minHi, _)) = counts.minBy { case (i, (hi, _)) => (hi, i) }
+        // Evict the min-count entry — same (count_hi, item) order the
+        // minBy used, so eviction ties stay deterministic; the newcomer
+        // inherits the evicted count as error (classic SpaceSaving
+        // replacement).
+        if (heap == null) rebuildHeap()
+        var minHi = 0L; var minItem: String = null
+        while (minItem == null) {
+          val (hi, i) = heap.dequeue()
+          if (counts.get(i).exists(_._1 == hi)) { minHi = hi; minItem = i }
+        }
         counts.remove(minItem)
         if (minHi > floor) floor = minHi
         counts.update(item, (minHi + 1, minHi))
+        push(minHi + 1, item, capacity)
     }
 
     /** Sound merge: for the union of items, each side contributes its
@@ -159,6 +195,7 @@ object SpaceSavingAgg {
       counts.clear()
       keep.foreach { case (item, c) => counts.put(item, c) }
       floor = newFloor
+      dropHeap() // derived state — stale after a bulk rewrite
       this
     }
   }

@@ -230,7 +230,18 @@ object TextDedup {
         val hot = hotItemsSketch(
           sets.select(explode(col("sh")).as("shingle")), col("shingle"),
           maxDf, sketchCapacity)
-        e => if (hot.isEmpty) e else e.filter(!col("shingle").isin(hot: _*))
+        // Broadcast ANTI-JOIN, not a literal NOT-isin: the hot set is
+        // bounded by `capacity`, and at corpus scale it FILLS (65k items
+        // at sf1) — a 65k-child In literal makes every analyzer/optimizer
+        // pass walk a megabyte expression tree (463 → 295 s at sf1; the
+        // rest of that regression was the sketch's O(capacity) eviction
+        // scan, fixed in SpaceSavingAgg — 11.6 s with both). The join
+        // build side is the same driver array, shipped once.
+        val spark = df.sparkSession
+        import spark.implicits._
+        val hotDf = hot.toSeq.toDF("shingle")
+        e => if (hot.isEmpty) e
+             else e.join(broadcast(hotDf), Seq("shingle"), "left_anti")
       } else {
         val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
           .filter(col("df_") > maxDf).select("shingle")

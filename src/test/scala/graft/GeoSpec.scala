@@ -63,4 +63,25 @@ class GeoSpec extends AnyFunSuite {
     assert(got == brute)
     assert(got(3L) == 12L)
   }
+
+  test("nearestFacility packed argmin: exact ties break to the smaller fid") {
+    // Point at the exact midpoint of two facilities — equal d2; the
+    // lexicographic (d2, fid) contract keeps fid 20, not 21. A third
+    // facility is strictly nearer for the second point.
+    val fac = Seq((21L, 0L, 0L), (20L, 0L, 2000L), (22L, 5000L, 1000L))
+      .toDF("fid", "f_lat", "f_lon")
+    val p = Seq((1L, 0L, 1000L), (2L, 4800L, 1000L)).toDF("id", "lat_e6", "lon_e6")
+    val got = Geo.nearestFacility(p, fac)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (20L, 1000000L))
+    assert(got(2L) == (22L, 40000L))
+  }
+
+  test("nearestFacility rejects facility ids wider than the pack bits") {
+    val fac = Seq(((1L << 14), 0L, 0L)).toDF("fid", "f_lat", "f_lon")
+    val p = Seq((1L, 0L, 0L)).toDF("id", "lat_e6", "lon_e6")
+    intercept[IllegalArgumentException] {
+      Geo.nearestFacility(p, fac)
+    }
+  }
 }
