@@ -153,4 +153,83 @@ object Geo {
       .select(col("id"), col("pk").bitwiseAND(lit(mask)).as("nearest"),
         col("dist2"))
   }
+
+  /** EXACT nearest facility via grid ring search — the corpus-scale
+    * path when the facility side is NOT broadcastable (millions of
+    * facilities): both sides bucket to grid cells, each round is a
+    * plain shuffle EQUI-JOIN of the unresolved points' probe cells
+    * against the facility cells, and a point is FINAL once its best
+    * candidate lies within `ring · cellE6` — any facility outside the
+    * probed (2·ring+1)² block is strictly farther than that (the block
+    * extends at least ring whole cells beyond the point's own cell in
+    * every direction), so the found argmin is provably global. Rings
+    * double (1, 2, 4, …): a point in a facility-dense region resolves
+    * in round one with a 3×3 probe; empty-region stragglers escalate
+    * geometrically, and the loop runs ≤ log₂(gridSpan) rounds of
+    * ever-smaller frames (the [[DedupResolve]] contraction discipline —
+    * each round's unresolved side is localCheckpointed via
+    * [[Materialize]] to cut lineage). Points with no facility within
+    * `maxRing` cells come back with nearest = null — the caller chose
+    * the grid resolution; same (d2, fid) packed argmin (and therefore
+    * identical tie-breaks and the same preconditions) as
+    * [[nearestFacility]], which GeoSpec pins by equality on shared
+    * inputs and the driver oracle hash-checks against the brute-force
+    * SQL.
+    */
+  def nearestFacilityGrid(pts: DataFrame, fac: DataFrame,
+      latMinE6: Long, lonMinE6: Long, cellE6: Long,
+      maxRing: Int = 64, facIdBits: Int = 14): DataFrame = {
+    val maxFid = fac.agg(max(col("fid"))).collect()(0).getLong(0)
+    require(0 <= maxFid && maxFid < (1L << facIdBits),
+      s"facility ids must fit $facIdBits bits, got max $maxFid")
+    val safeD2 = Long.MaxValue >> facIdBits
+    val mask = (1L << facIdBits) - 1
+    val fcells = Materialize(withCells(
+        fac.select(col("fid").as("id"), col("f_lat").as("lat_e6"),
+          col("f_lon").as("lon_e6")), latMinE6, lonMinE6, cellE6)
+      .select(col("id").as("fid"), col("lat_e6").as("f_lat"),
+        col("lon_e6").as("f_lon"), col("cy").as("by"), col("cx").as("bx")))
+    val d2 =
+      (col("lat_e6") - col("f_lat")) * (col("lat_e6") - col("f_lat")) +
+        (col("lon_e6") - col("f_lon")) * (col("lon_e6") - col("f_lon"))
+    var remaining = Materialize(
+      withCells(pts.select(col("id"), col("lat_e6"), col("lon_e6")),
+        latMinE6, lonMinE6, cellE6))
+    var resolved = Vector.empty[DataFrame]
+    var ring = 1
+    while (ring <= maxRing && !remaining.isEmpty) {
+      // (2·ring+1)² probe block via two nested sequence-explodes — NOT a
+      // literal offset array, whose (2·64+1)² = 16k-element constructor
+      // would bloat the plan the way the 65k-literal In did. Re-probing
+      // inner cells on escalation is deliberate: escalation reaches few
+      // points, and annulus-only probing would force carrying per-point
+      // candidate state across rounds.
+      val probes = remaining
+        .select(col("id"), col("lat_e6"), col("lon_e6"), col("cy"), col("cx"),
+          explode(sequence(lit(-ring), lit(ring))).as("dy"))
+        .select(col("id"), col("lat_e6"), col("lon_e6"),
+          (col("cy") + col("dy")).as("by"), col("cx"),
+          explode(sequence(lit(-ring), lit(ring))).as("dx"))
+        .select(col("id"), col("lat_e6"), col("lon_e6"), col("by"),
+          (col("cx") + col("dx")).as("bx"))
+      val best = probes.join(fcells, Seq("by", "bx"))
+        .select(col("id"), d2.as("d2"), col("fid"))
+        .groupBy(col("id"))
+        .agg(min(col("d2")).as("dist2"),
+          min(when(col("d2") <= safeD2,
+            shiftleft(col("d2"), facIdBits) + col("fid"))).as("pk"))
+      val guard = lit(ring * cellE6) * lit(ring * cellE6)
+      val joined = Materialize(remaining.join(best, Seq("id"), "left"))
+      resolved = resolved :+ joined.filter(col("dist2") <= guard)
+        .select(col("id"), col("pk").bitwiseAND(lit(mask)).as("nearest"),
+          col("dist2"))
+      remaining = Materialize(joined.filter(
+          col("dist2").isNull || col("dist2") > guard)
+        .select(col("id"), col("lat_e6"), col("lon_e6"), col("cy"), col("cx")))
+      ring *= 2
+    }
+    val leftover = remaining.select(col("id"),
+      lit(null).cast("long").as("nearest"), lit(null).cast("long").as("dist2"))
+    (resolved :+ leftover).reduce(_ unionByName _)
+  }
 }

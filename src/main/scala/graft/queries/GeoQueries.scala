@@ -132,6 +132,46 @@ object GeoQueries {
                  FROM pts, fac GROUP BY id)
         SELECT id AS custkey, b.fid AS nearest, b.d2 AS dist2
         FROM best ORDER BY custkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // The SAME nearest-neighbor answer from the corpus-scale plan: no
+    // broadcast, no cross product — facilities bucket to grid cells and
+    // each ring round is a shuffle equi-join on cell, with the
+    // ring·cell distance guarantee making the argmin provably global
+    // (operators/Geo.nearestFacilityGrid). The oracle is the identical
+    // brute-force SQL as q_geo_nearest: a hash-match PROVES the grid
+    // search exact, escalation rounds included (at sf0.01's ~100
+    // facilities the 0.5-degree cell forces multi-ring escalation for
+    // points in sparse regions).
+    Q("q_geo_nearest_grid",
+      (s, dir) => {
+        val fac = Tables.supplier(s, dir)
+          .select(col("s_suppkey").as("fid"),
+            Geo.synthCoordE6(col("s_suppkey"), "slat", LatMin, LatMax),
+            Geo.synthCoordE6(col("s_suppkey"), "slon", LonMin, LonMax))
+          .select(col("fid"), col("slat").as("f_lat"), col("slon").as("f_lon"))
+        Geo.nearestFacilityGrid(custPts(s, dir), fac,
+            LatMin, LonMin, cellE6 = 500000L)
+          .select(col("id").as("custkey"), col("nearest"), col("dist2"))
+          .orderBy(col("custkey"))
+      },
+      Some(s"""
+        WITH $duckPts,
+        fac AS (SELECT s_suppkey AS fid,
+          -5500000 + ('0x' || substr(sha256(CAST(s_suppkey AS VARCHAR) || '|slat'), 1, 12))::BIGINT
+            % 8000001 AS f_lat,
+          -92500000 + ('0x' || substr(sha256(CAST(s_suppkey AS VARCHAR) || '|slon'), 1, 12))::BIGINT
+            % 18000001 AS f_lon
+        FROM supplier),
+        best AS (SELECT id,
+                   min(struct_pack(
+                     d2 := (lat_e6 - f_lat) * (lat_e6 - f_lat)
+                         + (lon_e6 - f_lon) * (lon_e6 - f_lon),
+                     fid := fid)) AS b
+                 FROM pts, fac GROUP BY id)
+        SELECT id AS custkey, b.fid AS nearest, b.d2 AS dist2
+        FROM best ORDER BY custkey
       """))
   )
 }

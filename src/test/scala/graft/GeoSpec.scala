@@ -84,4 +84,37 @@ class GeoSpec extends AnyFunSuite {
       Geo.nearestFacility(p, fac)
     }
   }
+
+  test("nearestFacilityGrid equals the broadcast path, escalation included") {
+    // 60 random points, 8 facilities clumped in one corner of a
+    // 10M x 10M box with cell 200k: points far from the clump need
+    // several ring doublings before the guarantee closes — the
+    // escalation path is exercised, and the answers must still match
+    // the broadcast argmin exactly (same packed (d2, fid) tie-break).
+    val rnd = new scala.util.Random(31)
+    val p = (1L to 60L).map(i =>
+      (i, rnd.nextLong(10000000L), rnd.nextLong(10000000L)))
+      .toDF("id", "lat_e6", "lon_e6")
+    val fac = (0L until 8L).map(f =>
+      (f, rnd.nextLong(400000L), rnd.nextLong(400000L)))
+      .toDF("fid", "f_lat", "f_lon")
+    val grid = Geo.nearestFacilityGrid(p, fac, 0L, 0L, cellE6 = 200000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bc = Geo.nearestFacility(p, fac)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(grid == bc)
+  }
+
+  test("nearestFacilityGrid: points beyond maxRing come back null") {
+    val fac = Seq((1L, 0L, 0L)).toDF("fid", "f_lat", "f_lon")
+    val p = Seq((1L, 100L, 100L), (2L, 9000000L, 9000000L))
+      .toDF("id", "lat_e6", "lon_e6")
+    // maxRing 2 with cell 100k reaches 200k: point 2 (≈12.7M away) is
+    // out of range and must be explicit-null, never silently dropped.
+    val got = Geo.nearestFacilityGrid(p, fac, 0L, 0L, cellE6 = 100000L,
+        maxRing = 2)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L) == Some(1L) && got(2L) == None)
+  }
 }
