@@ -334,12 +334,20 @@ object TextDedup {
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("ord"), col("shingle")))).as("sorted"),
         count(lit(1)).as("sz"))
-      .select(col("id"),
+      .select(col("id"), col("sz"),
         explode(slice(transform(col("sorted"), _.getField("shingle")),
           lit(1), (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
           .as("shingle"))
+    // PPJoin LENGTH filter alongside the prefix filter: Jaccard ≥ t
+    // forces t·|A| ≤ |B| ≤ |A|/t, so size-incompatible pairs are pruned
+    // INSIDE the join — sound (the candidate set stays a superset of
+    // the true pairs; LeakageSplitSpec's refinement proof still holds),
+    // and it is the bound that keeps hot prefix shingles from pairing
+    // short docs against everything at corpus scale.
     prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id") &&
+        col("b.sz") >= col("a.sz") * threshold &&
+        col("a.sz") >= col("b.sz") * threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
   }
 

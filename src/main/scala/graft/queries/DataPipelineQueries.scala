@@ -1269,7 +1269,7 @@ object DataPipelineQueries {
         ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
         dfreq AS (SELECT shingle, COUNT(*) AS df FROM ex GROUP BY shingle),
         szs AS (SELECT doc_id, len(sh) AS sz FROM sh),
-        pfx AS (SELECT doc_id, shingle FROM (
+        pfx AS (SELECT doc_id, sz, shingle FROM (
                   SELECT e.doc_id, e.shingle, s.sz,
                          ROW_NUMBER() OVER (PARTITION BY e.doc_id
                                             ORDER BY d.df, e.shingle) AS rn
@@ -1279,7 +1279,8 @@ object DataPipelineQueries {
                 WHERE rn <= sz - CAST(ceil(sz * 0.8) AS BIGINT) + 1),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                  FROM pfx a JOIN pfx b
-                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  AND b.sz >= a.sz * 0.8 AND a.sz >= b.sz * 0.8),
         e AS (SELECT id_a AS u, id_b AS v FROM cand
               UNION SELECT id_b, id_a FROM cand
               UNION SELECT id_a, id_a FROM cand
