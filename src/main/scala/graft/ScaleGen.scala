@@ -31,7 +31,11 @@ object ScaleGen {
     val factor = if (args.length > 2) args(2).toInt else 10
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.harness(cpus)
+    try run(spark, srcDir, outDir, factor) finally spark.stop()
+  }
 
+  def run(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def keyBase(t: String, k: String): Long =
       src(t).agg(max(col(k))).collect()(0).getLong(0) + 1L
@@ -105,6 +109,5 @@ object ScaleGen {
       .drop("r"), "embeddings", 4)
 
     println(s"[scalegen] wrote ${factor}x of $srcDir to $outDir")
-    spark.stop()
   }
 }
