@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev utility: scale the driver testdata by integer replication for
@@ -47,6 +47,19 @@ object ScaleGen {
     val evB = keyBase("events", "event_id")
     val docB = keyBase("documents", "doc_id")
     val vecB = keyBase("embeddings", "vec_id")
+
+    // Shifted keys top out at base·factor − 1. The name re-derivation
+    // below lpads to exactly 9 digits, and Spark's lpad TRUNCATES wider
+    // input — which would silently reintroduce the duplicate-name
+    // block-inflation artifact it exists to prevent. Fail loudly instead.
+    require(custB * factor <= 1000000000L && suppB * factor <= 1000000000L,
+      s"factor $factor pushes customer/supplier keys past 9 digits " +
+        s"(custB=$custB, suppB=$suppB); widen the name format first")
+    // The per-replica vocabulary suffix uses '~' as its delimiter; a
+    // source token already containing '~' could collide with a suffixed
+    // twin and break the claimed within-replica vocabulary bijection.
+    require(src("documents").filter(col("text").contains("~")).isEmpty,
+      "source documents.text contains '~'; pick a different suffix delimiter")
 
     val reps = spark.range(factor).select(col("id").cast("int").as("r"))
     def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
@@ -99,15 +112,29 @@ object ScaleGen {
         src("documents").schema("n_chars").dataType))
       .drop("r"), "documents", 8)
 
-    // Rotate by r: slice is 1-based; r=0 keeps the original order.
-    val dim = size(col("embedding"))
-    val rotated = when(col("r") === 0, col("embedding")).otherwise(
-      concat(slice(col("embedding"), col("r") + 1, dim - col("r")),
-        slice(col("embedding"), lit(1), col("r"))))
     write(replicate(src("embeddings"), "vec_id" -> vecB)
-      .withColumn("embedding", rotated)
+      .withColumn("embedding", embeddingTransform(col("embedding"), col("r")))
       .drop("r"), "embeddings", 4)
 
     println(s"[scalegen] wrote ${factor}x of $srcDir to $outDir")
+  }
+
+  /** Per-replica orthogonal transform of an embedding: rotate by
+    * `r mod dim` (slice is 1-based; a plain rotate-by-r underflows
+    * `slice` once factor > dim — found the hard way at factor 100),
+    * then flip signs at positions where xxhash64(r, j) is odd. Both
+    * steps are orthogonal — every within-replica dot product and norm
+    * is preserved EXACTLY — and the sign pattern is what decorrelates
+    * replicas that share a rotation (r ≡ r' mod dim), which a rotation
+    * alone would make identical copies. r=0 is the untouched source.
+    */
+  private[graft] def embeddingTransform(emb: Column, r: Column): Column = {
+    val dim = size(emb)
+    val rot = pmod(r, dim)
+    val rotated = when(rot === 0, emb).otherwise(
+      concat(slice(emb, rot + 1, dim - rot), slice(emb, lit(1), rot)))
+    when(r === 0, emb).otherwise(
+      zip_with(rotated, sequence(lit(0), dim - 1),
+        (v, j) => when(pmod(xxhash64(r, j), lit(2)) === 0, v).otherwise(-v)))
   }
 }

@@ -28,6 +28,21 @@ import org.apache.spark.sql.functions._
   */
 object Geo {
 
+  /** Max facility id, with an explicit empty-side guard (a bare
+    * `getLong(0)` on `max` of an empty frame is an opaque NPE) and the
+    * packing-width check both argmin paths require. Runs one eager
+    * scalar job at call time — the price of validating before building
+    * the plan.
+    */
+  private def checkedMaxFid(fac: DataFrame, facIdBits: Int): Long = {
+    val row = fac.agg(max(col("fid"))).collect()(0)
+    require(!row.isNullAt(0), "facility side must be non-empty")
+    val maxFid = row.getLong(0)
+    require(0 <= maxFid && maxFid < (1L << facIdBits),
+      s"facility ids must fit $facIdBits bits, got max $maxFid")
+    maxFid
+  }
+
   /** Deterministic sha256-derived micro-degree coordinate in
     * [minE6, maxE6] — 48 bits of the digest mod the span, the same
     * portable derivation the LSH twins use, so an oracle replays it
@@ -136,9 +151,7 @@ object Geo {
     */
   def nearestFacility(pts: DataFrame, fac: DataFrame,
       facIdBits: Int = 14): DataFrame = {
-    val maxFid = fac.agg(max(col("fid"))).collect()(0).getLong(0)
-    require(0 <= maxFid && maxFid < (1L << facIdBits),
-      s"facility ids must fit $facIdBits bits, got max $maxFid")
+    checkedMaxFid(fac, facIdBits)
     val safeD2 = Long.MaxValue >> facIdBits
     val mask = (1L << facIdBits) - 1
     val d2 =
@@ -175,20 +188,53 @@ object Geo {
     * [[nearestFacility]], which GeoSpec pins by equality on shared
     * inputs and the driver oracle hash-checks against the brute-force
     * SQL.
+    *
+    * Two self-containment guards:
+    *  - The per-ring resolve threshold is `min((ring·cellE6)², safeD2)`
+    *    (computed overflow-free): a candidate whose d2 exceeds the pack
+    *    limit contributes null to the packed argmin, so resolving past
+    *    safeD2 would publish a non-null dist2 with a NULL nearest.
+    *    Clamping makes such points ESCALATE instead; configs whose
+    *    coordinate box genuinely exceeds the ~23.7-degree packing range
+    *    end with nearest = dist2 = null rather than a silent half-answer.
+    *  - A facility cell holding more than `maxCellOccupancy` facilities
+    *    (dense metro at coarse cellE6) is sub-split: facilities salt by
+    *    `xxhash64(fid) mod ceil(n / maxCellOccupancy)` and the probe side
+    *    explodes every salt of a hot cell (the split table is hot cells
+    *    only — broadcastable), so no single join group ever exceeds
+    *    ~maxCellOccupancy facilities regardless of how skewed the
+    *    facility distribution is. Cold cells pay one broadcast lookup
+    *    and a 1-element explode — plan shape unchanged. Exactness is
+    *    untouched: salts partition a cell's facilities, and the probe
+    *    covers all of them (GeoSpec plants a degenerate one-cell
+    *    facility blob and pins equality with the broadcast path).
     */
   def nearestFacilityGrid(pts: DataFrame, fac: DataFrame,
       latMinE6: Long, lonMinE6: Long, cellE6: Long,
-      maxRing: Int = 64, facIdBits: Int = 14): DataFrame = {
-    val maxFid = fac.agg(max(col("fid"))).collect()(0).getLong(0)
-    require(0 <= maxFid && maxFid < (1L << facIdBits),
-      s"facility ids must fit $facIdBits bits, got max $maxFid")
+      maxRing: Int = 64, facIdBits: Int = 14,
+      maxCellOccupancy: Int = 4096): DataFrame = {
+    checkedMaxFid(fac, facIdBits)
+    require(maxCellOccupancy > 0, "maxCellOccupancy must be positive")
     val safeD2 = Long.MaxValue >> facIdBits
     val mask = (1L << facIdBits) - 1
-    val fcells = Materialize(withCells(
+    val fcells0 = Materialize(withCells(
         fac.select(col("fid").as("id"), col("f_lat").as("lat_e6"),
           col("f_lon").as("lon_e6")), latMinE6, lonMinE6, cellE6)
       .select(col("id").as("fid"), col("lat_e6").as("f_lat"),
         col("lon_e6").as("f_lon"), col("cy").as("by"), col("cx").as("bx")))
+    // Hot-cell split counts: one aggregate over the facility side, kept
+    // only where occupancy exceeds the cap — small by construction.
+    val occ = Materialize(fcells0.groupBy(col("by"), col("bx"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxCellOccupancy)
+      .select(col("by"), col("bx"),
+        expr(s"cast((n + ${maxCellOccupancy - 1}) DIV $maxCellOccupancy as int)")
+          .as("nsplit")))
+    val fcells = Materialize(fcells0
+      .join(broadcast(occ), Seq("by", "bx"), "left")
+      .withColumn("salt",
+        pmod(xxhash64(col("fid")), coalesce(col("nsplit"), lit(1))).cast("int"))
+      .drop("nsplit"))
     val d2 =
       (col("lat_e6") - col("f_lat")) * (col("lat_e6") - col("f_lat")) +
         (col("lon_e6") - col("f_lon")) * (col("lon_e6") - col("f_lon"))
@@ -212,13 +258,23 @@ object Geo {
           explode(sequence(lit(-ring), lit(ring))).as("dx"))
         .select(col("id"), col("lat_e6"), col("lon_e6"), col("by"),
           (col("cx") + col("dx")).as("bx"))
-      val best = probes.join(fcells, Seq("by", "bx"))
+        .join(broadcast(occ), Seq("by", "bx"), "left")
+        .select(col("id"), col("lat_e6"), col("lon_e6"), col("by"), col("bx"),
+          explode(sequence(lit(0), coalesce(col("nsplit"), lit(1)) - 1))
+            .as("salt"))
+      val best = probes.join(fcells, Seq("by", "bx", "salt"))
         .select(col("id"), d2.as("d2"), col("fid"))
         .groupBy(col("id"))
         .agg(min(col("d2")).as("dist2"),
           min(when(col("d2") <= safeD2,
             shiftleft(col("d2"), facIdBits) + col("fid"))).as("pk"))
-      val guard = lit(ring * cellE6) * lit(ring * cellE6)
+      // Resolve threshold clamped at safeD2 (overflow-free via BigInt):
+      // past the pack limit a point escalates rather than "resolving"
+      // with a null argmin.
+      val guard = {
+        val rc = BigInt(ring) * BigInt(cellE6)
+        lit((rc * rc).min(BigInt(safeD2)).toLong)
+      }
       val joined = Materialize(remaining.join(best, Seq("id"), "left"))
       resolved = resolved :+ joined.filter(col("dist2") <= guard)
         .select(col("id"), col("pk").bitwiseAND(lit(mask)).as("nearest"),

@@ -158,26 +158,34 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) None
-    else {
-      val (w, h) = (img.getWidth, img.getHeight)
-      val sx = math.max(1, w / 64)
-      val sy = math.max(1, h / 64)
-      var sum = 0.0
-      var n = 0
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
-            0.114 * (rgb & 0xff)
-          n += 1
-          x += sx
-        }
-        y += sy
+    else Some((img.getWidth, img.getHeight, sniffFormat(bytes),
+      sampledLuminance(img)))
+  }
+
+  /** Mean luminance over a bounded sample grid (≤64×64 probes whatever
+    * the image size) — shared by [[decodeImage]] and the decode-once
+    * feature-store pass so both publish bit-identical brightness.
+    */
+  private[operators] def sampledLuminance(
+      img: java.awt.image.BufferedImage): Double = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sx = math.max(1, w / 64)
+    val sy = math.max(1, h / 64)
+    var sum = 0.0
+    var n = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        sum += 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        n += 1
+        x += sx
       }
-      Some((w, h, sniffFormat(bytes), if (n == 0) 0.0 else sum / n))
+      y += sy
     }
+    if (n == 0) 0.0 else sum / n
   }
 
   /** ======== STUB (fallback) ========
@@ -567,7 +575,13 @@ object Multimodal {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       catch { case scala.util.control.NonFatal(_) => null }
-    if (img == null) return None
+    if (img == null) None else Some(pHashOf(img))
+  }
+
+  /** pHash over an ALREADY-DECODED image — the decode-once feature
+    * store computes dims, luminance and pHash from one `ImageIO.read`;
+    * [[pHash]] is the bytes-in wrapper. */
+  private[operators] def pHashOf(img: java.awt.image.BufferedImage): Long = {
     val n = 32
     val scaled = new java.awt.image.BufferedImage(n, n,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -638,7 +652,7 @@ object Multimodal {
       if (ac(i) > median) hash |= 1L << i
       i += 1
     }
-    Some(hash)
+    hash
   }
 
   /** LSH band geometry over a 64-bit hash: `windows` overlapping

@@ -11,6 +11,27 @@ import graft.streaming.StreamOps
   */
 object StreamQueries {
 
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** Per-JVM scratch slot for the streaming upsert twin: each invocation
+    * wipes and reuses ONE directory (so warmup/timed/verify passes in a
+    * bench loop don't each leak a fresh temp dir), and a shutdown hook
+    * removes it at JVM exit. Safe to wipe at invocation start: the only
+    * reader of the previous contents is the previous invocation's
+    * returned frame, already materialized by the time a new run begins.
+    */
+  private lazy val upsertScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-upsert-twin")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // 42: canonicalize (the streaming ingest transform)
@@ -149,7 +170,8 @@ object StreamQueries {
     // replays with one window.
     Q("st_upsert_merge",
       (s, dir) => {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-upsert-twin")
+        deleteRec(upsertScratch)
+        val tmp = java.nio.file.Files.createDirectories(upsertScratch)
         val drop = s"$tmp/drop"; val target = s"$tmp/target"; val ckpt = s"$tmp/ckpt"
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),

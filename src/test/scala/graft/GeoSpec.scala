@@ -105,6 +105,35 @@ class GeoSpec extends AnyFunSuite {
     assert(grid == bc)
   }
 
+  test("nearestFacilityGrid sub-splits a degenerate hot facility cell") {
+    // 5000 facilities planted in ONE grid cell (plus one decoy far away)
+    // with maxCellOccupancy = 64: the hot cell must split into
+    // ceil(5000/64) = 79 salted groups — no join group wider than the cap
+    // — and the answers must still equal the broadcast argmin exactly,
+    // including the packed (d2, fid) tie-break inside the hot cell.
+    val rnd = new scala.util.Random(47)
+    val fac = ((0L until 5000L).map(f =>
+        (f, 10000L + rnd.nextLong(80000L), 10000L + rnd.nextLong(80000L))) :+
+        (5001L, 9000000L, 9000000L))
+      .toDF("fid", "f_lat", "f_lon")
+    val p = (1L to 40L).map(i =>
+      (i, rnd.nextLong(4000000L), rnd.nextLong(4000000L)))
+      .toDF("id", "lat_e6", "lon_e6")
+    val grid = Geo.nearestFacilityGrid(p, fac, 0L, 0L, cellE6 = 100000L,
+        maxCellOccupancy = 64)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bc = Geo.nearestFacility(p, fac)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(grid == bc)
+  }
+
+  test("nearestFacility rejects an empty facility side with a clear message") {
+    val fac = Seq.empty[(Long, Long, Long)].toDF("fid", "f_lat", "f_lon")
+    val p = Seq((1L, 0L, 0L)).toDF("id", "lat_e6", "lon_e6")
+    val e = intercept[IllegalArgumentException] { Geo.nearestFacility(p, fac) }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
   test("nearestFacilityGrid: points beyond maxRing come back null") {
     val fac = Seq((1L, 0L, 0L)).toDF("fid", "f_lat", "f_lon")
     val p = Seq((1L, 100L, 100L), (2L, 9000000L, 9000000L))

@@ -96,4 +96,31 @@ class ScaleGenSpec extends AnyFunSuite {
         s"rotation must preserve pairwise dot products: $k $v vs ${d1(k)}")
     }
   }
+
+  test("embedding transform survives factor > dim: orthogonal + distinct per replica") {
+    import spark.implicits._
+    // dim = 4, replicas 0, 1, dim (rotation wraps to 0), dim+1 (same
+    // rotation as 1): the transform must stay length-preserving, keep
+    // pairwise dot products within each replica, and never make two
+    // replicas identical — the r=64 underflow/copy bug at factor 100.
+    val dim = 4
+    val vecs = Seq(Seq(1.0, 2.0, -3.0, 0.5), Seq(0.25, -1.0, 4.0, 2.0))
+    val rows = for (r <- Seq(0, 1, dim, dim + 1); (v, i) <- vecs.zipWithIndex)
+      yield (r, i, v)
+    val out = rows.toDF("r", "i", "embedding")
+      .withColumn("t", ScaleGen.embeddingTransform(col("embedding"), col("r")))
+      .collect().map(x => (x.getInt(0), x.getInt(1)) -> x.getSeq[Double](3))
+      .toMap
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map(t => t._1 * t._2).sum
+    val want = dot(vecs(0), vecs(1))
+    for (r <- Seq(0, 1, dim, dim + 1)) {
+      assert(math.abs(dot(out((r, 0)), out((r, 1))) - want) < 1e-12,
+        s"replica $r must preserve within-replica dot products")
+      assert(math.abs(dot(out((r, 0)), out((r, 0))) - dot(vecs(0), vecs(0))) < 1e-12)
+    }
+    assert(out((0, 0)) == vecs(0), "r=0 is the untouched source")
+    val images = Seq(0, 1, dim, dim + 1).map(r => out((r, 0)))
+    assert(images.distinct.size == images.size,
+      "no two replicas may produce identical embeddings (r ≡ r' mod dim included)")
+  }
 }
