@@ -52,12 +52,21 @@ object Bench {
     // SPARK_GRAFT_WARMUP=0 skips the warmup pass — for large-SF scale
     // runs where per-query runtime dwarfs one-time codegen cost and a
     // second full pass would double an already-long wall clock.
+    // SPARK_GRAFT_ONLY=a,b,c restricts the board to the named queries —
+    // the scale-probe knob (e.g. the df-growth family at sf10) and the
+    // sf1 regression gate's fast path (tools/sf_gate.py).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, sfDir).count() catch { case _: Throwable => () }
         reset()
       }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

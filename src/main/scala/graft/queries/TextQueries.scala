@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{DedupResolve, IvfIndex, Multimodal, SemDedup, Similarity, TextClean, TextDedup, TextStats}
+import graft.operators.{DedupResolve, IvfIndex, MediaFeatureStore, Multimodal, SemDedup, Similarity, TextClean, TextDedup, TextStats}
 import graft.sources.Tables
 
 /** LLM-training-data operators (SURVEY.md §2.3) wired to the driver tables.
@@ -26,6 +26,59 @@ object TextQueries {
     bpeMergeCache.computeIfAbsent(dir, _ =>
       graft.operators.Bpe.trainFromCorpus(
         Tables.documents(s, dir), "text", numMerges = 50, maxWords = 2000))
+
+  // ------------------------------------------------------------------
+  // Decode-once media feature store (SURVEY §2.3 rows 41/41c/41d/88):
+  // ONE decode pass per session per corpus dir writes the parquet
+  // feature store; every registered media query reads FEATURES, never
+  // bytes. m_features_build FORCES a rebuild so the full decode cost is
+  // visible in exactly one board slot regardless of query order.
+  // ------------------------------------------------------------------
+
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  private lazy val mediaScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-media-store-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
+  private val mediaStoreBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** All four synthetic media kinds in one frame — the single decode
+    * pass generates AND decodes each media item exactly once. */
+  private def synthMedia(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap(id => Iterator(
+        ("png", id, Multimodal.synthPng(id)),
+        ("pattern", id, Multimodal.synthPatternPng(id)),
+        ("wav", id, Multimodal.synthWav(id)),
+        ("video", id, Multimodal.synthVideo(id, 4)))))
+      .toDF("kind", "id", "media")
+  }
+
+  private def mediaStore(s: org.apache.spark.sql.SparkSession, dir: String,
+      forceRebuild: Boolean = false): org.apache.spark.sql.DataFrame = {
+    if (forceRebuild) mediaStoreBuilt.remove(dir)
+    val path = mediaStoreBuilt.computeIfAbsent(dir, _ => {
+      val p = mediaScratch
+        .resolve("sf" + Integer.toHexString(dir.hashCode)).toString
+      MediaFeatureStore.build(synthMedia(s, dir), p)
+      p
+    })
+    MediaFeatureStore.load(s, path)
+  }
 
   /** Distinct lowercase-whitespace 3-gram shingles — the portable (sha256-
     * replayable) tokenization shared by d_minhash_portable and
@@ -1103,23 +1156,39 @@ object TextQueries {
     // 41: multimodal plumbing — binary column + mapPartitions feature
     // extraction (decode stubbed; see Multimodal.decodeStub)
     Q("m_multimodal_meta",
-      (s, dir) => {
-        import s.implicits._
-        // REAL media: a deterministic PNG per doc (Multimodal.synthPng),
-        // decoded by the REAL ImageIO path on executors — true dims,
-        // sniffed format, sampled luminance. Rows-only (DuckDB has no
-        // image codec); TextOpsSpec pins exact dims/format/brightness.
-        // The documents parquet is a single file → one input partition;
-        // spread the per-row encode/decode across the cluster first.
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, Multimodal.synthPng(id))))
-          .toDF("doc_id", "media")
-          .withColumn("mime", lit("image/png"))
-        Multimodal.extractFeatures(media, "doc_id", "media", "mime")
-          .orderBy(col("id"))
-      },
+      (s, dir) =>
+        // REAL media features (true ImageIO dims, sniffed format, sampled
+        // luminance) read from the decode-once feature store — the bytes
+        // were decoded exactly once when the session's store was built
+        // (MediaStoreSpec pins store == per-query decoder bit-for-bit).
+        // Rows-only (DuckDB has no image codec); TextOpsSpec pins exact
+        // dims/format/brightness.
+        mediaStore(s, dir).filter(col("kind") === "png")
+          .select(col("id"), col("byte_len"), col("content_hash"),
+            col("width"), col("height"), col("format"), col("brightness"))
+          .orderBy(col("id")),
       None),
+
+    // ------------------------------------------------------------------
+    // 41e: the decode-once build pass itself, registered so the FULL
+    // decode cost sits in exactly one board slot: forces a rebuild
+    // (session memo dropped), decodes all four media kinds in ONE
+    // mapPartitions pass, and publishes the store's row accounting —
+    // which DuckDB oracles from the documents table (4 kinds × docs,
+    // id range preserved per kind).
+    Q("m_features_build",
+      (s, dir) => mediaStore(s, dir, forceRebuild = true)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy(col("kind")),
+      Some("""
+        SELECT k.kind, count(*) AS n, min(d.doc_id) AS min_id,
+               max(d.doc_id) AS max_id
+        FROM documents d
+        CROSS JOIN (SELECT unnest(['pattern', 'png', 'video', 'wav']) AS kind) k
+        GROUP BY k.kind ORDER BY k.kind
+      """)),
 
     // ------------------------------------------------------------------
     // 41d: image NEAR-DUP dedup by DCT perceptual hash — the multimodal
@@ -1137,12 +1206,15 @@ object TextQueries {
     // planted-cluster geometry, the recall floors, and the skew bound.
     Q("m_image_phash",
       (s, dir) => {
-        import s.implicits._
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, Multimodal.synthPatternPng(id))))
-          .toDF("doc_id", "media")
-        Multimodal.phashPairs(media, "doc_id", "media", maxHamming = 10)
+        // Hashes come from the decode-once store (kind 'pattern'); only
+        // the 64-bit-key candidate/verify pipeline runs here. Same
+        // result as hashing in-query: store phash == Multimodal.pHash
+        // per id (MediaStoreSpec), and rows with null phash (undecodable
+        // bytes) are dropped exactly like pHash's None.
+        val hashed = mediaStore(s, dir).filter(col("kind") === "pattern")
+          .filter(col("phash").isNotNull)
+          .select(col("id"), col("phash").as("ph"))
+        Multimodal.phashPairsFromHashes(hashed, maxHamming = 10)
           .orderBy(col("id_a"), col("id_b"))
       },
       None),
@@ -1157,20 +1229,17 @@ object TextQueries {
     // formula — a broken parser cannot hash-match. RMS (float sine
     // arithmetic) is pinned in TextOpsSpec instead.
     Q("m_audio_meta",
-      (s, dir) => {
-        import s.implicits._
-        // Single-file scan → repartition so decode parallelizes (see 41).
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, Multimodal.synthWav(id))))
-          .toDF("doc_id", "media")
-        Multimodal.extractAudioFeatures(media, "doc_id", "media")
+      (s, dir) =>
+        // RIFF/PCM readout from the decode-once store (kind 'wav') — the
+        // oracle still recomputes every field from the generative
+        // formula, so a broken parser in the BUILD pass cannot
+        // hash-match either.
+        mediaStore(s, dir).filter(col("kind") === "wav")
           .select(col("id"), col("byte_len").cast("long").as("byte_len"),
             col("sample_rate").cast("long").as("sample_rate"),
             col("channels").cast("long").as("channels"),
             col("n_frames"), col("duration_ms"))
-          .orderBy(col("id"))
-      },
+          .orderBy(col("id")),
       Some("""
         SELECT doc_id AS id,
                44 + 2 * frames AS byte_len,
@@ -1191,21 +1260,17 @@ object TextQueries {
     // (frame index, true dims, frames found); DuckDB recomputes them
     // from the generative formula. Brightness/offsets are spec'd.
     Q("m_video_frames",
-      (s, dir) => {
-        import s.implicits._
-        // Single-file scan → repartition so the 4-frame decode fan-out
-        // parallelizes (see 41).
-        val media = Tables.documents(s, dir)
-          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
-          .mapPartitions(_.map(id => (id, Multimodal.synthVideo(id, 4))))
-          .toDF("doc_id", "media")
-        Multimodal.sampleVideoFrames(media, "doc_id", "media", maxFrames = 4)
-          .select(col("id"), col("frame_idx").cast("long").as("frame_idx"),
-            col("width").cast("long").as("width"),
-            col("height").cast("long").as("height"),
-            col("n_frames").cast("long").as("n_frames"))
-          .orderBy(col("id"), col("frame_idx"))
-      },
+      (s, dir) =>
+        // Container walk + per-frame decode happened once in the build
+        // pass; this explodes the stored frame features. Oracle still
+        // recomputes dims/frame count from the generative formula.
+        mediaStore(s, dir).filter(col("kind") === "video")
+          .select(col("id"), explode(col("frames")).as("f"))
+          .select(col("id"), col("f.frame_idx").cast("long").as("frame_idx"),
+            col("f.width").cast("long").as("width"),
+            col("f.height").cast("long").as("height"),
+            col("f.n_frames").cast("long").as("n_frames"))
+          .orderBy(col("id"), col("frame_idx")),
       Some("""
         SELECT d.doc_id AS id, f.f AS frame_idx,
                8 + (d.doc_id + 3 * f.f) % 16 AS width,

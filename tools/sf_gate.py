@@ -1,0 +1,68 @@
+#!/usr/bin/env python3
+"""Scale regression gate: compare a fresh Bench board against a recorded
+prior and fail on unexplained per-query blowups.
+
+Usage:
+  # 1) run the board (sf1 example; add SPARK_GRAFT_ONLY=a,b,c for a subset)
+  SPARK_GRAFT_SF_DIR=/root/repo/.scale/sf1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_WARMUP=0 sbt -batch "runMain graft.Bench" 2>&1 | tee /tmp/b.log
+  # 2) extract the BENCH_DETAIL line into JSON and gate it
+  python3 tools/sf_gate.py /tmp/b.log BENCH_sf1.json --factor 3
+
+The first argument may be either a Bench log (the BENCH_DETAIL line is
+parsed out of it) or a JSON file holding {"queries": {name: sec}} /
+a flat {name: sec} map. The prior is BENCH_sf1.json-shaped. A query is
+flagged when new > factor * prior AND new - prior > abs_floor (default
+2 s — sub-second queries bounce multiples on host noise; see SURVEY §7's
+variance note). Exit code 1 when anything is flagged, so a round cannot
+close on a silent sf1 regression without an explanation row in SURVEY.
+"""
+import json
+import re
+import sys
+
+
+def load_queries(path):
+    text = open(path, encoding="utf-8").read()
+    m = re.findall(r"BENCH_DETAIL (\{.*\})", text)
+    if m:
+        return json.loads(m[-1])
+    d = json.loads(text)
+    if isinstance(d, dict) and "queries" in d:
+        return d["queries"]
+    return d
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = {a.split("=")[0].lstrip("-"): a.split("=", 1)[1] if "=" in a else None
+            for a in sys.argv[1:] if a.startswith("--")}
+    if "factor" in opts and opts["factor"] is None:  # --factor 3 style
+        i = sys.argv.index("--factor")
+        opts["factor"] = sys.argv[i + 1]
+        args = [a for a in args if a != opts["factor"]]
+    factor = float(opts.get("factor") or 3.0)
+    abs_floor = float(opts.get("floor") or 2.0)
+    new_path, prior_path = args[0], args[1]
+    new = load_queries(new_path)
+    prior = load_queries(prior_path)
+    flagged, missing = [], []
+    for name, sec in sorted(new.items()):
+        if name not in prior:
+            missing.append(name)
+            continue
+        p = prior[name]
+        if p > 0 and sec > factor * p and sec - p > abs_floor:
+            flagged.append((name, p, sec, sec / p))
+    for name in missing:
+        print(f"NEW   {name}: no prior — record it in the prior board")
+    for name, p, sec, r in flagged:
+        print(f"FLAG  {name}: {p:.2f}s -> {sec:.2f}s ({r:.1f}x > {factor}x)")
+    kept = [n for n in new if n in prior]
+    print(f"== {len(kept)} compared, {len(flagged)} flagged, "
+          f"{len(missing)} without prior ==")
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
