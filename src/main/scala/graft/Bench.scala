@@ -25,7 +25,7 @@ object Bench {
     "d_minhash_portable", "q_ntile", "m_multimodal_meta", "m_audio_meta",
     "m_video_frames", "d_dedup_containment", "d_dedup_cdc",
     "q_triangle_count", "s_kmeans_lloyd", "m_image_phash", "x_leakage_split",
-    "q_geo_density", "x_dedup_eval")
+    "x_leakage_split_banded", "q_geo_density", "x_dedup_eval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1298,6 +1298,79 @@ object DataPipelineQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // The BANDED leakage split: same split semantics, but the edges are
+    // BIPARTITE doc → MinHash-band-bucket edges fed straight into
+    // connected components — docs sharing any band bucket connect
+    // THROUGH the bucket node, which is component-equivalent to the
+    // pairwise within-bucket edge set (LeakageSplitSpec proves the
+    // equivalence) without EVER generating it. That removes the
+    // Σ bucket² pair-join term that makes both sibling variants grow
+    // with corpus-wide shingle df: per-doc cost here is a constant 16
+    // band edges, components run star contraction (high-degree bucket
+    // nodes are exactly what large-star rounds contract), and no
+    // maxBucket cap is needed — a flood bucket is one fat node, not a
+    // quadratic pair explosion. The trade: unlike the prefix-filter
+    // candidates this edge set is NOT a deterministic superset of the
+    // Jaccard ≥ t pairs — recall per true pair at J ≥ 0.8 is
+    // 1−(1−J²)¹⁶ ≥ 1−0.36¹⁶ ≈ 1−8.7e−8 (16 bands × 2 rows), so the
+    // guarantee is probabilistic-but-astronomical rather than proved.
+    // Signatures/bands are the sha256 portable family, so the WHOLE
+    // pipeline — minhash, band buckets, bucket-node ids, closure,
+    // split — replays bit-exactly in the oracle. Bucket node ids live
+    // at 2^61 + sha256-derived 60-bit, strictly above every doc_id, so
+    // the component min-label is automatically the min doc_id.
+    Q("x_leakage_split_banded",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val bands = TextQueries.portableBands(
+          TextQueries.portableMinhashSig(docs))
+        val bucketBase = 2305843009213693952L // 2^61
+        val edges = bands.select(col("doc_id").as("id_a"),
+          (conv(substring(sha2(concat_ws(":",
+              col("b").cast("string"), col("k1").cast("string"),
+              col("k2").cast("string")), 256), 1, 15), 16, 10)
+            .cast("long") + lit(bucketBase)).as("id_b"))
+        leakageSplitFrom(docs, edges)
+      },
+      Some("""
+        WITH RECURSIVE
+        base AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x <> '') AS ts
+                 FROM documents),
+        sh AS (SELECT doc_id,
+                 list_distinct(list_transform(range(0, len(ts) - 2),
+                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
+               FROM base WHERE len(ts) >= 3),
+        hx AS (SELECT doc_id, seed,
+                 MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
+                                     CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh
+               FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+                    (SELECT unnest(range(0, 32)) AS seed)
+               GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hx GROUP BY doc_id),
+        bands AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        be AS (SELECT doc_id AS u,
+                      CAST(('0x' || substr(sha256(CAST(b AS VARCHAR) || ':' ||
+                            CAST(k1 AS VARCHAR) || ':' || CAST(k2 AS VARCHAR)), 1, 15))::UBIGINT
+                           AS BIGINT) + 2305843009213693952 AS v
+               FROM bands),
+        e AS (SELECT u, v FROM be
+              UNION SELECT v, u FROM be
+              UNION SELECT u, u FROM be),
+        reach(u, v) AS (SELECT u, v FROM e
+                        UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+        lab AS (SELECT u AS id, MIN(v) AS label FROM reach GROUP BY u),
+        g AS (SELECT d.doc_id, coalesce(l.label, d.doc_id) AS grp
+              FROM documents d LEFT JOIN lab l ON l.id = d.doc_id)
+        SELECT doc_id, grp,
+               CASE WHEN ('0x' || substr(sha256(CAST(grp AS VARCHAR)), 1, 8))::UBIGINT
+                         % 100 < 90
+                    THEN 'train' ELSE 'heldout' END AS split
+        FROM g ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // Deterministic weighted sampling WITHOUT replacement (per-language
     // top-k), the quality-weighted document sampler a mixing stage runs.
     // Efraimidis–Spirakis semantics with an INTEGER-EXACT key: a doc of

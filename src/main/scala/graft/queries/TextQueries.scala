@@ -103,7 +103,7 @@ object TextQueries {
     * explode spreads the single-file scan; the shared exchange is reused
     * by both the distinct-shingle side and the join probe side.
     */
-  private def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) = {
+  private[graft] def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) = {
     import graft.operators.Materialize
     val hs = flatten(transform(
       array((0 until 4).map(g =>
@@ -120,7 +120,7 @@ object TextQueries {
   }
 
   /** 16 bands × 2 rows over a 32-long signature frame. */
-  private def portableBands(sig: org.apache.spark.sql.DataFrame) =
+  private[graft] def portableBands(sig: org.apache.spark.sql.DataFrame) =
     sig.select(col("doc_id"), explode(
         transform(sequence(lit(0), lit(15)),
           b => struct(b.as("b"),
