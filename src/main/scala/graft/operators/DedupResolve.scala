@@ -23,6 +23,37 @@ import org.apache.spark.storage.StorageLevel
   */
 object DedupResolve {
 
+  /** Connected components over a BUCKET-MEMBERSHIP frame (`id`,
+    * `bucket`): all ids sharing a bucket land in one component, without
+    * ever generating within-bucket PAIRS. Each bucket is contracted to
+    * a STAR — edges (min id of the bucket → other members) — which has
+    * the same transitive closure as the bucket clique (every member
+    * reaches every other through the minimum), so a flood bucket of n
+    * rows costs n−1 edges, not n²/2. This is the scale shape for every
+    * LSH-band / fingerprint-bucket grouping consumer that needs GROUPS
+    * rather than scored pairs (e.g. the banded leakage split): at sf10
+    * the bipartite doc→bucket-node alternative left a 6M-vertex graph
+    * that star contraction ground through in 131 s; the bucket-star
+    * transform solves the same components in 24 s (2.5M doc-only
+    * edges, r8 measurement). Ids absent from every shared bucket are
+    * singletons and simply don't appear in the output (the usual
+    * coalesce-to-self contract downstream).
+    */
+  def bucketComponents(membership: DataFrame, idCol: String = "id",
+      bucketCol: String = "bucket"): DataFrame = {
+    val m = membership.select(col(idCol).as("id"), col(bucketCol).as("bucket"))
+    val starEdges = m
+      .join(m.groupBy("bucket").agg(min(col("id")).as("id_a")), "bucket")
+      .filter(col("id_a") =!= col("id"))
+      .select(col("id_a"), col("id").as("id_b"))
+      // Distinct BEFORE the driver-vs-distributed probe: the same
+      // (min, member) edge repeats once per shared band, and the raw
+      // multiplicity is what pushes mid-size graphs past the driver
+      // union-find threshold.
+      .distinct()
+    connectedComponents(starEdges)
+  }
+
   /** labels(id → component) for every vertex present in `pairs`
     * (columns id_a, id_b). Component id = min vertex id in the component.
     *

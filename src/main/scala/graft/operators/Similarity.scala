@@ -223,17 +223,53 @@ object Similarity {
     * Candidates share the full bucket key (all sign bits); exact cosine
     * is recomputed only within buckets, so the only shuffle moves
     * (id, bucket, vec) rows into bucket-keyed partitions.
+    *
+    * Occupancy guard (the SemDedup sign-bit pattern): the plane count is
+    * FIXED, so bucket population grows linearly with the corpus and the
+    * within-bucket self-join grows QUADRATICALLY — unguarded, this was
+    * the r8 sf10 scale-killer (s_ann_lsh: 4 planes = 16 buckets, ~31k
+    * rows/bucket at 100× data, 398 s ≈ 80× the sf1 cost for 10× rows).
+    * Buckets past `maxBucket` rows are therefore refined by just enough
+    * extra hyperplane sign bits to bring EXPECTED occupancy back under
+    * the cap: bits = ⌈log₂(n/maxBucket)⌉ (per-bucket adaptive, capped at
+    * `refinePlanes`), taken as the top bits of one shared
+    * `refinePlanes`-bit key from an independent plane family. Both join
+    * sides derive bits from the same broadcast count, so the key is
+    * consistent. Below the cap nothing changes — the d_dedup_embedding /
+    * s_ann_lsh_portable oracles (driver SFs never fill a bucket past
+    * `maxBucket`) stay bit-identical. Recall degrades gracefully instead
+    * of the join degenerating: a near-dup pair at cosine c crosses a
+    * refinement plane with probability arccos(c)/π per bit (exact dups:
+    * never — identical vectors share every sign bit).
     */
   def annLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Seq[Double]]): DataFrame = {
+      planes: Seq[Seq[Double]], maxBucket: Int = 1024,
+      refinePlanes: Int = 16, refineSeed: Long = 0x5eed2L): DataFrame = {
+    require(maxBucket > 0 && refinePlanes >= 1 && refinePlanes <= 60)
+    val dim = planes.head.length
     // Materialized (leak-free, see Materialize): referenced on both sides
     // of the self-join — without it the bucket signature (numPlanes dot
     // products per row) is computed twice.
     val withBucket = Materialize(
       corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
         .withColumn("bucket", lshBucketFromPlanes(col("vec"), planes)))
-    withBucket.as("a").join(withBucket.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    // ≤ 2^numPlanes rows — broadcast no matter the corpus size.
+    val counts = withBucket.groupBy("bucket").agg(count(lit(1)).as("bucket_n"))
+    val keyed = withBucket.join(broadcast(counts), "bucket")
+      .withColumn("__subfull", lshBucket(col("vec"), refinePlanes, dim, refineSeed))
+      .withColumn("bits",
+        when(col("bucket_n") > maxBucket,
+          least(ceil(log(2.0, col("bucket_n").cast("double") / maxBucket)),
+            lit(refinePlanes.toDouble)))
+          .otherwise(lit(0.0)).cast("int"))
+      .withColumn("sub",
+        when(col("bits") > 0,
+          expr(s"shiftright(__subfull, $refinePlanes - bits)"))
+          .otherwise(lit(0L)))
+    val pruned = keyed.drop("bucket_n", "bits", "__subfull")
+    pruned.as("a").join(pruned.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.sub") === col("b.sub") &&
+        col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine(col("a.vec"), col("b.vec")).as("cosine"))
   }

@@ -31,10 +31,17 @@ object DataPipelineQueries {
     * between the exact and candidate edge sources).
     */
   private def leakageSplitFrom(docs: org.apache.spark.sql.DataFrame,
-      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val comps = DedupResolve.connectedComponents(
+      edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    leakageSplitFromComps(docs, DedupResolve.connectedComponents(
         edges.select(col("id_a"), col("id_b")))
-      .withColumnRenamed("id", "doc_id")
+      .withColumnRenamed("id", "doc_id"))
+
+  /** Split tail shared by the edge-based and bucket-based variants:
+    * component label (falling back to the doc itself for singletons) →
+    * sha256 side decision.
+    */
+  private def leakageSplitFromComps(docs: org.apache.spark.sql.DataFrame,
+      comps: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     docs.select(col("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("grp"))
@@ -1298,39 +1305,35 @@ object DataPipelineQueries {
       """)),
 
     // ------------------------------------------------------------------
-    // The BANDED leakage split: same split semantics, but the edges are
-    // BIPARTITE doc → MinHash-band-bucket edges fed straight into
-    // connected components — docs sharing any band bucket connect
-    // THROUGH the bucket node, which is component-equivalent to the
-    // pairwise within-bucket edge set (LeakageSplitSpec proves the
-    // equivalence) without EVER generating it. That removes the
-    // Σ bucket² pair-join term that makes both sibling variants grow
-    // with corpus-wide shingle df: per-doc cost here is a constant 16
-    // band edges, components run star contraction (high-degree bucket
-    // nodes are exactly what large-star rounds contract), and no
-    // maxBucket cap is needed — a flood bucket is one fat node, not a
-    // quadratic pair explosion. The trade: unlike the prefix-filter
-    // candidates this edge set is NOT a deterministic superset of the
-    // Jaccard ≥ t pairs — recall per true pair at J ≥ 0.8 is
-    // 1−(1−J²)¹⁶ ≥ 1−0.36¹⁶ ≈ 1−8.7e−8 (16 bands × 2 rows), so the
-    // guarantee is probabilistic-but-astronomical rather than proved.
-    // Signatures/bands are the sha256 portable family, so the WHOLE
-    // pipeline — minhash, band buckets, bucket-node ids, closure,
-    // split — replays bit-exactly in the oracle. Bucket node ids live
-    // at 2^61 + sha256-derived 60-bit, strictly above every doc_id, so
-    // the component min-label is automatically the min doc_id.
+    // The BANDED leakage split: same split semantics, but the groups
+    // come from MinHash-band BUCKET MEMBERSHIP fed through the
+    // bucket-star contraction (`DedupResolve.bucketComponents`): each
+    // band bucket contracts to (min member → other members) STAR edges
+    // — the same transitive closure as the within-bucket clique
+    // (LeakageSplitSpec proves the equivalence) without ever generating
+    // pairs. That removes the Σ bucket² pair-join term that makes both
+    // sibling variants grow with corpus-wide shingle df: per-doc cost
+    // is a constant 16 band memberships, a flood bucket costs n−1
+    // star edges instead of n²/2 pairs, and no maxBucket cap is
+    // needed. The trade: unlike the prefix-filter candidates this edge
+    // set is NOT a deterministic superset of the Jaccard ≥ t pairs —
+    // recall per true pair at J ≥ 0.8 is 1−(1−J²)¹⁶ ≥ 1−8.7e−8
+    // (16 bands × 2 rows), so the guarantee is
+    // probabilistic-but-astronomical rather than proved. Signatures and
+    // bands are the sha256 portable family, so the WHOLE pipeline —
+    // minhash, band buckets, star edges, closure, split — replays
+    // bit-exactly in the oracle.
     Q("x_leakage_split_banded",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
         val bands = TextQueries.portableBands(
           TextQueries.portableMinhashSig(docs))
-        val bucketBase = 2305843009213693952L // 2^61
-        val edges = bands.select(col("doc_id").as("id_a"),
-          (conv(substring(sha2(concat_ws(":",
-              col("b").cast("string"), col("k1").cast("string"),
-              col("k2").cast("string")), 256), 1, 15), 16, 10)
-            .cast("long") + lit(bucketBase)).as("id_b"))
-        leakageSplitFrom(docs, edges)
+        leakageSplitFromComps(docs,
+          DedupResolve.bucketComponents(
+              bands.select(col("doc_id"),
+                struct(col("b"), col("k1"), col("k2")).as("bucket")),
+              idCol = "doc_id")
+            .withColumnRenamed("id", "doc_id"))
       },
       Some("""
         WITH RECURSIVE
@@ -1350,14 +1353,15 @@ object DataPipelineQueries {
         sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hx GROUP BY doc_id),
         bands AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
                   FROM sig, (SELECT unnest(range(0, 16)) AS b)),
-        be AS (SELECT doc_id AS u,
-                      CAST(('0x' || substr(sha256(CAST(b AS VARCHAR) || ':' ||
-                            CAST(k1 AS VARCHAR) || ':' || CAST(k2 AS VARCHAR)), 1, 15))::UBIGINT
-                           AS BIGINT) + 2305843009213693952 AS v
-               FROM bands),
-        e AS (SELECT u, v FROM be
-              UNION SELECT v, u FROM be
-              UNION SELECT u, u FROM be),
+        mn AS (SELECT b, k1, k2, MIN(doc_id) AS m
+               FROM bands GROUP BY b, k1, k2),
+        p AS (SELECT DISTINCT mn.m AS u, bands.doc_id AS v
+              FROM bands JOIN mn USING (b, k1, k2)
+              WHERE bands.doc_id <> mn.m),
+        e AS (SELECT u, v FROM p
+              UNION SELECT v, u FROM p
+              UNION SELECT u, u FROM p
+              UNION SELECT v, v FROM p),
         reach(u, v) AS (SELECT u, v FROM e
                         UNION SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
         lab AS (SELECT u AS id, MIN(v) AS label FROM reach GROUP BY u),
@@ -1369,6 +1373,44 @@ object DataPipelineQueries {
                     THEN 'train' ELSE 'heldout' END AS split
         FROM g ORDER BY doc_id
       """)),
+
+    // ------------------------------------------------------------------
+    // The banded split over the FAST xxhash64 minhash family — the
+    // production-path twin of x_leakage_split_banded, same band
+    // geometry (16×2 over 32 positions) and the same bucket-star
+    // component shape, with the sha256 portability discipline swapped
+    // for the native xxhash64 signatures
+    // (TextDedup.withMinhashSignature/bandKeys — one narrow codegen'd
+    // projection, no per-shingle join). rows-only like every xxhash64
+    // query (no DuckDB builtin) — the portable twin is the bit-level
+    // oracle anchor, same pattern as d_dedup_minhash_lsh (32) /
+    // d_minhash_portable (32b).
+    Q("x_leakage_split_banded_fast",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        // Doc-keyed repartition BEFORE the signature projection: the
+        // corpus parquet is few-files/compact (58 MB at sf10 = ONE scan
+        // split), and the per-doc 32-way minhash is the CPU-dominant
+        // stage — computed in the scan projection it runs on one core
+        // (246 s at sf10 vs 8.5 s spread, r8 measurement). Same
+        // discipline as portableMinhashSig's repartition.
+        val spreadDocs = docs.select(col("doc_id"), col("text"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+            col("doc_id"))
+        val bands = TextDedup.withMinhashSignature(
+            spreadDocs, "text",
+            shingleN = 3, numHashes = 32)
+          .select(col("doc_id"),
+            posexplode(TextDedup.bandKeys(col("sig"), 32, 2))
+              .as(Seq("band", "key")))
+        leakageSplitFromComps(docs,
+          DedupResolve.bucketComponents(
+              bands.select(col("doc_id"),
+                xxhash64(col("band"), col("key")).as("bucket")),
+              idCol = "doc_id")
+            .withColumnRenamed("id", "doc_id"))
+      },
+      None),
 
     // ------------------------------------------------------------------
     // Deterministic weighted sampling WITHOUT replacement (per-language

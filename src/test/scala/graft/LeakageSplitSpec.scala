@@ -73,42 +73,37 @@ class LeakageSplitSpec extends AnyFunSuite {
   // Banded variant: bipartite doc→bucket edges into components.
   // --------------------------------------------------------------
 
-  /** The banded split's edge frames over an arbitrary doc table, built
-    * the same way the registered query builds them (sha256 portable
-    * minhash → 16×2 bands → bucket-node ids at 2^61+hash).
+  /** The banded split's bucket-membership frame over an arbitrary doc
+    * table, built the same way the registered query builds it (sha256
+    * portable minhash → 16×2 bands → (b,k1,k2) bucket key).
     */
   private def bandedState(d: org.apache.spark.sql.DataFrame) = {
     val bands = graft.queries.TextQueries.portableBands(
       graft.queries.TextQueries.portableMinhashSig(
         d.select(col("doc_id"), col("text"))))
-    val bucketBase = 2305843009213693952L
-    val bucket = conv(substring(sha2(concat_ws(":",
-        col("b").cast("string"), col("k1").cast("string"),
-        col("k2").cast("string")), 256), 1, 15), 16, 10)
-      .cast("long") + lit(bucketBase)
-    bands.select(col("doc_id"), bucket.as("bucket"))
+    bands.select(col("doc_id"),
+      struct(col("b"), col("k1"), col("k2")).as("bucket"))
   }
 
-  test("bipartite bucket components equal pairwise within-bucket components") {
+  private def bucketSplit(m: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    DedupResolve.bucketComponents(m, idCol = "doc_id")
+      .as[(Long, Long)].collect().toMap
+
+  test("bucket-star components equal pairwise within-bucket components") {
     val be = bandedState(docs).cache()
-    val bipartite = split(
-      be.select(col("doc_id").as("id_a"), col("bucket").as("id_b")))
+    val starred = bucketSplit(be)
     val pairwise = split(
       be.as("a").join(be.as("b"),
           col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
-    // Restricted to doc nodes, labels must agree EXACTLY: bucket nodes
-    // sit above 2^61 > every doc id, so each bipartite component's min
-    // label is its min doc id — the same label min-doc pairwise
-    // contraction assigns. Docs with a unique bucket are singletons on
-    // the pairwise side (absent from its map); their bipartite label
-    // must be themselves.
-    val docIds = docs.select("doc_id").as[Long].collect()
-    for (id <- docIds; lbl <- bipartite.get(id)) {
-      assert(lbl == pairwise.getOrElse(id, id),
-        s"doc $id: bipartite label $lbl != pairwise ${pairwise.getOrElse(id, id)}")
-    }
+    // The star transform (min member → others) must have exactly the
+    // clique's transitive closure: every doc in a shared bucket carries
+    // the same min-doc component label under both constructions. Docs
+    // only in singleton buckets are absent from both maps.
+    assert(pairwise.nonEmpty, "test corpus must produce shared buckets")
+    assert(starred == pairwise,
+      s"star/pairwise disagree: ${(starred.toSet diff pairwise.toSet).take(5)}")
     be.unpersist()
   }
 
@@ -119,8 +114,7 @@ class LeakageSplitSpec extends AnyFunSuite {
     // materially fails here.
     val exactLabels = split(
       TextDedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.8))
-    val banded = split(bandedState(docs)
-      .select(col("doc_id").as("id_a"), col("bucket").as("id_b")))
+    val banded = bucketSplit(bandedState(docs))
     val byExact = exactLabels.groupBy(_._2).values
     for (grp <- byExact) {
       val bandedGrps = grp.keys.map(id => banded.getOrElse(id, id)).toSet
@@ -141,6 +135,19 @@ class LeakageSplitSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "sf0.001 corpus must contain near-dup pairs")
     exact.foreach { case (a, b) =>
       assert(sides(a) == sides(b), s"near-dups $a,$b split across banded sides")
+    }
+  }
+
+  test("family members always share a side under the banded fast (xxhash64) split") {
+    val result = SparkEntry.queries("x_leakage_split_banded_fast")(spark, sfDir)
+    val sides = result.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(sides.values.toSet.subsetOf(Set("train", "heldout")))
+    val d = graft.sources.Tables.documents(spark, sfDir)
+    assert(sides.keySet == d.select("doc_id").as[Long].collect().toSet)
+    val exact = TextDedup.ngramJaccardJoin(d, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    exact.foreach { case (a, b) =>
+      assert(sides(a) == sides(b), s"near-dups $a,$b split across banded-fast sides")
     }
   }
 

@@ -334,4 +334,63 @@ class SessionizeIvfSpec extends AnyFunSuite {
     assert(spark.read.parquet(path + "/index")
       .filter(col("id") % 4 === 0).count() > 0)
   }
+
+  test("annLshPairs occupancy guard: flood bucket splits, exact dups never separate") {
+    import graft.operators.Similarity
+    // 800 vectors crammed into ONE primary bucket: tight cluster around a
+    // base vector far from every plane boundary, plus 20 planted EXACT
+    // duplicate pairs (identical vectors — identical sign bits under any
+    // plane family, so no refinement bit can ever separate them).
+    val dim = 16
+    val planes = Similarity.hyperplanes(4, dim).map(_.toSeq).toSeq
+    // The sf10 failure mode: a flood bucket of DIVERSE vectors that share
+    // only the 4 coarse sign bits (few planes = few buckets, so random
+    // directions pile up ~n/16 per bucket). Refinement planes DO split
+    // such a bucket — unlike a near-identical clump, whose quadratic
+    // pair-set is semantically required output. Build it by generating
+    // random vectors and keeping the modal coarse bucket.
+    def pdot(a: Array[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def bucketOf(v: Array[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) => if (pdot(v, p) >= 0) 1L << i else 0L }.sum
+    val rnd = new scala.util.Random(11)
+    val pool = Vector.fill(16000)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val (modal, members) = pool.groupBy(bucketOf).maxBy(_._2.size)
+    assert(members.size >= 780, s"modal bucket only ${members.size}")
+    val crowd = members.take(760).zipWithIndex.map { case (v, i) =>
+      (i.toLong, v.map(_.toFloat).toSeq)
+    }
+    val dups = members.slice(760, 780).zipWithIndex.flatMap { case (v, i) =>
+      val vv = v.map(_.toFloat).toSeq
+      Seq((10000L + 2 * i, vv), (10001L + 2 * i, vv))
+    }
+    val df = (crowd ++ dups).toDF("id", "vec")
+    // Sanity: the cluster really floods one bucket (guard precondition).
+    val buckets = df.select(Similarity.lshBucketFromPlanes(col("vec"), planes).as("b"))
+      .groupBy("b").count().as[(Long, Long)].collect()
+    assert(buckets.map(_._2).max > 700, s"corpus must flood one bucket: $buckets")
+    val pairs = Similarity.annLshPairs(df, "id", "vec", planes, maxBucket = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // Guard engaged: an unguarded flood bucket of 800 rows yields
+    // ~320k pairs; ⌈log2(800/64)⌉ = 4 refinement bits cut expected
+    // occupancy to ~50 — the pair count must collapse accordingly.
+    assert(pairs.length < 60000, s"guard did not split the flood bucket: ${pairs.length} pairs")
+    // Exact duplicates always share every refinement sign bit.
+    val pairSet = pairs.toSet
+    (0 until 20).foreach { i =>
+      assert(pairSet.contains((10000L + 2 * i, 10001L + 2 * i)),
+        s"exact-dup pair ${10000 + 2 * i} lost by refinement")
+    }
+    // Under the cap nothing changes: same call with a roomy cap equals
+    // the unguarded all-pairs join of the flood bucket.
+    val roomy = Similarity.annLshPairs(df, "id", "vec", planes, maxBucket = 100000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unguarded = {
+      val b = df.select(col("id"),
+        Similarity.lshBucketFromPlanes(col("vec"), planes).as("b"))
+      b.as("a").join(b.as("bb"),
+          col("a.b") === col("bb.b") && col("a.id") < col("bb.id"))
+        .select(col("a.id"), col("bb.id")).as[(Long, Long)].collect().toSet
+    }
+    assert(roomy == unguarded, "below the cap the guard must be invisible")
+  }
 }
