@@ -533,9 +533,23 @@ object TextQueries {
     // probe fraction is the knob.
     Q("x_dedup_eval",
       (s, dir) => {
-        val docs = Tables.documents(s, dir).filter(
-          conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
-            .cast("long") % 100 < 50)
+        // BOUNDED probe sample, not a fixed fraction: pct =
+        // min(50, ⌈2.5M/n⌉) caps the sample near 25k docs however big
+        // the corpus is. A fixed 50% made the quadratic truth join grow
+        // with the corpus' square — 12 s at sf1 but 695 s at sf10 (r8
+        // isolated measurement, the round's third scale-killer). At
+        // every driver SF (n ≤ 50k) pct stays 50, so oracle outputs are
+        // unchanged; the pct rides in-plan via a broadcast scalar
+        // (integer arithmetic, replayed by the oracle's COUNT(*)
+        // subquery) — no driver-side action.
+        val base = Tables.documents(s, dir)
+        val docs = base
+          .crossJoin(broadcast(base.agg(count(lit(1)).as("__n"))))
+          .filter(
+            conv(substring(sha2(col("doc_id").cast("string"), 256), 1, 8), 16, 10)
+              .cast("long") % 100 <
+            least(lit(50L), expr("(2500000 + __n - 1) DIV __n")))
+          .drop("__n")
         val sig = portableMinhashSig(docs)
         val bands = portableBands(sig)
         val cand = bands.as("a").join(bands.as("b"),
@@ -575,7 +589,9 @@ object TextQueries {
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
                  x -> x <> '') AS ts
           FROM documents
-          WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 50),
+          WHERE ('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 <
+                LEAST(50, (2500000 + (SELECT COUNT(*) FROM documents) - 1)
+                          // (SELECT COUNT(*) FROM documents))),
         sh AS (SELECT doc_id,
                  list_distinct(list_transform(range(0, len(ts) - 2),
                    i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
