@@ -30,16 +30,18 @@ object Geo {
 
   /** Max facility id, with an explicit empty-side guard (a bare
     * `getLong(0)` on `max` of an empty frame is an opaque NPE) and the
-    * packing-width check both argmin paths require. Runs one eager
+    * decimal-packing bound both argmin paths require. Runs one eager
     * scalar job at call time — the price of validating before building
     * the plan.
     */
-  private def checkedMaxFid(fac: DataFrame, facIdBits: Int): Long = {
+  private def checkedMaxFid(fac: DataFrame): Long = {
     val row = fac.agg(max(col("fid"))).collect()(0)
     require(!row.isNullAt(0), "facility side must be non-empty")
     val maxFid = row.getLong(0)
-    require(0 <= maxFid && maxFid < (1L << facIdBits),
-      s"facility ids must fit $facIdBits bits, got max $maxFid")
+    // d2 ≤ 2·(360e6)² ≈ 2.6e17 for any micro-degree input, so the packed
+    // decimal d2·(maxFid+1)+fid stays ≤ 2.6e35 < 10^38 under this bound.
+    require(0 <= maxFid && maxFid < 1000000000000000000L,
+      s"facility ids must stay below 1e18, got max $maxFid")
     maxFid
   }
 
@@ -134,26 +136,22 @@ object Geo {
     * stays a linear scan with a map-side partial agg; no shuffle ever
     * carries more than one row per point.
     *
-    * The argmin runs on ONE packed long, `d2 << facIdBits | fid`, so
-    * the aggregate keeps a primitive buffer and stays in whole-stage
-    * HashAggregate — `min(struct(d2, fid))` has a struct buffer, which
-    * forces SortAggregate: a full per-partition SORT of the
-    * points × facilities cross product (measured 22.9 s vs 1.4 s at
-    * sf0.1, and quadratically worse with scale). Preconditions, both
-    * enforced: facility ids fit `facIdBits` (checked against the
-    * broadcast side's max), and d2 ≤ Long.Max >> facIdBits — with the
-    * default 14 bits that is distances up to ~23e6 micro-degrees, far
-    * beyond any box this module's planar (equirectangular) metric is
-    * valid in, so the clamp guard below never engages on legitimate
-    * input; a candidate past it contributes null to the packed min
-    * (never a wrapped negative), and dist2 — published from its own
-    * plain min — is exact regardless.
+    * The argmin runs on ONE packed `decimal(38,0)`,
+    * `d2 · (maxFid+1) + fid`, so the aggregate keeps a fixed-width
+    * UnsafeRow buffer and stays in HashAggregate — `min(struct(d2,
+    * fid))` has a struct buffer, which forces SortAggregate: a full
+    * per-partition SORT of the points × facilities cross product
+    * (measured 22.9 s vs 1.4 s at sf0.1, and quadratically worse with
+    * scale). The r7 long packing (`d2 << facIdBits | fid`) capped
+    * facility ids at 2^facIdBits — the sf10 probe broke it at 100k
+    * facilities, and widening the bits shrank the representable d2
+    * range below legitimate coordinate boxes. The decimal pack has no
+    * such trade: d2 ≤ 2·(360e6)² for ANY micro-degree input and ids
+    * below 1e18 (enforced) keep the product under 10^38 — exact, no
+    * clamp, no null-argmin edge.
     */
-  def nearestFacility(pts: DataFrame, fac: DataFrame,
-      facIdBits: Int = 14): DataFrame = {
-    checkedMaxFid(fac, facIdBits)
-    val safeD2 = Long.MaxValue >> facIdBits
-    val mask = (1L << facIdBits) - 1
+  def nearestFacility(pts: DataFrame, fac: DataFrame): DataFrame = {
+    val b = checkedMaxFid(fac) + 1
     val d2 =
       (col("lat_e6") - col("f_lat")) * (col("lat_e6") - col("f_lat")) +
         (col("lon_e6") - col("f_lon")) * (col("lon_e6") - col("f_lon"))
@@ -161,9 +159,9 @@ object Geo {
       .select(col("id"), d2.as("d2"), col("fid"))
       .groupBy(col("id"))
       .agg(min(col("d2")).as("dist2"),
-        min(when(col("d2") <= safeD2,
-          shiftleft(col("d2"), facIdBits) + col("fid"))).as("pk"))
-      .select(col("id"), col("pk").bitwiseAND(lit(mask)).as("nearest"),
+        min(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * lit(b) + col("fid")).as("pk"))
+      .select(col("id"), (col("pk") % lit(b)).cast("long").as("nearest"),
         col("dist2"))
   }
 
@@ -189,14 +187,7 @@ object Geo {
     * inputs and the driver oracle hash-checks against the brute-force
     * SQL.
     *
-    * Two self-containment guards:
-    *  - The per-ring resolve threshold is `min((ring·cellE6)², safeD2)`
-    *    (computed overflow-free): a candidate whose d2 exceeds the pack
-    *    limit contributes null to the packed argmin, so resolving past
-    *    safeD2 would publish a non-null dist2 with a NULL nearest.
-    *    Clamping makes such points ESCALATE instead; configs whose
-    *    coordinate box genuinely exceeds the ~23.7-degree packing range
-    *    end with nearest = dist2 = null rather than a silent half-answer.
+    * Self-containment guard:
     *  - A facility cell holding more than `maxCellOccupancy` facilities
     *    (dense metro at coarse cellE6) is sub-split: facilities salt by
     *    `xxhash64(fid) mod ceil(n / maxCellOccupancy)` and the probe side
@@ -211,12 +202,10 @@ object Geo {
     */
   def nearestFacilityGrid(pts: DataFrame, fac: DataFrame,
       latMinE6: Long, lonMinE6: Long, cellE6: Long,
-      maxRing: Int = 64, facIdBits: Int = 14,
+      maxRing: Int = 64,
       maxCellOccupancy: Int = 4096): DataFrame = {
-    checkedMaxFid(fac, facIdBits)
+    val b = checkedMaxFid(fac) + 1
     require(maxCellOccupancy > 0, "maxCellOccupancy must be positive")
-    val safeD2 = Long.MaxValue >> facIdBits
-    val mask = (1L << facIdBits) - 1
     val fcells0 = Materialize(withCells(
         fac.select(col("fid").as("id"), col("f_lat").as("lat_e6"),
           col("f_lon").as("lon_e6")), latMinE6, lonMinE6, cellE6)
@@ -266,18 +255,17 @@ object Geo {
         .select(col("id"), d2.as("d2"), col("fid"))
         .groupBy(col("id"))
         .agg(min(col("d2")).as("dist2"),
-          min(when(col("d2") <= safeD2,
-            shiftleft(col("d2"), facIdBits) + col("fid"))).as("pk"))
-      // Resolve threshold clamped at safeD2 (overflow-free via BigInt):
-      // past the pack limit a point escalates rather than "resolving"
-      // with a null argmin.
+          min(col("d2").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * lit(b) + col("fid")).as("pk"))
+      // Resolve threshold (overflow-free via BigInt; d2 itself is a
+      // long, so a ring whose guard exceeds Long.Max resolves all).
       val guard = {
         val rc = BigInt(ring) * BigInt(cellE6)
-        lit((rc * rc).min(BigInt(safeD2)).toLong)
+        lit((rc * rc).min(BigInt(Long.MaxValue)).toLong)
       }
       val joined = Materialize(remaining.join(best, Seq("id"), "left"))
       resolved = resolved :+ joined.filter(col("dist2") <= guard)
-        .select(col("id"), col("pk").bitwiseAND(lit(mask)).as("nearest"),
+        .select(col("id"), (col("pk") % lit(b)).cast("long").as("nearest"),
           col("dist2"))
       remaining = Materialize(joined.filter(
           col("dist2").isNull || col("dist2") > guard)

@@ -77,12 +77,25 @@ class GeoSpec extends AnyFunSuite {
     assert(got(2L) == (22L, 40000L))
   }
 
-  test("nearestFacility rejects facility ids wider than the pack bits") {
-    val fac = Seq(((1L << 14), 0L, 0L)).toDF("fid", "f_lat", "f_lon")
-    val p = Seq((1L, 0L, 0L)).toDF("id", "lat_e6", "lon_e6")
-    intercept[IllegalArgumentException] {
-      Geo.nearestFacility(p, fac)
-    }
+  test("nearestFacility handles wide facility ids exactly (decimal argmin)") {
+    // The r7 long packing rejected fids past 2^14 — the sf10 probe hit
+    // exactly that with 100k facilities. The decimal pack must stay
+    // exact for wide ids AND wide coordinate boxes at once (the long
+    // pack could not hold both), including the min-fid tie-break.
+    val fac = Seq(
+      (100000000000L, 0L, 0L), (99999L, 0L, 0L), // exact tie at origin
+      (70000L, 179000000L, 85000000L)
+    ).toDF("fid", "f_lat", "f_lon")
+    val p = Seq(
+      (1L, 1L, 0L),                       // nearest = the origin tie pair
+      (2L, 178999999L, 85000001L)         // far corner of a world box
+    ).toDF("id", "lat_e6", "lon_e6")
+    val got = Geo.nearestFacility(p, fac)
+      .select("id", "nearest", "dist2").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 99999L, 1L), (2L, 70000L, 2L)))
+    // Ids past the decimal bound still fail loudly.
+    val wide = Seq((1000000000000000000L, 0L, 0L)).toDF("fid", "f_lat", "f_lon")
+    intercept[IllegalArgumentException] { Geo.nearestFacility(p, wide) }
   }
 
   test("nearestFacilityGrid equals the broadcast path, escalation included") {
