@@ -41,7 +41,13 @@ object DedupResolve {
     */
   def bucketComponents(membership: DataFrame, idCol: String = "id",
       bucketCol: String = "bucket"): DataFrame = {
-    val m = membership.select(col(idCol).as("id"), col(bucketCol).as("bucket"))
+    // Materialized: the membership frame feeds BOTH sides of the
+    // min-per-bucket join below, and upstream is typically the expensive
+    // part (a 32-way minhash projection for the banded splits) — without
+    // this an unmaterialized pipeline evaluates twice (the
+    // x_leakage_split_banded_fast path measured exactly that).
+    val m = Materialize(
+      membership.select(col(idCol).as("id"), col(bucketCol).as("bucket")))
     val starEdges = m
       .join(m.groupBy("bucket").agg(min(col("id")).as("id_a")), "bucket")
       .filter(col("id_a") =!= col("id"))

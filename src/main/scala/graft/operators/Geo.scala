@@ -34,16 +34,44 @@ object Geo {
     * scalar job at call time — the price of validating before building
     * the plan.
     */
+  /** Largest coordinate magnitude either argmin path accepts: ±1e9
+    * micro-degrees (±1000°, comfortably past any real lat/lon). The d2
+    * bound the decimal pack relies on (d2 ≤ 2·(2e9)² = 8e18) holds only
+    * under this cap — deltas beyond ~3e9 overflow long arithmetic and a
+    * WRAPPED (negative) d2 would silently win every min. So the
+    * "any micro-degree input" precondition is ENFORCED, not assumed:
+    * the bounded facility side is checked eagerly in [[checkedMaxFid]],
+    * the corpus-sized point side in-plan via [[checkedCoord]].
+    */
+  private val CoordBoundE6 = 2000000000L
+
   private def checkedMaxFid(fac: DataFrame): Long = {
-    val row = fac.agg(max(col("fid"))).collect()(0)
+    val row = fac.agg(max(col("fid")),
+      max(abs(col("f_lat"))), max(abs(col("f_lon")))).collect()(0)
     require(!row.isNullAt(0), "facility side must be non-empty")
     val maxFid = row.getLong(0)
-    // d2 ≤ 2·(360e6)² ≈ 2.6e17 for any micro-degree input, so the packed
-    // decimal d2·(maxFid+1)+fid stays ≤ 2.6e35 < 10^38 under this bound.
+    // d2 ≤ 2·(2·CoordBound)² ≈ 3.2e19 under the coordinate cap, so the
+    // packed decimal d2·(maxFid+1)+fid stays ≤ 3.2e37 < 10^38 under the
+    // id bound.
     require(0 <= maxFid && maxFid < 1000000000000000000L,
       s"facility ids must stay below 1e18, got max $maxFid")
+    Seq(1 -> "f_lat", 2 -> "f_lon").foreach { case (i, n) =>
+      require(row.getLong(i) <= CoordBoundE6,
+        s"facility $n exceeds the ±${CoordBoundE6} micro-degree bound " +
+          s"(got ${row.getLong(i)}) — long d2 arithmetic would overflow")
+    }
     maxFid
   }
+
+  /** In-plan coordinate-magnitude guard for the corpus-sized point side
+    * (an eager driver scan there would cost a full extra pass): identity
+    * for in-range values, `raise_error` otherwise. Lives inside the value
+    * projection so column pruning can never drop it.
+    */
+  private def checkedCoord(c: Column, name: String): Column =
+    when(abs(c) <= CoordBoundE6, c).otherwise(raise_error(concat(
+      lit(s"$name exceeds the ±$CoordBoundE6 micro-degree bound: "),
+      c.cast("string"))))
 
   /** Deterministic sha256-derived micro-degree coordinate in
     * [minE6, maxE6] — 48 bits of the digest mod the span, the same
@@ -155,7 +183,10 @@ object Geo {
     val d2 =
       (col("lat_e6") - col("f_lat")) * (col("lat_e6") - col("f_lat")) +
         (col("lon_e6") - col("f_lon")) * (col("lon_e6") - col("f_lon"))
-    pts.crossJoin(broadcast(fac))
+    val checkedPts = pts.select(col("id"),
+      checkedCoord(col("lat_e6"), "lat_e6").as("lat_e6"),
+      checkedCoord(col("lon_e6"), "lon_e6").as("lon_e6"))
+    checkedPts.crossJoin(broadcast(fac))
       .select(col("id"), d2.as("d2"), col("fid"))
       .groupBy(col("id"))
       .agg(min(col("d2")).as("dist2"),
@@ -228,7 +259,9 @@ object Geo {
       (col("lat_e6") - col("f_lat")) * (col("lat_e6") - col("f_lat")) +
         (col("lon_e6") - col("f_lon")) * (col("lon_e6") - col("f_lon"))
     var remaining = Materialize(
-      withCells(pts.select(col("id"), col("lat_e6"), col("lon_e6")),
+      withCells(pts.select(col("id"),
+          checkedCoord(col("lat_e6"), "lat_e6").as("lat_e6"),
+          checkedCoord(col("lon_e6"), "lon_e6").as("lon_e6")),
         latMinE6, lonMinE6, cellE6))
     var resolved = Vector.empty[DataFrame]
     var ring = 1

@@ -241,9 +241,17 @@ object Similarity {
     * of the join degenerating: a near-dup pair at cosine c crosses a
     * refinement plane with probability arccos(c)/π per bit (exact dups:
     * never — identical vectors share every sign bit).
+    *
+    * The guard is OPT-IN (`maxBucket` defaults to unbounded): refinement
+    * trades recall for boundedness — at 4 refinement bits a cosine-0.99
+    * pair is dropped with ~11% probability — and that is a policy the
+    * CALLER must choose, not a silent default that changes an existing
+    * caller's pair set the day a bucket fills. The scale-path query
+    * (s_ann_lsh) passes maxBucket=1024 explicitly; exact-contract
+    * consumers leave it unbounded and keep their bit-stable output.
     */
   def annLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
-      planes: Seq[Seq[Double]], maxBucket: Int = 1024,
+      planes: Seq[Seq[Double]], maxBucket: Int = Int.MaxValue,
       refinePlanes: Int = 16, refineSeed: Long = 0x5eed2L): DataFrame = {
     require(maxBucket > 0 && refinePlanes >= 1 && refinePlanes <= 60)
     val dim = planes.head.length
@@ -276,12 +284,16 @@ object Similarity {
 
   /** LSH-bucketed approximate top-k: candidates share the full bucket key
     * (all `numPlanes` sign bits). Exact cosine is recomputed only within
-    * buckets.
+    * buckets. `maxBucket` opts into the occupancy guard (see
+    * [[annLshPairs]]) — approximate-top-k callers usually should (the
+    * ranking is already probabilistic), exact-pair-set callers decide.
     */
   def annLshTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L): DataFrame =
+      numPlanes: Int, dim: Int, k: Int = 20, seed: Long = 42L,
+      maxBucket: Int = Int.MaxValue): DataFrame =
     annLshPairs(corpus, idCol, vecCol,
-      hyperplanes(numPlanes, dim, seed).map(_.toSeq).toSeq)
+      hyperplanes(numPlanes, dim, seed).map(_.toSeq).toSeq,
+      maxBucket = maxBucket)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b")).limit(k)
 
   /** Embedding near-dup detection: all bucket-colliding pairs at or above

@@ -1341,9 +1341,11 @@ object DataPipelineQueries {
                         x -> x <> '') AS ts
                  FROM documents),
         sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(0, len(ts) - 2),
-                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
-               FROM base WHERE len(ts) >= 3),
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE list_distinct(list_transform(range(0, len(ts) - 2),
+                             i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+                 END AS shs
+               FROM base),
         hx AS (SELECT doc_id, seed,
                  MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
                                      CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh

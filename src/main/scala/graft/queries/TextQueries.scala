@@ -81,18 +81,27 @@ object TextQueries {
   }
 
   /** Distinct lowercase-whitespace 3-gram shingles — the portable (sha256-
-    * replayable) tokenization shared by d_minhash_portable and
-    * x_dedup_eval. Shifted-zip kGrams: lambdas must not touch the `ts`
-    * alias — CollapseProject would inline the tokenizer per shingle
-    * (quadratic interpreted re-evaluation).
+    * replayable) tokenization shared by d_minhash_portable, x_dedup_eval
+    * and the banded leakage split. Shifted-zip kGrams: lambdas must not
+    * touch the `ts` alias — CollapseProject would inline the tokenizer per
+    * shingle (quadratic interpreted re-evaluation).
+    *
+    * Short-doc rule (mirrors `Shingles`' native wordShingles): a doc with
+    * fewer than 3 tokens gets ONE whole-text shingle instead of being
+    * dropped. Dropping made identical short docs singletons keyed by their
+    * own ids — a DETERMINISTIC leakage-split violation (two copies of the
+    * same 2-token doc could land on opposite split sides), far worse than
+    * the banded tier's 8.7e-8 probabilistic miss. The oracles replay the
+    * rule as a CASE on len(ts).
     */
   private def portableShingles(docs: org.apache.spark.sql.DataFrame) = {
     val base = docs.select(col("doc_id"),
         filter(split(lower(col("text")), "\\s+"), t => t =!= "").as("ts"))
-      .filter(size(col("ts")) >= 3)
     base.select(col("doc_id"),
-      array_distinct(slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
-        greatest(size(col("ts")) - 2, lit(0)))).as("shs"))
+      when(size(col("ts")) < 3, array(array_join(col("ts"), " ")))
+        .otherwise(array_distinct(
+          slice(graft.operators.Winnow.kGrams(col("ts"), 3), lit(1),
+            greatest(size(col("ts")) - 2, lit(0))))).as("shs"))
   }
 
   /** Materialized portable MinHash signatures (doc_id, sig[32]): 4 sha256
@@ -490,9 +499,11 @@ object TextQueries {
                  x -> x <> '') AS ts
           FROM documents),
         sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(0, len(ts) - 2),
-                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
-               FROM base WHERE len(ts) >= 3),
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE list_distinct(list_transform(range(0, len(ts) - 2),
+                             i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+                 END AS shs
+               FROM base),
         hx AS (SELECT doc_id, seed,
                  MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
                                      CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh
@@ -593,9 +604,11 @@ object TextQueries {
                 LEAST(50, (2500000 + (SELECT COUNT(*) FROM documents) - 1)
                           // (SELECT COUNT(*) FROM documents))),
         sh AS (SELECT doc_id,
-                 list_distinct(list_transform(range(0, len(ts) - 2),
-                   i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3])) AS shs
-               FROM base WHERE len(ts) >= 3),
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE list_distinct(list_transform(range(0, len(ts) - 2),
+                             i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+                 END AS shs
+               FROM base),
         hx AS (SELECT doc_id, seed,
                  MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
                                      CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh
@@ -902,8 +915,14 @@ object TextQueries {
     // ------------------------------------------------------------------
     // 36: ANN via wider LSH buckets (4 planes → coarser, higher recall)
     Q("s_ann_lsh",
+      // maxBucket opts into the occupancy guard HERE, not in the operator
+      // default: 4 fixed planes = 16 buckets, so bucket population grows
+      // linearly with the corpus and the unguarded within-bucket self-join
+      // was the r8 sf10 scale-killer (398.6 s). The cap is this query's
+      // scale policy; exact-contract callers of annLshPairs stay unbounded.
       (s, dir) => Similarity.annLshTopK(
-          Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 4, dim = 64, k = 50)
+          Tables.embeddings(s, dir), "vec_id", "embedding", numPlanes = 4, dim = 64, k = 50,
+          maxBucket = 1024)
         .withColumn("cosine", round(col("cosine"), 6)),
       None),
 

@@ -147,6 +147,34 @@ class GeoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("non-empty"))
   }
 
+  test("coordinate-magnitude bound is enforced on both sides") {
+    // Deltas past ~3e9 micro-degrees overflow long d2 arithmetic and a
+    // wrapped NEGATIVE d2 silently wins every argmin — so the documented
+    // micro-degree precondition must be enforced, not assumed. Facility
+    // side: eager (it is scanned for maxFid anyway). Point side: in-plan
+    // raise_error (an eager driver pass over the corpus would cost a
+    // full extra scan).
+    val okFac = Seq((1L, 0L, 0L)).toDF("fid", "f_lat", "f_lon")
+    val badFac = Seq((1L, 3000000000L, 0L)).toDF("fid", "f_lat", "f_lon")
+    val okPts = Seq((1L, 100L, 100L)).toDF("id", "lat_e6", "lon_e6")
+    val badPts = Seq((1L, 100L, -3000000000L)).toDF("id", "lat_e6", "lon_e6")
+    val eFac = intercept[IllegalArgumentException] {
+      Geo.nearestFacility(okPts, badFac)
+    }
+    assert(eFac.getMessage.contains("micro-degree"))
+    val ePts = intercept[Exception] {
+      Geo.nearestFacility(badPts, okFac).collect()
+    }
+    assert(ePts.getMessage != null)
+    val ePtsGrid = intercept[Exception] {
+      Geo.nearestFacilityGrid(badPts, okFac, 0L, 0L, cellE6 = 100000L).collect()
+    }
+    assert(ePtsGrid.getMessage != null)
+    // In-range inputs are untouched (identity guard, no value change).
+    val got = Geo.nearestFacility(okPts, okFac).collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1L)
+  }
+
   test("nearestFacilityGrid: points beyond maxRing come back null") {
     val fac = Seq((1L, 0L, 0L)).toDF("fid", "f_lat", "f_lon")
     val p = Seq((1L, 100L, 100L), (2L, 9000000L, 9000000L))

@@ -151,6 +151,28 @@ class LeakageSplitSpec extends AnyFunSuite {
     }
   }
 
+  test("identical short docs (<3 tokens) share a banded component") {
+    // The r8 gap: portableShingles DROPPED <3-token docs, so two copies
+    // of the same 2-token doc were singletons keyed by their own doc_ids
+    // and could land on opposite split sides — a DETERMINISTIC integrity
+    // violation, not the 8.7e-8 band miss. The short-doc rule (whole-text
+    // shingle, mirroring native wordShingles) makes them share every band
+    // bucket; non-identical short docs must NOT be forced together.
+    val shorts = Seq(
+      (1L, "hola mundo"), (2L, "hola mundo"),       // identical 2-token
+      (3L, "uno"), (4L, "uno"),                     // identical 1-token
+      (5L, "otra cosa"),                            // distinct 2-token
+      (6L, "a b c d e f g h")                       // a normal doc
+    ).toDF("doc_id", "text")
+    val comps = bucketSplit(bandedState(shorts))
+    assert(comps.get(1L).nonEmpty && comps.get(1L) == comps.get(2L),
+      s"identical 2-token docs must share a component, got $comps")
+    assert(comps.get(3L).nonEmpty && comps.get(3L) == comps.get(4L),
+      s"identical 1-token docs must share a component, got $comps")
+    assert(comps.getOrElse(5L, 5L) != comps.getOrElse(1L, 1L),
+      "distinct short docs must not be merged")
+  }
+
   test("family members always share a side under the fast split") {
     val result = SparkEntry.queries("x_leakage_split_fast")(spark, sfDir)
     val sides = result.select("doc_id", "split").as[(Long, String)].collect().toMap
