@@ -330,6 +330,78 @@ object Transform {
       .drop("__rn", "__src")
   }
 
+  /** Add the load-timestamp pair to an INITIAL load (both columns =
+    * `stamp`) — the insert-default half of the reference's row-stamping
+    * (sql/002_fn_set_updated_at.sql + sql/010:49-57: `inserted_at`/
+    * `updated_at` column defaults and a before-update trigger).
+    */
+  def stampInitial(df: DataFrame, stamp: Column,
+      insertedCol: String = "inserted_at",
+      updatedCol: String = "updated_at"): DataFrame =
+    df.withColumn(insertedCol, stamp).withColumn(updatedCol, stamp)
+
+  /** [[upsert]] with the reference's row-stamping semantics (the
+    * `updated_at` trigger, sql/002 + sql/010:49-57, re-expressed in the
+    * merge): `current` carries `insertedCol`/`updatedCol` (from
+    * [[stampInitial]] or a previous stamped merge), `updates` carries
+    * the PAYLOAD only, and per key
+    *
+    *  - a winning batch row keeps the key's existing `inserted_at`
+    *    (insert-time provenance survives every later merge; a brand-new
+    *    key gets `stamp`) and refreshes `updated_at` to `stamp` — like
+    *    the trigger, which fires on every executed UPDATE;
+    *  - a winning current row (no batch row for the key, or `latestBy`
+    *    rejecting a stale re-delivery) keeps BOTH stamps untouched —
+    *    the trigger never fires on rows the merge does not write.
+    *
+    * `stamp` is any Column: `current_timestamp()` in production, a
+    * deterministic batch sequence number in tests/oracles (which is what
+    * makes the semantics cross-engine checkable — wall-clock stamps
+    * cannot hash-match). Same single key-shuffle as [[upsert]]: the
+    * stamp carry-over is one more window function over the identical
+    * partitioning, so both reuse one Exchange.
+    */
+  def upsertStamped(
+      current: DataFrame,
+      updates: DataFrame,
+      keys: Seq[String],
+      stamp: Column,
+      tieBreakers: Seq[String] = Nil,
+      latestBy: Option[String] = None,
+      insertedCol: String = "inserted_at",
+      updatedCol: String = "updated_at"): DataFrame = {
+    require(current.columns.contains(insertedCol) &&
+      current.columns.contains(updatedCol),
+      s"current must carry $insertedCol/$updatedCol (stampInitial on first load)")
+    require(!updates.columns.contains(insertedCol) &&
+      !updates.columns.contains(updatedCol),
+      "updates carry the payload only — stamps are assigned by the merge")
+    val insT = current.schema(insertedCol).dataType
+    val updT = current.schema(updatedCol).dataType
+    val tagged = current.withColumn("__src", lit(0))
+      .unionByName(updates
+        .withColumn(insertedCol, lit(null).cast(insT))
+        .withColumn(updatedCol, lit(null).cast(updT))
+        .withColumn("__src", lit(1)))
+    val ordering = latestBy.map(col(_).desc_nulls_last).toSeq ++
+      Seq(col("__src").desc) ++ tieBreakers.map(col(_).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+    val wKey = Window.partitionBy(keys.map(col): _*)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      // The key's pre-merge insert stamp, visible to whichever row wins
+      // (current side is unique per key by construction, so max == it).
+      .withColumn("__cur_ins",
+        max(when(col("__src") === 0, col(insertedCol))).over(wKey))
+      .filter(col("__rn") === 1)
+      .withColumn(insertedCol,
+        when(col("__src") === 1, coalesce(col("__cur_ins"), stamp))
+          .otherwise(col(insertedCol)))
+      .withColumn(updatedCol,
+        when(col("__src") === 1, stamp).otherwise(col(updatedCol)))
+      .drop("__rn", "__src", "__cur_ins")
+  }
+
   // ------------------------------------------------------------------
   // Schema rules (reference etl/transform.py:188-237,509-571)
   // ------------------------------------------------------------------

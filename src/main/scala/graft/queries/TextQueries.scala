@@ -1208,21 +1208,49 @@ object TextQueries {
     // 41e: the decode-once build pass itself, registered so the FULL
     // decode cost sits in exactly one board slot: forces a rebuild
     // (session memo dropped), decodes all four media kinds in ONE
-    // mapPartitions pass, and publishes the store's row accounting —
-    // which DuckDB oracles from the documents table (4 kinds × docs,
-    // id range preserved per kind).
+    // mapPartitions pass, and publishes CONTENT-BEARING per-kind decode
+    // aggregates, not just row accounting: dim_sum folds every DECODED
+    // width/height (top-level for stills, per-frame for the container
+    // walk) and time_sum folds the audio parse readout (rate, channels,
+    // frames, duration) plus the container frame count. DuckDB
+    // recomputes all of it from the generative formulas — so the build
+    // query ALONE hash-mismatches if ImageIO decode, the RIFF parse or
+    // the PNG-chunk container walk breaks, without relying on the
+    // consumer queries to notice.
     Q("m_features_build",
       (s, dir) => mediaStore(s, dir, forceRebuild = true)
         .groupBy(col("kind"))
         .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
-          max(col("id")).as("max_id"))
+          max(col("id")).as("max_id"),
+          sum(col("width").cast("long") + col("height").cast("long") +
+            coalesce(aggregate(col("frames"), lit(0L),
+              (acc, f) => acc + f.getField("width") + f.getField("height")),
+              lit(0L))).as("dim_sum"),
+          sum(col("sample_rate").cast("long") + col("channels").cast("long") +
+            col("n_frames") + col("duration_ms")).as("time_sum"))
         .orderBy(col("kind")),
       Some("""
-        SELECT k.kind, count(*) AS n, min(d.doc_id) AS min_id,
-               max(d.doc_id) AS max_id
-        FROM documents d
-        CROSS JOIN (SELECT unnest(['pattern', 'png', 'video', 'wav']) AS kind) k
-        GROUP BY k.kind ORDER BY k.kind
+        WITH d AS (SELECT doc_id FROM documents),
+        png AS (SELECT 'png' AS kind, doc_id,
+                  (8 + doc_id % 16) + (8 + (doc_id // 16) % 16) AS dim,
+                  0 AS tim
+                FROM d),
+        pat AS (SELECT 'pattern' AS kind, doc_id, 96 AS dim, 0 AS tim FROM d),
+        wav AS (SELECT 'wav' AS kind, doc_id, 0 AS dim,
+                  8000 + 1 + frames + CAST(ROUND(frames / 8.0) AS BIGINT) AS tim
+                FROM (SELECT doc_id, 800 + (doc_id % 7) * 100 AS frames FROM d)),
+        vid AS (SELECT 'video' AS kind, doc_id,
+                  SUM((8 + (doc_id + 3 * f) % 16) +
+                      (8 + (doc_id // 16 + f) % 16)) AS dim,
+                  4 AS tim
+                FROM d, (SELECT unnest(range(4)) AS f)
+                GROUP BY doc_id),
+        u AS (SELECT * FROM png UNION ALL SELECT * FROM pat
+              UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM vid)
+        SELECT kind, COUNT(*) AS n, MIN(doc_id) AS min_id,
+               MAX(doc_id) AS max_id, CAST(SUM(dim) AS BIGINT) AS dim_sum,
+               CAST(SUM(tim) AS BIGINT) AS time_sum
+        FROM u GROUP BY kind ORDER BY kind
       """)),
 
     // ------------------------------------------------------------------

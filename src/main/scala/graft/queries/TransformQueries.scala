@@ -278,6 +278,45 @@ object TransformQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 18d: the stamped upsert — the reference's inserted_at/updated_at
+    // row-stamping (sql/002_fn_set_updated_at.sql trigger + sql/010:49-57
+    // column defaults) riding the merge. Three deterministic batches
+    // (stamp = batch seq 0/1/2, which is what makes wall-clock-free
+    // cross-engine checking possible): initial load stamps both columns,
+    // each later merge preserves a key's inserted_at and refreshes
+    // updated_at only on keys it actually writes — untouched keys keep
+    // both stamps. The oracle states the closed form per key.
+    Q("t_upsert_stamped",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        val init = Transform.stampInitial(
+          o.filter(col("o_orderkey") % 3 =!= 0), lit(0L))
+        val b1 = o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2)
+        val m1 = Transform.upsertStamped(init, b1, Seq("o_orderkey"), lit(1L))
+        val b2 = o.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 3)
+        Transform.upsertStamped(m1, b2, Seq("o_orderkey"), lit(2L))
+          .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 3
+                    WHEN o_orderkey % 2 = 0 THEN o_totalprice * 2
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 <> 0 THEN 0
+                         WHEN o_orderkey % 2 = 0 THEN 1
+                         ELSE 2 END AS BIGINT) AS inserted_at,
+               CAST(CASE WHEN o_orderkey % 5 = 0 THEN 2
+                         WHEN o_orderkey % 2 = 0 THEN 1
+                         ELSE 0 END AS BIGINT) AS updated_at
+        FROM orders
+        WHERE o_orderkey % 3 <> 0 OR o_orderkey % 2 = 0 OR o_orderkey % 5 = 0
+        ORDER BY o_orderkey
+      """)),
+
+    // ------------------------------------------------------------------
     // 17b: incremental aggregate maintenance (`IncrementalAgg`): orders
     // arrive in three batches, each reduced to per-key partials and merged
     // into a persisted state table through the crash-recoverable swap —

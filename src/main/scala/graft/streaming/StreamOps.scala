@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -177,13 +177,15 @@ object StreamOps {
       checkpointDir: String,
       keys: Seq[String],
       latestBy: Option[String] = None,
-      tieBreakers: Seq[String] = Nil): StreamingQuery =
+      tieBreakers: Seq[String] = Nil,
+      stamp: Option[Long => Column] = None): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        upsertIntoParquet(batch, targetDir, keys, latestBy, tieBreakers)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        upsertIntoParquet(batch, targetDir, keys, latestBy, tieBreakers,
+          stamp = stamp.map(_(batchId)))
       }
       .start()
 
@@ -201,18 +203,29 @@ object StreamOps {
     */
   def upsertIntoParquet(batch: DataFrame, targetDir: String,
       keys: Seq[String], latestBy: Option[String] = None,
-      tieBreakers: Seq[String] = Nil, preDeduped: Boolean = false): Unit =
+      tieBreakers: Seq[String] = Nil, preDeduped: Boolean = false,
+      stamp: Option[Column] = None): Unit =
     mergeIntoParquet(batch, targetDir) { (spark, targetExists) =>
       // preDeduped: the caller already ran the dedup window (e.g. to
       // observe duplicate metrics on it) — re-running it here would add
       // a second whole-batch shuffle for nothing.
       val deduped =
         if (preDeduped) batch else Transform.dedupByKey(batch, keys, latestBy, tieBreakers)
-      if (targetExists)
-        // latestBy participates against the TARGET too: a re-delivered
-        // stale batch row must not regress a newer target row.
-        Transform.upsert(spark.read.parquet(targetDir), deduped, keys, tieBreakers, latestBy)
-      else deduped
+      // stamp: the reference's inserted_at/updated_at row-stamping rides
+      // the merge (Transform.upsertStamped) — pass `current_timestamp()`
+      // per batch in production, a deterministic batch-seq in tests.
+      (targetExists, stamp) match {
+        case (false, None)     => deduped
+        case (false, Some(st)) => Transform.stampInitial(deduped, st)
+        case (true, None)      =>
+          // latestBy participates against the TARGET too: a re-delivered
+          // stale batch row must not regress a newer target row.
+          Transform.upsert(spark.read.parquet(targetDir), deduped, keys,
+            tieBreakers, latestBy)
+        case (true, Some(st))  =>
+          Transform.upsertStamped(spark.read.parquet(targetDir), deduped,
+            keys, st, tieBreakers, latestBy)
+      }
     }
 
   /** foreachBatch CDC sink: compact each micro-batch's insert/update/

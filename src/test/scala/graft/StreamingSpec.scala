@@ -253,6 +253,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.filter(col("k") >= 25 && col("v") === 2).count() == 50)
   }
 
+  test("stamped upsert sink: inserted_at survives the second drop, updated_at advances") {
+    val dropDir = Files.createTempDirectory("graft-upstamp-in").toString
+    val target = Files.createTempDirectory("graft-upstamp-t").toString + "/table"
+    val ckpt = Files.createTempDirectory("graft-upstamp-c").toString
+    // The stamp is the batch sequence (the deterministic, checkable twin
+    // of production's `_ => current_timestamp()`): the shared checkpoint
+    // numbers the two drops batch 0 and 1, so stamps are 1 then 2.
+    def sink() = StreamOps.upsertSink(
+      spark.readStream.schema("k LONG, v INT")
+        .option("maxFilesPerTrigger", 1).parquet(dropDir),
+      target, ckpt, keys = Seq("k"), tieBreakers = Seq("v"),
+      stamp = Some(bid => lit(bid + 1)))
+
+    // Drop 1: keys 0..9 | Drop 2: keys 5..14 (overlap re-writes 5..9).
+    Seq.tabulate(10)(i => (i.toLong, 1)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    sink().awaitTermination()
+    Seq.tabulate(10)(i => ((i + 5).toLong, 2)).toDF("k", "v")
+      .coalesce(1).write.mode("append").parquet(dropDir)
+    sink().awaitTermination()
+
+    val out = spark.read.parquet(target)
+      .select("k", "v", "inserted_at", "updated_at")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 15)
+    out.foreach { case (k, v, ins, upd) =>
+      if (k < 5)       assert((v, ins, upd) == (1, 1L, 1L), s"k=$k untouched")
+      else if (k < 10) assert((v, ins, upd) == (2, 1L, 2L),
+        s"k=$k re-written: inserted_at preserved, updated_at advanced")
+      else             assert((v, ins, upd) == (2, 2L, 2L), s"k=$k new in drop 2")
+    }
+  }
+
   test("streaming span dedup: surviving span set matches the batch twin; duplicate drop adds nothing") {
     val dropDir = Files.createTempDirectory("graft-span-in").toString
     val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))

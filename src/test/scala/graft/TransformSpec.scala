@@ -86,6 +86,52 @@ class TransformSpec extends AnyFunSuite {
     assert(out == Seq("new", "upd")) // k=1 keeps newer current; k=2 takes newer update
   }
 
+  test("upsertStamped: inserted_at survives merges, updated_at moves only on written keys") {
+    // The reference's updated_at trigger semantics (sql/002 + sql/010):
+    // batch 1 inserts k=1,2; batch 2 re-writes k=2 and inserts k=3.
+    val init = Transform.stampInitial(
+      Seq((1, "a"), (2, "b")).toDF("k", "v"), lit(10L))
+    val m = Transform.upsertStamped(init,
+      Seq((2, "b2"), (3, "c")).toDF("k", "v"), Seq("k"), lit(20L))
+      .orderBy("k").select("k", "v", "inserted_at", "updated_at")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(m == Seq(
+      (1, "a", 10L, 10L),    // untouched: both stamps stable
+      (2, "b2", 10L, 20L),   // re-written: inserted_at preserved, updated_at advanced
+      (3, "c", 20L, 20L)))   // new key: both = merge stamp
+    // Third merge re-delivers k=2 with the SAME payload: the trigger
+    // fires on every executed UPDATE, so updated_at still advances.
+    val cur = Transform.upsertStamped(init,
+      Seq((2, "b2"), (3, "c")).toDF("k", "v"), Seq("k"), lit(20L))
+    val m2 = Transform.upsertStamped(cur,
+      Seq((2, "b2")).toDF("k", "v"), Seq("k"), lit(30L))
+      .orderBy("k").select("k", "inserted_at", "updated_at")
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(m2 == Seq((1, 10L, 10L), (2, 10L, 30L), (3, 20L, 20L)))
+  }
+
+  test("upsertStamped with latestBy: a rejected stale re-delivery leaves both stamps") {
+    val cur = Transform.stampInitial(
+      Seq((1, "new", "2026-06-01")).toDF("k", "v", "u"), lit(5L))
+    val out = Transform.upsertStamped(cur,
+      Seq((1, "old", "2020-01-01")).toDF("k", "v", "u"),
+      Seq("k"), lit(9L), latestBy = Some("u"))
+      .select("v", "inserted_at", "updated_at")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("new", 5L, 5L)),
+      "losing batch row must not refresh updated_at")
+  }
+
+  test("upsertStamped rejects stamp columns in the updates payload") {
+    val cur = Transform.stampInitial(Seq((1, "a")).toDF("k", "v"), lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Transform.upsertStamped(cur,
+        Transform.stampInitial(Seq((1, "b")).toDF("k", "v"), lit(2L)),
+        Seq("k"), lit(2L))
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("pipeline hard-fails when a critical column is entirely null") {
     val df = Seq((1, null: String), (2, null: String)).toDF("id", "crit")
     val cfg = DatasetConfig(
