@@ -104,7 +104,13 @@ object MediaFeatureStore {
     media.select(col("kind").cast("string"), col("id").cast("long"),
         col("media").cast("binary"))
       .as[(String, Long, Array[Byte])]
-      .mapPartitions(_.map { case (k, id, b) => decodeRow(k, id, b, maxFrames) })
+      .mapPartitions { it =>
+        // Memory-cached ImageIO before the first decode on this executor
+        // (the disk-backed default serializes 32 threads on temp-file
+        // syscalls — see Multimodal's initializer).
+        Multimodal.ensureFastImageIO()
+        it.map { case (k, id, b) => decodeRow(k, id, b, maxFrames) }
+      }
       .toDF()
   }
 

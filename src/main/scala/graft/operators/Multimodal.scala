@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's DEFAULT stream cache is disk-backed: every decode/encode
+  // spins up a FileCache temp file and deletes it — at 32 decode threads
+  // the kernel churn dominates (measured on the sf10 feature-store
+  // build: 87% SYSTEM time, ~24 cores busy making no progress; the
+  // whole build sat at temp-file syscalls, not pixels). All media here
+  // arrives as byte arrays, so the memory cache is strictly better.
+  // Object-initializer placement runs it once per executor JVM, before
+  // the first decode on any thread that touches this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Forces object init (and with it the setUseCache config above) from
+    * call sites that reach ImageIO before any other Multimodal member —
+    * e.g. MediaFeatureStore's decode partitions. */
+  private[operators] def ensureFastImageIO(): Unit = ()
+
   /** Input row: opaque media bytes + source metadata. */
   final case class MediaRow(id: Long, media: Array[Byte], mime: String)
 
@@ -329,12 +344,42 @@ object Multimodal {
     * clip). None when the bytes aren't a parseable audio stream —
     * compressed containers (mp3/aac) fall back to the caller's stub.
     */
+  // AudioFileReader SPIs resolved ONCE and with the MIDI readers
+  // excluded: AudioSystem.getAudioInputStream funnels every call through
+  // the synchronized JDK13Services provider lookup, and even with the
+  // SPIs cached, SoftMidiAudioFileReader re-enters that global lock
+  // (MidiSystem.getSequence) just to REJECT non-MIDI bytes — jstack
+  // showed all 32 decode threads convoyed on the JSSecurityManager class
+  // monitor, making audio decode NEGATIVE-scale (18.8k/s at 1 thread →
+  // 9.2k/s at 32; the serialization floor of the whole sf10
+  // feature-store build). The surviving readers (WAV/AIFF/AU header
+  // parsers) are lock-free per call. Deliberate narrowing: MIDI bytes no
+  // longer render through the desktop softsynth — they fall to
+  // [[audioStub]] like every other exotic codec, which is the right
+  // contract for a data pipeline anyway. Lazy: one init per JVM.
+  private lazy val audioReaders: IndexedSeq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toIndexedSeq
+      .filterNot(_.getClass.getName.contains("Midi"))
+  }
+
   def decodeAudio(bytes: Array[Byte]): Option[AudioFeaturesRaw] = {
     if (bytes == null || bytes.length < 12) return None
-    val in =
-      try javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      catch { case scala.util.control.NonFatal(_) => null }
+    // Same provider-chain semantics as AudioSystem.getAudioInputStream
+    // (first reader that accepts the stream wins; ByteArrayInputStream
+    // supports the mark/reset the SPI contract requires), minus the
+    // global lock.
+    var in: javax.sound.sampled.AudioInputStream = null
+    var i = 0
+    while (in == null && i < audioReaders.length) {
+      in =
+        try audioReaders(i).getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        catch { case scala.util.control.NonFatal(_) => null }
+      i += 1
+    }
     if (in == null) return None
     try {
       val fmt = in.getFormat

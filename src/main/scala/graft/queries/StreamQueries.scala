@@ -101,8 +101,13 @@ object StreamQueries {
     Q("st_media_gate",
       (s, dir) => {
         import s.implicits._
+        // Explicit count — bare repartition(col) AQE-coalesces a tiny id
+        // projection to 1-2 partitions and serializes the decode (see
+        // TextQueries.synthMedia's note).
         val media = Tables.documents(s, dir)
-          .select(col("doc_id")).repartition(col("doc_id")).as[Long]
+          .select(col("doc_id"))
+          .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+            col("doc_id")).as[Long]
           .mapPartitions(_.map { id =>
             val bytes = (id % 3) match {
               case 0 => graft.operators.Multimodal.synthPng(id)

@@ -54,12 +54,26 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** All four synthetic media kinds in one frame — the single decode
-    * pass generates AND decodes each media item exactly once. */
+    * pass generates AND decodes each media item exactly once.
+    *
+    * Repartition with an EXPLICIT count: `repartition(col)` alone is an
+    * AQE-coalescible exchange, and a 500k-row doc_id projection is ~4 MB
+    * of shuffle — AQE folds it to 1-2 partitions and the entire
+    * synth+decode chain (the most expensive per-row work in the repo)
+    * runs on 1-2 cores. That was the real shape of m_features_build's
+    * 590-645 s at sf10: ~1.5 ms/doc of media CPU × 500k docs ≈ 750 s
+    * single-threaded — the board was measuring serialization, not decode
+    * (r9 find; the r8 banded_fast one-split scan was the same class on
+    * the scan side). An explicit numPartitions is REPARTITION_BY_NUM,
+    * which AQE never coalesces.
+    */
   private def synthMedia(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select(col("doc_id")).repartition(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(s.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+        col("doc_id")).as[Long]
       .mapPartitions(_.flatMap(id => Iterator(
         ("png", id, Multimodal.synthPng(id)),
         ("pattern", id, Multimodal.synthPatternPng(id)),
@@ -119,7 +133,12 @@ object TextQueries {
         sha2(concat(lit(s"$g|"), col("shingle")), 256)): _*),
       hex => transform(sequence(lit(0), lit(7)),
         j => conv(hex.substr(j * 8 + 1, lit(8)), 16, 10).cast("long"))))
-    val docSh = portableShingles(docs).repartition(col("doc_id"))
+    // Explicit count: a bare repartition(col) is AQE-coalescible and the
+    // compact doc frame coalesces to 1-2 partitions, serializing the
+    // CPU-dominant shingle/sha256 stage (see synthMedia's note).
+    val docSh = portableShingles(docs)
+      .repartition(docs.sparkSession.conf
+        .get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
     val hashed = docSh.select("shingle").distinct()
       .select(col("shingle"), hs.as("hs"))
