@@ -129,34 +129,41 @@ object DedupResolve {
 
   /** Alternating star contraction → (id, label) with label = component's
     * min id. Public so high-diameter graphs can skip the driver probe.
-    * When `inputPersisted`, `pairs` is released after the first round
-    * reads it.
+    * When `inputPersisted`, `pairs` is released once the projected pair
+    * set is materialized.
     *
-    * Direct callers whose pair pipeline is expensive AND uncached should
-    * persist `pairs` first: vertices and the edge canonicalization below
-    * each evaluate it once. (Negative result, sf0.1: checkpointing
-    * `pairs` here unconditionally measured SLOWER on d_dedup_components
-    * — 6.2 s → 7.6 s — because the similarity joins feeding it already
-    * materialize their reused frames internally, so the second
-    * evaluation re-runs only the cheap final join while the extra
-    * checkpoint pays a full write.)
+    * The pair pipeline is evaluated exactly ONCE: the two-column
+    * projection is checkpointed up front and vertices + the canonical
+    * edge set both derive from it. (This replaces r5's negative result —
+    * "checkpointing pairs measured slower at sf0.1, 6.2 → 7.6 s" —
+    * which didn't survive scale: the r9 sf10 profile showed the
+    * contraction itself converging in 2 rounds / ~3 s while the TWO
+    * separate evaluations of the exact-Jaccard pair pipeline cost
+    * 2 × ~34 s of the query's 71.7 s. The projection checkpoint is pair-
+    * graph-sized — small by LSH construction — and turns the second
+    * evaluation into a block read; 71.7 → 33.4 s measured at sf10.)
     */
   def starComponents(pairs: DataFrame, maxIter: Int = 20,
       inputPersisted: Boolean = false): DataFrame = {
+    // ONE evaluation of the (typically expensive) upstream pair pipeline.
+    val canon = pairs
+      .select(col("id_a").as("u"), col("id_b").as("v"))
+      .localCheckpoint(true)
+    if (inputPersisted) pairs.unpersist()
     // Every vertex in the input keeps a label, even one appearing only in
     // self-loop pairs — the contract the driver union-find path has.
-    val vertices = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
+    // Lazy (no checkpoint): consumed once by the final label join, and
+    // its lineage is one distinct over the checkpointed projection.
+    val vertices = canon.select(col("u").as("id"))
+      .union(canon.select(col("v").as("id")))
       .distinct()
-      .localCheckpoint(true)
     // Canonical undirected edge set, self-loops dropped. Each round ends
     // in an EAGER localCheckpoint: persist alone keeps the compounding
     // logical plan (two joins + three distincts per round nest into a
     // tree that OOMs just rendering explain strings after ~10 rounds);
     // the checkpoint truncates lineage to the materialized blocks, and
     // the ContextCleaner frees rounds no longer referenced.
-    var edges = pairs
-      .select(col("id_a").as("u"), col("id_b").as("v"))
+    var edges = canon
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -173,7 +180,6 @@ object DedupResolve {
       (r.getLong(0), String.valueOf(r.get(1)), String.valueOf(r.get(2)))
     }
     var sig = fingerprint(edges)
-    if (inputPersisted) pairs.unpersist()
 
     // Opt-in round telemetry (GRAFT_CC_DEBUG=1): round wall time + edge
     // count — the profile the sf10/sf100 probes read. Zero cost unset.
