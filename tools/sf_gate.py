@@ -16,6 +16,15 @@ flagged when new > factor * prior AND new - prior > abs_floor (default
 2 s — sub-second queries bounce multiples on host noise; see SURVEY §7's
 variance note). Exit code 1 when anything is flagged, so a round cannot
 close on a silent sf1 regression without an explanation row in SURVEY.
+
+--floors floors.json adds a per-query STEADY-STATE floor map (RunOne-
+isolated seconds, e.g. tools/floors_sf10.json): a query whose new time
+is within --floor-margin (default 2.0) x its recorded floor is never
+flagged, even if the prior board got a lucky run. That is what lets
+--factor drop below 3 for the known GC-heavy swingers (in-board swings
+reach ~3.5x with ZERO code change — measured r8) without false alarms:
+the floor, not the previous board's luck, is the reference for "this is
+just noise".
 """
 import json
 import re
@@ -34,33 +43,55 @@ def load_queries(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0].lstrip("-"): a.split("=", 1)[1] if "=" in a else None
-            for a in sys.argv[1:] if a.startswith("--")}
-    if "factor" in opts and opts["factor"] is None:  # --factor 3 style
-        i = sys.argv.index("--factor")
-        opts["factor"] = sys.argv[i + 1]
-        args = [a for a in args if a != opts["factor"]]
+    # Accept both --opt=value and --opt value.
+    args, opts = [], {}
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a.startswith("--"):
+            if "=" in a:
+                k, v = a[2:].split("=", 1)
+                opts[k] = v
+            else:
+                k = a[2:]
+                if i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+                    opts[k] = argv[i + 1]
+                    i += 1
+                else:
+                    opts[k] = None
+        else:
+            args.append(a)
+        i += 1
     factor = float(opts.get("factor") or 3.0)
     abs_floor = float(opts.get("floor") or 2.0)
+    floors = json.load(open(opts["floors"])) if opts.get("floors") else {}
+    floor_margin = float(opts.get("floor-margin") or 2.0)
     new_path, prior_path = args[0], args[1]
     new = load_queries(new_path)
     prior = load_queries(prior_path)
-    flagged, missing = [], []
+    flagged, missing, excused = [], [], []
     for name, sec in sorted(new.items()):
         if name not in prior:
             missing.append(name)
             continue
         p = prior[name]
         if p > 0 and sec > factor * p and sec - p > abs_floor:
+            fl = floors.get(name)
+            if fl is not None and sec <= floor_margin * fl:
+                excused.append((name, p, sec, fl))
+                continue
             flagged.append((name, p, sec, sec / p))
     for name in missing:
         print(f"NEW   {name}: no prior — record it in the prior board")
+    for name, p, sec, fl in excused:
+        print(f"NOISE {name}: {p:.2f}s -> {sec:.2f}s but within "
+              f"{floor_margin}x isolated floor {fl:.2f}s")
     for name, p, sec, r in flagged:
         print(f"FLAG  {name}: {p:.2f}s -> {sec:.2f}s ({r:.1f}x > {factor}x)")
     kept = [n for n in new if n in prior]
     print(f"== {len(kept)} compared, {len(flagged)} flagged, "
-          f"{len(missing)} without prior ==")
+          f"{len(excused)} excused by floors, {len(missing)} without prior ==")
     sys.exit(1 if flagged else 0)
 
 
