@@ -62,14 +62,26 @@ object ScaleGen {
       "source documents.text contains '~'; pick a different suffix delimiter")
 
     val reps = spark.range(factor).select(col("id").cast("int").as("r"))
+    // Spread the SMALL source across the session's cores BEFORE the
+    // ×factor explode: the source parquet is one scan split, and the
+    // crossJoin explode runs inside the scan stage — unspread, ONE task
+    // generated and shuffle-wrote the entire replicated table (observed
+    // at factor 1000: sf100 lineitem had a single core LZ4-compressing
+    // ~60 GB of shuffle while 31 idled). With the source spread first,
+    // each task explodes its own slice and `write` skips the post-explode
+    // repartition entirely — the big data is never shuffled at all.
+    val cores = spark.sparkContext.defaultParallelism
     def replicate(df: DataFrame, shifts: (String, Long)*): DataFrame = {
-      val crossed = df.crossJoin(broadcast(reps))
+      val crossed = df.repartition(cores).crossJoin(broadcast(reps))
       shifts.foldLeft(crossed) { case (d, (c, base)) =>
         d.withColumn(c, col(c) + col("r") * base)
       }
     }
+    // `parts` is now a floor, not a target: a frame already wider than
+    // it (the spread replicas) writes its own partitions directly.
     def write(df: DataFrame, t: String, parts: Int): Unit =
-      df.repartition(parts).write.mode("overwrite")
+      (if (df.rdd.getNumPartitions > parts) df else df.repartition(parts))
+        .write.mode("overwrite")
         .parquet(s"$outDir/$t.parquet")
 
     // Dims: fixed, like TPC-H region/nation at every SF.
