@@ -83,6 +83,30 @@ object Geo {
       conv(substring(sha2(concat(id.cast("string"), lit("|" + tag)), 256),
         1, 12), 16, 10).cast("long") % lit(maxE6 - minE6 + 1)).as(tag)
 
+  /** Density-scaled grid resolution for [[nearestFacilityGrid]]: the
+    * cell size that puts ~`targetPerCell` facilities in a cell, clamped
+    * to [1000 µdeg, max span]. A FIXED cell size is a latent scale bug:
+    * when both sides densify inside the same bbox (exactly what growing
+    * a deployment does), per-cell facility occupancy grows linearly and
+    * the 3×3-probe join's pair count grows as points × occupancy —
+    * quadratic in density. The r9 sf100 probe measured it: 66.8× cost
+    * for 10× data at a fixed 0.5° cell (1M facilities → ~1.7k/cell);
+    * density-scaled, the same query is linear. One tiny count job over
+    * the bounded facility side — the same price class as the eager
+    * maxFid validation. Resolution affects ONLY cost: the ring
+    * guarantee makes the argmin exact at any cell size (the brute-force
+    * oracle hash-matches regardless), and sparse boxes just escalate
+    * rings as before.
+    */
+  def autoCellE6(fac: DataFrame, latSpanE6: Long, lonSpanE6: Long,
+      targetPerCell: Int = 32): Long = {
+    require(latSpanE6 > 0 && lonSpanE6 > 0 && targetPerCell > 0)
+    val n = math.max(1L, fac.count())
+    val cell = math.sqrt(
+      latSpanE6.toDouble * lonSpanE6.toDouble * targetPerCell / n)
+    math.max(1000L, math.min(cell.toLong, math.max(latSpanE6, lonSpanE6)))
+  }
+
   /** Attach integer grid-cell coordinates (cy, cx): floor division of the
     * min-shifted coordinate (shift first — operands stay non-negative, so
     * truncating and flooring division agree in every engine).

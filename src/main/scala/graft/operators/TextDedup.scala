@@ -237,11 +237,32 @@ object TextDedup {
         // rest of that regression was the sketch's O(capacity) eviction
         // scan, fixed in SpaceSavingAgg — 11.6 s with both). The join
         // build side is the same driver array, shipped once.
+        //
+        // TWO-LEVEL cut (r9): a fixed-capacity sketch can only GUARANTEE
+        // detection above ~N/capacity — by sf100 (450M postings, 65k
+        // capacity) that bound was ~6.9k ≫ maxDf=200, so mid-hot
+        // shingles escaped the cut and their df² pair fan-out grew
+        // QUADRATICALLY with the corpus (24.6 s at sf10 → 299 s at
+        // sf100, isolated; the exact-cut sibling was 3.3× for the same
+        // 10×). The sketch now cuts what it can prove (ultra-hot, at
+        // constant memory — these are also the giant postings the
+        // exact count would shuffle); the survivors' df is bounded by
+        // ~N/capacity, so an EXACT residual count on them is skew-free
+        // and applies the real maxDf cut. Net: exact-cut semantics at
+        // ANY capacity (the oracle hash-matches at every SF, not just
+        // ample-capacity ones), with the sketch as the skew guard.
         val spark = df.sparkSession
         import spark.implicits._
         val hotDf = hot.toSeq.toDF("shingle")
-        e => if (hot.isEmpty) e
-             else e.join(broadcast(hotDf), Seq("shingle"), "left_anti")
+        e => {
+          val afterSketch =
+            if (hot.isEmpty) e
+            else e.join(broadcast(hotDf), Seq("shingle"), "left_anti")
+          val residualHot = afterSketch
+            .groupBy("shingle").agg(count(lit(1)).as("df_"))
+            .filter(col("df_") > maxDf).select("shingle")
+          afterSketch.join(residualHot, Seq("shingle"), "left_anti")
+        }
       } else {
         val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
           .filter(col("df_") > maxDf).select("shingle")

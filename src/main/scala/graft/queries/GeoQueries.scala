@@ -151,8 +151,14 @@ object GeoQueries {
             Geo.synthCoordE6(col("s_suppkey"), "slat", LatMin, LatMax),
             Geo.synthCoordE6(col("s_suppkey"), "slon", LonMin, LonMax))
           .select(col("fid"), col("slat").as("f_lat"), col("slon").as("f_lon"))
+        // Density-scaled resolution, not a constant: a fixed 0.5° cell
+        // held ~1.7k facilities/cell by sf100 and the probe join went
+        // quadratic with density (66.8x for 10x data, r9 probe). The
+        // auto cell keeps ~32 facilities/cell at every SF; results are
+        // cell-size-invariant (same brute-force oracle hash-matches).
         Geo.nearestFacilityGrid(custPts(s, dir), fac,
-            LatMin, LonMin, cellE6 = 500000L)
+            LatMin, LonMin,
+            cellE6 = Geo.autoCellE6(fac, LatMax - LatMin, LonMax - LonMin))
           .select(col("id").as("custkey"), col("nearest"), col("dist2"))
           .orderBy(col("custkey"))
       },

@@ -175,6 +175,26 @@ class GeoSpec extends AnyFunSuite {
     assert(got.length == 1 && got(0).getLong(1) == 1L)
   }
 
+  test("autoCellE6 scales resolution with facility density; results unchanged") {
+    // 10x the facilities in the same box -> cell shrinks ~sqrt(10), so
+    // per-cell occupancy stays ~targetPerCell instead of growing 10x
+    // (the fixed-cell quadratic-density trap the sf100 probe measured).
+    def facs(n: Int) = (1 to n).map(i =>
+      (i.toLong, (i * 37 % 1000) * 1000L, (i * 91 % 2000) * 1000L))
+      .toDF("fid", "f_lat", "f_lon")
+    val c1 = Geo.autoCellE6(facs(20), 1000000L, 2000000L)
+    val c2 = Geo.autoCellE6(facs(200), 1000000L, 2000000L)
+    assert(c2 < c1 && math.abs(c1 / c2.toDouble - math.sqrt(10)) < 0.5)
+    // Different resolutions, identical answers (ring guarantee).
+    val p = Seq((1L, 100000L, 100000L), (2L, 900000L, 1900000L))
+      .toDF("id", "lat_e6", "lon_e6")
+    val a = Geo.nearestFacilityGrid(p, facs(200), 0L, 0L, cellE6 = c2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = Geo.nearestFacility(p, facs(200))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a == b)
+  }
+
   test("nearestFacilityGrid: points beyond maxRing come back null") {
     val fac = Seq((1L, 0L, 0L)).toDF("fid", "f_lat", "f_lon")
     val p = Seq((1L, 100L, 100L), (2L, 9000000L, 9000000L))

@@ -116,6 +116,18 @@ class TextOpsSpec extends AnyFunSuite {
       .select("shingle").as[String].collect().toSet
     assert(hotExact.subsetOf(hotSketch),
       s"sketch missed true heavy hitters: ${hotExact -- hotSketch}")
+
+    // Two-level cut (r9): even at DELIBERATELY starved capacity — where
+    // the sketch alone can no longer guarantee detection at maxDf and
+    // mid-hot shingles escape it (the sf100 quadratic, 24.6 s at sf10 →
+    // 299 s at sf100) — the exact residual count on the sketch's
+    // survivors restores the exact cut, so results equal the exact
+    // variant at ANY capacity.
+    val starved = TextDedup.ngramJaccardTopK(docs, "doc_id", "text", maxDf = 50,
+        sketchCapacity = 8)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(starved == exact,
+      "two-level cut must equal the exact cut even at starved capacity")
   }
 
   test("bm25 (ln idf) matches a driver-side reference on a hand corpus") {
