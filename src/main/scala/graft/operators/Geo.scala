@@ -36,23 +36,26 @@ object Geo {
     */
   /** Largest coordinate magnitude either argmin path accepts: ±1e9
     * micro-degrees (±1000°, comfortably past any real lat/lon). The d2
-    * bound the decimal pack relies on (d2 ≤ 2·(2e9)² = 8e18) holds only
-    * under this cap — deltas beyond ~3e9 overflow long arithmetic and a
-    * WRAPPED (negative) d2 would silently win every min. So the
-    * "any micro-degree input" precondition is ENFORCED, not assumed:
-    * the bounded facility side is checked eagerly in [[checkedMaxFid]],
-    * the corpus-sized point side in-plan via [[checkedCoord]].
+    * bound the decimal pack relies on (d2 ≤ 2·(2e9)² = 8e18 <
+    * Long.MaxValue ≈ 9.22e18) holds only under this cap — two in-range
+    * coords of OPPOSITE sign give a delta up to 2·bound, so a 2e9 cap
+    * (r8's value) left a hole: delta up to 4e9, square 1.6e19, a WRAPPED
+    * (negative) d2 that silently wins every min. So the "any
+    * micro-degree input" precondition is ENFORCED at the tight bound,
+    * not assumed: the bounded facility side is checked eagerly in
+    * [[checkedMaxFid]], the corpus-sized point side in-plan via
+    * [[checkedCoord]].
     */
-  private val CoordBoundE6 = 2000000000L
+  private val CoordBoundE6 = 1000000000L
 
   private def checkedMaxFid(fac: DataFrame): Long = {
     val row = fac.agg(max(col("fid")),
       max(abs(col("f_lat"))), max(abs(col("f_lon")))).collect()(0)
     require(!row.isNullAt(0), "facility side must be non-empty")
     val maxFid = row.getLong(0)
-    // d2 ≤ 2·(2·CoordBound)² ≈ 3.2e19 under the coordinate cap, so the
-    // packed decimal d2·(maxFid+1)+fid stays ≤ 3.2e37 < 10^38 under the
-    // id bound.
+    // d2 ≤ 2·(2·CoordBound)² = 8e18 under the coordinate cap (long-safe),
+    // so the packed decimal d2·(maxFid+1)+fid stays ≤ 8e36 < 10^38 under
+    // the id bound.
     require(0 <= maxFid && maxFid < 1000000000000000000L,
       s"facility ids must stay below 1e18, got max $maxFid")
     Seq(1 -> "f_lat", 2 -> "f_lon").foreach { case (i, n) =>

@@ -126,17 +126,34 @@ object TextDedup {
 
   /** Items with (estimated) frequency > maxDf via one SpaceSaving pass —
     * the constant-shuffle alternative to an exact `groupBy(item).count`
-    * for skew-guard cuts. Uses count_hi (the sketch's upper bound), so
-    * every item truly above maxDf is returned (possibly plus near-hot
-    * ones); `capacity` must be ≥ totalRows/maxDf for that guarantee
-    * (standard SpaceSaving: any item with count > N/capacity is tracked).
+    * for skew-guard cuts. Two contracts, chosen by `provableOnly`:
+    *
+    *  - `provableOnly = false` (default, the legacy soundness contract):
+    *    filter on count_hi (the sketch's UPPER bound), so every item
+    *    truly above maxDf is returned (possibly plus near-hot false
+    *    positives); `capacity` must be ≥ totalRows/maxDf for that
+    *    guarantee (standard SpaceSaving: any item with count >
+    *    N/capacity is tracked). Right when over-cutting is acceptable
+    *    and under-cutting is not (pure-sketch skew guards).
+    *  - `provableOnly = true`: filter on count_lo (= count_hi − err, a
+    *    LOWER bound on true df), so every returned item PROVABLY has
+    *    df > maxDf — zero false positives at any capacity. Required by
+    *    the two-level cut: a count_hi cut at starved capacity removes
+    *    shingles whose true df ≤ maxDf (count_hi overestimates once the
+    *    sketch evicts), and the exact residual count can never restore
+    *    an anti-joined row — breaking the "exact-cut semantics at ANY
+    *    capacity" claim (r9 ADVICE). Items missed here still have
+    *    df ≤ maxDf + err ≤ maxDf + N/capacity, so the residual exact
+    *    count stays skew-free.
+    *
     * The result is driver-sized by construction: ≤ capacity entries.
     */
   def hotItemsSketch(df: DataFrame, item: Column, maxDf: Long,
-      capacity: Int): Array[String] = {
+      capacity: Int, provableOnly: Boolean = false): Array[String] = {
+    val bound = if (provableOnly) col("e.count_lo") else col("e.count_hi")
     val summary = df.agg(graft.functions.heavyHitters(item, capacity).as("hh"))
       .select(explode(col("hh")).as("e"))
-      .filter(col("e.count_hi") > maxDf)
+      .filter(bound > maxDf)
       .select(col("e.item"))
     summary.collect().map(_.getString(0))
   }
@@ -171,11 +188,13 @@ object TextDedup {
     * one constant-size summary per partition instead of a
     * distinct-shingle-sized partial-agg shuffle, and the cut becomes a
     * driver-broadcast literal predicate (NOT-isin) — the posting build
-    * then plans exactly one exchange. Soundness: count_hi ≥ true df, so
-    * no true stop-shingle survives the cut; near-hot shingles may be
-    * over-cut (Jaccard stays the documented lower bound). With
-    * `sketchCapacity ≥ distinct shingles` the sketch is exact and the
-    * result is identical to the count-agg path (spec-asserted).
+    * then plans exactly one exchange. The sketch cuts only PROVABLE
+    * heavy hitters (count_lo > maxDf — zero false positives at any
+    * capacity), and an exact residual df count over the bounded
+    * survivors (df ≤ maxDf + N/capacity) applies the real maxDf cut —
+    * so the result is identical to the count-agg path at ANY capacity
+    * (spec-asserted at starved capacity), with the sketch as the skew
+    * guard that keeps giant postings out of the residual count.
     */
   def ngramJaccardTopK(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 20, maxDf: Int = 200,
@@ -227,9 +246,12 @@ object TextDedup {
     // Shingles are distinct per doc, so count == document frequency.
     val cut: DataFrame => DataFrame =
       if (sketchCapacity > 0) {
+        // provableOnly: the level-1 cut must have ZERO false positives —
+        // a count_hi cut at starved capacity removes shingles with true
+        // df ≤ maxDf that the residual count can't restore (r9 ADVICE).
         val hot = hotItemsSketch(
           sets.select(explode(col("sh")).as("shingle")), col("shingle"),
-          maxDf, sketchCapacity)
+          maxDf, sketchCapacity, provableOnly = true)
         // Broadcast ANTI-JOIN, not a literal NOT-isin: the hot set is
         // bounded by `capacity`, and at corpus scale it FILLS (65k items
         // at sf1) — a 65k-child In literal makes every analyzer/optimizer
@@ -255,9 +277,13 @@ object TextDedup {
         import spark.implicits._
         val hotDf = hot.toSeq.toDF("shingle")
         e => {
-          val afterSketch =
+          // Materialized: afterSketch feeds BOTH the residual df count
+          // and the final anti-join — without it the broadcast anti-join
+          // is computed twice (exchange reuse covers the shuffle, not
+          // the post-shuffle anti-join work; r9 ADVICE).
+          val afterSketch = cached(
             if (hot.isEmpty) e
-            else e.join(broadcast(hotDf), Seq("shingle"), "left_anti")
+            else e.join(broadcast(hotDf), Seq("shingle"), "left_anti"))
           val residualHot = afterSketch
             .groupBy("shingle").agg(count(lit(1)).as("df_"))
             .filter(col("df_") > maxDf).select("shingle")

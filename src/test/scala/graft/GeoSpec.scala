@@ -173,6 +173,20 @@ class GeoSpec extends AnyFunSuite {
     // In-range inputs are untouched (identity guard, no value change).
     val got = Geo.nearestFacility(okPts, okFac).collect()
     assert(got.length == 1 && got(0).getLong(1) == 1L)
+    // The r9 hole: ±1.5e9 was IN range under the old 2e9 cap, yet two
+    // opposite-sign coords at that magnitude give delta 3e9, d2 ≈ 9e18 —
+    // wrapping Long and silently winning the argmin. The tightened 1e9
+    // cap must fire on BOTH sides for such values.
+    val holeFac = Seq((1L, 1500000000L, 0L)).toDF("fid", "f_lat", "f_lon")
+    val holePts = Seq((1L, -1500000000L, 0L)).toDF("id", "lat_e6", "lon_e6")
+    val eHoleFac = intercept[IllegalArgumentException] {
+      Geo.nearestFacility(okPts, holeFac)
+    }
+    assert(eHoleFac.getMessage.contains("micro-degree"))
+    val eHolePts = intercept[Exception] {
+      Geo.nearestFacility(holePts, okFac).collect()
+    }
+    assert(eHolePts.getMessage != null)
   }
 
   test("autoCellE6 scales resolution with facility density; results unchanged") {

@@ -128,6 +128,16 @@ class TextOpsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSeq
     assert(starved == exact,
       "two-level cut must equal the exact cut even at starved capacity")
+
+    // The r9 ADVICE hole, pinned directly: at starved capacity count_hi
+    // overestimates, so the legacy (count_hi) filter returns false
+    // positives — shingles with true df ≤ maxDf — which an anti-join
+    // would remove unrecoverably. The provableOnly (count_lo) filter
+    // must return ONLY truly-hot shingles at ANY capacity.
+    val provable = TextDedup.hotItemsSketch(sh, col("shingle"), maxDf,
+      capacity = 8, provableOnly = true).toSet
+    assert(provable.subsetOf(hotExact),
+      s"provableOnly cut returned false positives: ${provable -- hotExact}")
   }
 
   test("bm25 (ln idf) matches a driver-side reference on a hand corpus") {
