@@ -164,15 +164,24 @@ object StreamQueries {
       """)),
 
     // 45: the foreachBatch upsert sink END-TO-END — not a batch
-    // re-expression: the events table is split into two parquet drops
-    // (event_id parity), a REAL readStream + AvailableNow upsertSink
-    // merges them micro-batch by micro-batch into the parquet target
-    // (write-new → rename swap), and the query publishes the final
-    // table. Keyed by (user_id, event_type), latest-by ts: the testdata
-    // carries no (key, ts) ties at any SF (checked sf0.001–0.1), so the
-    // merged table is uniquely the max-ts row per key whatever the
-    // micro-batch boundaries — which is exactly what the oracle
-    // replays with one window.
+    // re-expression: the events table is split into two parquet drops, a
+    // REAL readStream + AvailableNow upsertSink merges them micro-batch
+    // by micro-batch into the key-hash-BUCKETED parquet target
+    // (BucketedTable: per-bucket rename swap, merge pruned to the
+    // buckets the batch touches), and the query publishes the final
+    // table. The split is bulk-then-small (user_id ≤ 8 held back for
+    // drop 2) so the slot measures the production shape: batch 1 is the
+    // initial parallel bucketed load, batch 2 is a SMALL merge whose
+    // cost tracks the batch's touched buckets (≤ its key count of 256),
+    // NOT the target size — the r9 full-rewrite sink paid O(|target|)
+    // per batch, and its harness wrote the whole table twice through
+    // coalesce(1) on top. Drop 1 is written as 8 files +
+    // maxFilesPerTrigger=8, so file COUNT (not single-core single-file
+    // writes) controls the batch boundary. Keyed by (user_id,
+    // event_type), latest-by ts: the testdata carries no (key, ts) ties
+    // at any SF (checked sf0.001–0.1), so the merged table is uniquely
+    // the max-ts row per key whatever the micro-batch boundaries —
+    // which is exactly what the oracle replays with one window.
     Q("st_upsert_merge",
       (s, dir) => {
         deleteRec(upsertScratch)
@@ -181,18 +190,19 @@ object StreamQueries {
         val ev = Tables.events(s, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             col("ts"), col("value"))
-        ev.filter(col("event_id") % 2 === 0)
-          .coalesce(1).write.mode("append").parquet(drop)
-        ev.filter(col("event_id") % 2 === 1)
+        ev.filter(col("user_id") > 8)
+          .repartition(8).write.mode("append").parquet(drop)
+        ev.filter(col("user_id") <= 8)
           .coalesce(1).write.mode("append").parquet(drop)
         val src = s.readStream
           .schema("event_id LONG, user_id LONG, event_type STRING, " +
             "ts TIMESTAMP_NTZ, value DOUBLE")
-          .option("maxFilesPerTrigger", 1).parquet(drop)
+          .option("maxFilesPerTrigger", 8).parquet(drop)
         StreamOps.upsertSink(src, target, ckpt,
           keys = Seq("user_id", "event_type"), latestBy = Some("ts"),
-          tieBreakers = Seq("event_id")).awaitTermination()
-        s.read.parquet(target)
+          tieBreakers = Seq("event_id"), buckets = Some(256))
+          .awaitTermination()
+        graft.sources.BucketedTable.read(s, target)
           .select(col("user_id"), col("event_type"), col("event_id"),
             col("ts"), col("value"))
           .orderBy(col("user_id"), col("event_type"))

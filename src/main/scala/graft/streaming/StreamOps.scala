@@ -170,6 +170,14 @@ object StreamOps {
     * target by key (last-writer-wins within the batch via tieBreakers).
     * The swap is write-new → rename, via the Hadoop FileSystem API so it
     * works on HDFS/object-store committers, not just local disk.
+    *
+    * `buckets = Some(n)` switches the target to the key-hash-bucketed
+    * layout ([[graft.sources.BucketedTable]]) and makes each merge
+    * BATCH-cost: only the buckets the batch touches are read and
+    * rewritten, O(batchKeys · target/n) per micro-batch instead of the
+    * legacy full read-merge-swap's O(|target|) — the shape that
+    * survives a 100 TB target. Read the bucketed result through
+    * `BucketedTable.read` (or ignore the extra `kb` partition column).
     */
   def upsertSink(
       df: DataFrame,
@@ -178,14 +186,22 @@ object StreamOps {
       keys: Seq[String],
       latestBy: Option[String] = None,
       tieBreakers: Seq[String] = Nil,
-      stamp: Option[Long => Column] = None): StreamingQuery =
+      stamp: Option[Long => Column] = None,
+      buckets: Option[Int] = None): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        upsertIntoParquet(batch, targetDir, keys, latestBy, tieBreakers,
-          stamp = stamp.map(_(batchId)))
+        buckets match {
+          case Some(n) =>
+            graft.sources.BucketedTable.upsert(batch, targetDir, keys,
+              numBuckets = n, latestBy = latestBy, tieBreakers = tieBreakers,
+              stamp = stamp.map(_(batchId)))
+          case None =>
+            upsertIntoParquet(batch, targetDir, keys, latestBy, tieBreakers,
+              stamp = stamp.map(_(batchId)))
+        }
       }
       .start()
 
@@ -194,6 +210,13 @@ object StreamOps {
     * `latestBy` (descending), then `tieBreakers` ascending — matching the
     * keep-latest integrity semantics (ascending-only tie-breakers would
     * silently keep the OLDEST row).
+    *
+    * Per-batch cost is O(|target|) — the full table is read and
+    * rewritten every merge. Fine for small/medium targets where the
+    * all-or-nothing swap is worth it; for a large target use
+    * [[graft.sources.BucketedTable.upsert]] (or `upsertSink(buckets =
+    * Some(n))`), which confines each merge to the key-hash buckets the
+    * batch touches.
     *
     * Swap order is crash-recoverable: target → .old, staging → target,
     * delete .old; a crash window leaves either the old target or a
