@@ -41,6 +41,26 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Append new vectors WITHOUT retraining (the [[IvfIndex.append]]
+    * discipline, composed): assign + PQ-encode them with the SAVED
+    * models, landing new files in only the touched cell directories.
+    * Codebooks age as the corpus drifts (estimate quality decays
+    * gracefully, never correctness of the probe contract); periodic
+    * [[build]] is the repair pass. Probe after append exactly equals
+    * probing a fresh build over the union with the same models (spec'd).
+    */
+  def append(newRows: DataFrame, idCol: String, vecCol: String,
+      path: String): Unit = {
+    val spark = newRows.sparkSession
+    val ivf = loadIvf(spark, path)
+    val pq = loadPq(spark, path)
+    newRows.select(col(idCol).as("id"),
+        IvfIndex.cellId(ivf, col(vecCol)).as("cell"),
+        array((0 until pq.m).map(s =>
+          PqIndex.code(pq, col(vecCol), s)): _*).as("codes"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+  }
+
   def loadIvf(spark: SparkSession, path: String): IvfIndex.Model =
     IvfIndex.Model(spark.read.parquet(s"$path/ivf")
       .orderBy("cell").collect().map(_.getSeq[Double](1).toArray))

@@ -27,6 +27,18 @@ object TextQueries {
       graft.operators.Bpe.trainFromCorpus(
         Tables.documents(s, dir), "text", numMerges = 50, maxWords = 2000))
 
+  /** Per-JVM scratch slot for the persisted IVF×PQ twin (the
+    * StreamQueries.upsertScratch discipline: one wiped-and-reused dir,
+    * shutdown-hook cleanup; the result is localCheckpointed before the
+    * next invocation wipes it).
+    */
+  private lazy val ivfPqScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-ivfpq-twin")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   // ------------------------------------------------------------------
   // Decode-once media feature store (SURVEY §2.3 rows 41/41c/41d/88):
   // ONE decode pass per session per corpus dir writes the parquet
@@ -995,6 +1007,37 @@ object TextQueries {
         graft.operators.PqIndex.searchADC(encoded, queries, model, topK = 5)
           .withColumn("est_d2", round(col("est_d2"), 6))
           .orderBy(col("query_id"), col("rk"))
+      },
+      None),
+
+    // ------------------------------------------------------------------
+    // 36f: the composed PERSISTED billion-scale layout (`IvfPq`): IVF
+    // cells hive-partition the PQ code table, a probe's nProbe cells
+    // arrive as a static partition filter (unprobed dirs never listed),
+    // and candidates are m-byte codes scored by ADC table lookups —
+    // partition pruning bounds WHICH bytes, PQ bounds HOW MANY per
+    // candidate. Rows-only: k-means training isn't expressible in
+    // DuckDB SQL; probe ≡ in-memory IVF×ADC and append ≡ rebuild are
+    // pinned by IvfPqSpec, pruning by its plan assertion.
+    Q("s_ivfpq_persisted",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val ivf = graft.operators.IvfIndex.train(
+          emb, "embedding", k = 16, sampleFraction = 0.25, maxIter = 5)
+        val pq = graft.operators.PqIndex.train(
+          emb, "embedding", m = 8, k = 16, maxIter = 5)
+        ivfPqScratch.synchronized {
+          deleteRec(ivfPqScratch)
+          val path = ivfPqScratch.toString
+          graft.operators.IvfPq.build(emb, "vec_id", "embedding", path, ivf, pq)
+          val queries = emb.filter(col("vec_id") < 5)
+            .select(col("vec_id"), col("embedding").cast("array<double>"))
+            .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          graft.operators.IvfPq.search(s, path, queries, k = 5, nProbe = 4)
+            .withColumn("est_d2", round(col("est_d2"), 6))
+            .orderBy(col("query_id"), col("rk"))
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
       },
       None),
 
