@@ -563,16 +563,19 @@ object TextDedup {
     * for false positives. Returns the batch rows whose `keyCol` is NOT
     * in the corpus — byte-equal to a plain anti-join (spec'd).
     *
-    * The probe is a scalar UDF — acceptable here because it runs only on
-    * the BATCH side (the corpus-sized pass is the codegen'd aggregate);
-    * Spark's native BloomFilterMightContain is not public API.
+    * The probe is a native codegen'd expression
+    * ([[graft.functions.BloomMightContain]]) over the broadcast filter —
+    * the r9 ADVICE closed: the previous Scala-UDF probe broke
+    * whole-stage codegen on the batch projection for no semantic reason.
     */
   def bloomGate(corpus: DataFrame, batch: DataFrame, keyCol: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     val bloom = corpus.stat.bloomFilter(keyCol, expectedItems, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
-    val candidates = batch.select(col(keyCol)).filter(mightContain(col(keyCol))).distinct()
+    val candidates = batch.select(col(keyCol))
+      .filter(GraftBridge.column(graft.functions.BloomMightContain(
+        GraftBridge.expression(col(keyCol)), bc)))
+      .distinct()
     val confirmed = corpus.select(col(keyCol))
       .join(broadcast(candidates), Seq(keyCol), "left_semi").distinct()
     batch.join(broadcast(confirmed), Seq(keyCol), "left_anti")

@@ -45,5 +45,31 @@ class BloomGateSpec extends AnyFunSuite {
     val plan = gated.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("ShuffleExchange"), s"unexpected shuffle:\n$plan")
+
+    // The probe is a native codegen'd expression, not a Scala UDF: the
+    // batch-side filter must stay inside whole-stage codegen (r9 ADVICE
+    // — the UDF probe broke the span for no semantic reason). The probe
+    // lands as a bloommightcontain data filter directly on the scan.
+    assert(!plan.contains("UDF"), s"Scala UDF survived in the probe:\n$plan")
+    assert(plan.contains("bloommightcontain"),
+      s"no native BloomMightContain probe in:\n$plan")
+    // doGenCode, not CodegenFallback — the span is unbroken by type.
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.BloomMightContain]))
+    // The generated code actually compiles (a doGenCode typo would fall
+    // back to interpreted mode at runtime and silently eat the win):
+    // evaluate the probe standalone inside a fresh codegen'd projection.
+    val probed = batch.select(col("h"))
+      .filter(org.apache.spark.sql.GraftBridge.column(
+        graft.functions.BloomMightContain(
+          org.apache.spark.sql.GraftBridge.expression(col("h")),
+          spark.sparkContext.broadcast(
+            corpus.stat.bloomFilter("h", 64, 0.5)))))
+    val fallbackConf = "spark.sql.codegen.fallback"
+    val prev = spark.conf.get(fallbackConf)
+    try {
+      spark.conf.set(fallbackConf, "false") // a codegen bug now THROWS
+      assert(probed.count() > 0)
+    } finally spark.conf.set(fallbackConf, prev)
   }
 }
