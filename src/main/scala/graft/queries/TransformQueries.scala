@@ -20,6 +20,24 @@ object TransformQueries {
   private val NaTokens = Seq("", "NA", "N/A", "na", "null", "None", "none", "Nan", "NaN", "src0")
   private def sqlList(xs: Seq[String]) = xs.map(s => s"'$s'").mkString(", ")
 
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** Per-JVM scratch slot for the bucketed-upsert twin (the
+    * StreamQueries.upsertScratch discipline: one wiped-and-reused dir,
+    * shutdown-hook cleanup, result localCheckpointed before reuse).
+    */
+  private lazy val bucketScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-bucket-twin")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // ------------------------------------------------------------------
@@ -263,6 +281,48 @@ object TransformQueries {
             (col("o_totalprice") * 2).as("o_totalprice"))
         Transform.upsert(current, updates, keys = Seq("o_orderkey"))
           .orderBy(col("o_orderkey"))
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY src DESC) AS rn
+          FROM (
+            SELECT o_orderkey, o_custkey, o_totalprice, 0 AS src
+            FROM orders WHERE o_orderkey % 3 <> 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice, 1 AS src
+            FROM orders WHERE o_orderkey % 2 = 0))
+        WHERE rn = 1
+        ORDER BY o_orderkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // 18e: the BATCH-COST physical upsert sink end-to-end — not a frame
+    // merge but the real key-hash-BUCKETED parquet target
+    // (sources/BucketedTable): batch 1 creates the bucketed layout,
+    // batch 2 merges through the per-bucket swap touching only its own
+    // buckets, and the query publishes the final table. Same merge
+    // semantics as t_upsert, so the oracle is the identical
+    // last-writer-wins window — a hash-match proves the physical layout
+    // (bucket routing, partition-pruned target read, per-bucket swap)
+    // loses nothing vs the logical merge.
+    Q("t_upsert_bucketed",
+      (s, dir) => {
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        bucketScratch.synchronized {
+          deleteRec(bucketScratch)
+          val t = bucketScratch.toString + "/t"
+          val b1 = o.filter(col("o_orderkey") % 3 =!= 0)
+          val b2 = o.filter(col("o_orderkey") % 2 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") * 2)
+          graft.sources.BucketedTable.upsert(b1, t, Seq("o_orderkey"),
+            numBuckets = 64)
+          graft.sources.BucketedTable.upsert(b2, t, Seq("o_orderkey"),
+            numBuckets = 64)
+          graft.sources.BucketedTable.read(s, t)
+            .orderBy(col("o_orderkey"))
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
       },
       Some("""
         SELECT o_orderkey, o_custkey, o_totalprice FROM (
