@@ -24,6 +24,15 @@ object GraftSession {
       // watermarks reject. Tables.events also normalizes NTZ defensively.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
+      // Serialized RDD blocks (persist/localCheckpoint disk tier —
+      // graft's Materialize discipline runs through it) compress with
+      // the default lz4 codec: the dedup/components pipelines checkpoint
+      // shingle-array and pair frames whose text-heavy blocks compress
+      // 3-5×, and an uncompressed spill tier is what overflowed the
+      // disk in the sf100 components probe. Shuffle spill is already
+      // compressed by default; this aligns the checkpoint tier with it
+      // (lz4 throughput ≫ local-disk bandwidth, so CPU cost is noise).
+      .config("spark.rdd.compress", "true")
     if (master.nonEmpty) b = b.master(master)
     if (shufflePartitions > 0)
       b = b.config("spark.sql.shuffle.partitions", shufflePartitions.toString)

@@ -131,12 +131,25 @@ object TextQueries {
   }
 
   /** Materialized portable MinHash signatures (doc_id, sig[32]): 4 sha256
-    * digests per DISTINCT shingle (not per occurrence — shingles repeat
-    * ~10× across documents), each digest yielding 8 independent 32-bit
-    * values via hex slices; per-doc elementwise-min through VecMinAgg
-    * (fixed 32-long buffer, map-side). Doc-keyed repartition BEFORE the
-    * explode spreads the single-file scan; the shared exchange is reused
-    * by both the distinct-shingle side and the join probe side.
+    * digests per shingle OCCURRENCE, each digest yielding 8 independent
+    * 32-bit values via hex slices; per-doc elementwise-min through
+    * VecMinAgg (fixed 32-long buffer, map-side). Doc-keyed repartition
+    * BEFORE the explode spreads the single-file scan — and because the
+    * hash→min chain never re-keys, that ONE exchange of the compact doc
+    * frame is the pipeline's ONLY shuffle: explode, sha256, and the
+    * partial+final vecMin all run inside the doc-partitioned stage.
+    *
+    * r10 scale lesson (the sf100 probe's disk kill): the previous shape
+    * hashed per DISTINCT shingle and joined the signatures back to the
+    * exploded (doc, shingle) frame — "save 10× the sha256 calls". But
+    * that join re-keys 500M occurrence rows by shingle and then ships a
+    * 264-byte 32-long array per row (plus per-partition partials ×
+    * numPartitions) into the doc_id exchange: ~150 GB of shuffle at
+    * sf100, which overflowed the box's disk — while the sha256 calls it
+    * saved are embarrassingly parallel CPU (~1 µs each, no shuffle at
+    * any corpus size). Hash-per-occurrence is identical semantically
+    * (the per-doc min ranges over the same values) and trades the
+    * engine's scarce resource (shuffle bytes) for its abundant one.
     */
   private[graft] def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) = {
     import graft.operators.Materialize
@@ -148,13 +161,11 @@ object TextQueries {
     // Explicit count: a bare repartition(col) is AQE-coalescible and the
     // compact doc frame coalesces to 1-2 partitions, serializing the
     // CPU-dominant shingle/sha256 stage (see synthMedia's note).
-    val docSh = portableShingles(docs)
+    Materialize(portableShingles(docs)
       .repartition(docs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
-    val hashed = docSh.select("shingle").distinct()
-      .select(col("shingle"), hs.as("hs"))
-    Materialize(docSh.join(hashed, "shingle")
+      .select(col("doc_id"), hs.as("hs"))
       .groupBy("doc_id")
       .agg(graft.functions.vecMin(col("hs"), 32).as("sig")))
   }
