@@ -515,12 +515,25 @@ object TextQueries {
     // the portable sha256-prefix hash. Everything through n_eq is exact
     // integer arithmetic; publication is the top-20 pairs by agreeing
     // positions with full (id_a, id_b) tiebreak. Same join shape as
-    // production: band-key equi-join, never all-pairs.
+    // production: band-key equi-join, never all-pairs — WITH the native
+    // sibling's flood-bucket guard (occupancy ≤ 100, replayed by the
+    // oracle): the r10 sf100 probe disk-killed the unguarded join,
+    // because pairwise LSH candidates grow with the SQUARE of duplicate-
+    // family size (a 1000-member family = half a million pairs from one
+    // bucket; the banded leakage-split survives the same corpus by
+    // contracting buckets to n−1 star edges instead). Dropping flood
+    // buckets is standard LSH practice — a bucket that saturated its
+    // occupancy cap carries no discrimination.
     Q("d_minhash_portable",
       (s, dir) => {
         val sig = portableMinhashSig(Tables.documents(s, dir))
         val bands = portableBands(sig)
-        val pairs = bands.as("a").join(bands.as("b"),
+        val capped = bands.join(
+          bands.groupBy("b", "k1", "k2").agg(count(lit(1)).as("bucket_n"))
+            .filter(col("bucket_n") > 1 && col("bucket_n") <= 100)
+            .select("b", "k1", "k2"),
+          Seq("b", "k1", "k2"))
+        val pairs = capped.as("a").join(capped.as("b"),
             col("a.b") === col("b.b") && col("a.k1") === col("b.k1") &&
             col("a.k2") === col("b.k2") && col("a.doc_id") < col("b.doc_id"))
           .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -555,8 +568,11 @@ object TextQueries {
         sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hx GROUP BY doc_id),
         bands AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
                   FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        keepb AS (SELECT b, k1, k2 FROM bands
+                  GROUP BY b, k1, k2 HAVING COUNT(*) BETWEEN 2 AND 100),
+        cb AS (SELECT bands.* FROM bands JOIN keepb USING (b, k1, k2)),
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                  FROM bands a JOIN bands b
+                  FROM cb a JOIN cb b
                     ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
                    AND a.doc_id < b.doc_id),
         scored AS (SELECT id_a, id_b,
