@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import org.apache.spark.sql.GraftBridge
@@ -315,12 +316,43 @@ object TextDedup {
     * anchor the candidates. Exact Jaccard is recomputed per candidate from
     * the full sets. Unlike the df-cut top-k variant this is exact at any
     * scale; the prefix bound is what PPJoin/AllPairs use.
+    *
+    * EXACT-DUPLICATE COLLAPSE (r10): the candidate test and the Jaccard
+    * score are both pure functions of the two shingle SETS, so docs with
+    * identical sets are interchangeable — the join runs on ONE
+    * representative per identical-set group and the result is expanded
+    * back afterward (intra-group pairs are Jaccard 1 by definition;
+    * cross-group pairs inherit the representatives' score). The output
+    * pair set is PROVABLY identical to the direct join's
+    * (LeakageSplitSpec pins it on a dup-heavy corpus). This is what
+    * makes the operator survive duplicate FLOODS: the r10 sf100 probe
+    * (5M docs, 34 exact-dup families of 1000) disk-killed the direct
+    * join twice — ~17M intra-family candidate pairs each shipping two
+    * ~90-element shingle arrays through the verify join ≈ 70+ GB of
+    * sort spill, with every one of those array_intersect calls a
+    * foregone conclusion. Post-collapse the verify join only ever sees
+    * DISTINCT sets, whose candidate volume is what the prefix filter
+    * actually bounds.
     */
   def ngramJaccardJoin(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sets = cached(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
+    val (memb, repSets) = setCollapse(sets)
+    val repPairs = verifiedJaccardPairs(repSets, threshold)
+    intraGroupPairs(memb)
+      .withColumn("jaccard", lit(1.0))
+      .filter(lit(1.0) >= threshold)
+      .unionByName(expandRepPairs(repPairs, memb, Seq("jaccard")))
+  }
+
+  /** The direct (no-collapse) verify pipeline over prepared (id, sh, sz)
+    * sets: PPJoin candidates → per-pair exact Jaccard → threshold.
+    * `private[graft]` so the spec can pin collapse ≡ direct.
+    */
+  private[graft] def verifiedJaccardPairs(sets: DataFrame,
+      threshold: Double): DataFrame = {
     val cands = ppjoinCandidatesFromSets(sets, threshold)
     // Verification is CPU-bound (one array_intersect per candidate pair):
     // spread the pairs explicitly — AQE coalesces this small-bytes/
@@ -351,11 +383,70 @@ object TextDedup {
     */
   def ppjoinCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sets =
+    // Same exact-duplicate collapse as [[ngramJaccardJoin]], same
+    // equality argument: candidacy (shared prefix shingle + length
+    // filter) is a function of the two sets alone, and two identical
+    // sets always share their first sorted shingle — so the collapsed
+    // candidate set equals the direct one EXACTLY, not just up to
+    // connected components (LeakageSplitSpec pins both).
+    val sets = cached(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
-        .withColumn("sz", size(col("sh")))
-    ppjoinCandidatesFromSets(sets, threshold)
+        .withColumn("sz", size(col("sh"))))
+    val (memb, repSets) = setCollapse(sets)
+    intraGroupPairs(memb)
+      .filter(lit(1.0) >= threshold)
+      .unionByName(expandRepPairs(
+        ppjoinCandidatesFromSets(repSets, threshold), memb, Seq.empty))
   }
+
+  /** Exact-duplicate collapse for the set-similarity self-joins: group
+    * docs by a 128-bit fingerprint of the sorted shingle set (two
+    * independently-salted xxhash64s — collision odds at 5M distinct
+    * sets ≈ 1e-25, and a collision could only ever MERGE two groups,
+    * never lose a true pair's doc). Returns (members, repSets):
+    * members = (id, rep) with rep = min id of the doc's identical-set
+    * group; repSets = the one-representative-per-group subset of
+    * `sets`. Both shuffles are narrow (ids + two longs); the shingle
+    * arrays themselves never leave the scan that fingerprints them.
+    */
+  private def setCollapse(sets: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = sets.select(col("id"),
+      xxhash64(sort_array(col("sh"))).as("f1"),
+      xxhash64(lit("graft.setfp2"), sort_array(col("sh"))).as("f2"))
+    val memb = cached(keyed
+      .withColumn("rep",
+        min(col("id")).over(Window.partitionBy(col("f1"), col("f2"))))
+      .select("id", "rep"))
+    val repSets = sets.join(
+      memb.filter(col("id") === col("rep")).select("id"),
+      Seq("id"), "left_semi")
+    (memb, repSets)
+  }
+
+  /** All unordered same-group pairs (id_a < id_b) of a (id, rep)
+    * membership frame — every one Jaccard 1 by construction. Output is
+    * quadratic in group size, but that is the OPERATOR's contract
+    * (those pairs exist); the rows are two longs, with no shingle
+    * payload and no verification work attached.
+    */
+  private def intraGroupPairs(memb: DataFrame): DataFrame =
+    memb.as("a").join(memb.as("b"),
+        col("a.rep") === col("b.rep") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+  /** Expand representative-level pairs back to member-level pairs:
+    * every (member of a's group) × (member of b's group) combo, carrying
+    * `extra` columns (e.g. the jaccard score — exact for every combo,
+    * because members have byte-identical sets). Groups are disjoint and
+    * rep pairs are distinct, so the expansion emits no duplicates.
+    */
+  private def expandRepPairs(repPairs: DataFrame, memb: DataFrame,
+      extra: Seq[String]): DataFrame =
+    repPairs
+      .join(memb.select(col("rep").as("id_a"), col("id").as("ma")), Seq("id_a"))
+      .join(memb.select(col("rep").as("id_b"), col("id").as("mb")), Seq("id_b"))
+      .select(least(col("ma"), col("mb")).as("id_a") +:
+        greatest(col("ma"), col("mb")).as("id_b") +: extra.map(col): _*)
 
   private def ppjoinCandidatesFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {

@@ -173,6 +173,70 @@ class LeakageSplitSpec extends AnyFunSuite {
       "distinct short docs must not be merged")
   }
 
+  test("exact-dup collapse: verified pairs and candidates match brute force on a dup-flooded corpus") {
+    // r10 sf100 regression pin: 34 exact-dup families of 1000 docs
+    // disk-killed the direct verify join (~17M foregone-conclusion
+    // pairs, each shipping two shingle arrays). The collapse must leave
+    // the output PAIR SET byte-identical — candidacy and Jaccard are
+    // functions of the shingle sets alone — including families that mix
+    // exact copies with near-dup edits, and identical short docs on the
+    // whole-text-shingle path.
+    def sentence(seed: Int, n: Int = 20): Array[String] =
+      (0 until n).map(i => s"t${(seed * 37 + i * 11) % 89}_$i").toArray
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val baseA = sentence(1)
+    (0 until 8).foreach(i => rows += ((100L + i, baseA.mkString(" "))))
+    (0 until 2).foreach { v =>
+      val t = baseA.clone(); t(3 + v) = s"editA_$v"
+      rows += ((110L + v, t.mkString(" ")))
+    }
+    val baseB = sentence(2)
+    (0 until 5).foreach(i => rows += ((200L + i, baseB.mkString(" "))))
+    rows += ((300L, "hola mundo")); rows += ((301L, "hola mundo"))
+    rows += ((302L, "otra cosa"))
+    (0 until 10).foreach(i => rows += ((400L + i, sentence(50 + i * 3).mkString(" "))))
+    val d = rows.toSeq.toDF("doc_id", "text")
+
+    // Brute force over the operator's OWN shingle sets (isolates the
+    // join/collapse logic from shingle semantics).
+    val sets = d.select(col("doc_id"),
+        TextDedup.wordShingles(col("text"), 3).as("sh"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, sh) => id -> sh.toSet }.sortBy(_._1)
+    val brute = (for {
+      Seq((ia, sa), (ib, sb)) <- sets.toSeq.combinations(2)
+      inter = sa.intersect(sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.8
+    } yield ((ia, ib), j)).toMap
+    assert(brute.size >= 8 * 7 / 2 + 5 * 4 / 2 + 1,
+      "corpus must flood: exact families + short twins expected")
+
+    val got = TextDedup.ngramJaccardJoin(d, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(got.keySet == brute.keySet,
+      s"collapse vs brute force: missing=${(brute.keySet -- got.keySet).take(5)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(5)}")
+    for ((k, j) <- brute)
+      assert(math.abs(got(k) - j) < 1e-12, s"jaccard mismatch at $k: ${got(k)} vs $j")
+
+    val cands = TextDedup.ppjoinCandidates(d, "doc_id", "text", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.keySet.subsetOf(cands),
+      s"collapsed candidates lost true pairs: ${(brute.keySet -- cands).take(5)}")
+
+    // And collapsed ≡ direct end to end (same prepared sets, no collapse).
+    val prepped = d.select(col("doc_id").as("id"),
+        TextDedup.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")))
+    val direct = TextDedup.verifiedJaccardPairs(prepped, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(direct.keySet == got.keySet,
+      "direct (no-collapse) pipeline disagrees with collapsed pipeline")
+  }
+
   test("family members always share a side under the fast split") {
     val result = SparkEntry.queries("x_leakage_split_fast")(spark, sfDir)
     val sides = result.select("doc_id", "split").as[(Long, String)].collect().toMap
