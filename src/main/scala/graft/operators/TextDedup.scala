@@ -232,20 +232,20 @@ object TextDedup {
   private def sharedShingleCounts(df: DataFrame, idCol: String,
       textCol: String, n: Int, maxDf: Int, sketchCapacity: Int): DataFrame = {
     // Shingling runs once: lineage-free cached blocks (see `cached`) feed
-    // the df agg and the posting-list build.
+    // the df agg and the posting-list build. Explicit repartition by id:
+    // the documents scan is a handful of maxPartitionBytes splits (ONE at
+    // sf10), and every downstream consumer of the cached blocks — the
+    // sketch scan, the explode, the partial aggregations BELOW the next
+    // exchange — inherits that width (the r9 tiny-projection→heavy-
+    // compute lesson, applied to the shingle family).
+    val nPart =
+      df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val sets = cached(
-      df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
+      df.repartition(nPart, col(idCol))
+        .select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
-    // ONE explicit shuffle on shingle feeds BOTH aggregations: the df
-    // count and the posting-list collect read the same reused exchange
-    // (vs letting each groupBy plan its own partial-agg shuffle of the
-    // full exploded frame — measured 2.4 s → 1.65 s at sf0.1). The explicit N also
-    // keeps AQE from coalescing the downstream CPU-heavy pair explode.
-    val ex = spread(
-      sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle")),
-      col("shingle"))
     // Shingles are distinct per doc, so count == document frequency.
-    val cut: DataFrame => DataFrame =
+    val postings =
       if (sketchCapacity > 0) {
         // provableOnly: the level-1 cut must have ZERO false positives —
         // a count_hi cut at starved capacity removes shingles with true
@@ -261,44 +261,52 @@ object TextDedup {
         // scan, fixed in SpaceSavingAgg — 11.6 s with both). The join
         // build side is the same driver array, shipped once.
         //
-        // TWO-LEVEL cut (r9): a fixed-capacity sketch can only GUARANTEE
-        // detection above ~N/capacity — by sf100 (450M postings, 65k
-        // capacity) that bound was ~6.9k ≫ maxDf=200, so mid-hot
-        // shingles escaped the cut and their df² pair fan-out grew
-        // QUADRATICALLY with the corpus (24.6 s at sf10 → 299 s at
-        // sf100, isolated; the exact-cut sibling was 3.3× for the same
-        // 10×). The sketch now cuts what it can prove (ultra-hot, at
-        // constant memory — these are also the giant postings the
-        // exact count would shuffle); the survivors' df is bounded by
-        // ~N/capacity, so an EXACT residual count on them is skew-free
-        // and applies the real maxDf cut. Net: exact-cut semantics at
-        // ANY capacity (the oracle hash-matches at every SF, not just
-        // ample-capacity ones), with the sketch as the skew guard.
+        // ONE-PASS residual (r10, supersedes the r9 two-level shape):
+        // the level-1 cut guarantees every surviving shingle has df ≤
+        // maxDf + N/capacity (~7.1k at sf100 → a ≤114 KB collect_set
+        // buffer — bounded, so the posting build is skew-safe without a
+        // prior count), and |docs| == exact residual df. The residual
+        // count and the posting build therefore FUSE into one
+        // aggregation with a size filter: same exact-cut semantics (the
+        // oracle hash-matches at any capacity), minus the full-frame
+        // localCheckpoint materialization, a groupBy-count shuffle, and
+        // a second anti-join that made the r9 shape super-linear at
+        // sf100 (400.9 s vs its 24.6 s sf10 floor).
         val spark = df.sparkSession
         import spark.implicits._
         val hotDf = hot.toSeq.toDF("shingle")
-        e => {
-          // Materialized: afterSketch feeds BOTH the residual df count
-          // and the final anti-join — without it the broadcast anti-join
-          // is computed twice (exchange reuse covers the shuffle, not
-          // the post-shuffle anti-join work; r9 ADVICE).
-          val afterSketch = cached(
-            if (hot.isEmpty) e
-            else e.join(broadcast(hotDf), Seq("shingle"), "left_anti"))
-          val residualHot = afterSketch
-            .groupBy("shingle").agg(count(lit(1)).as("df_"))
-            .filter(col("df_") > maxDf).select("shingle")
-          afterSketch.join(residualHot, Seq("shingle"), "left_anti")
-        }
+        val exploded =
+          sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle"))
+        val afterSketch =
+          if (hot.isEmpty) exploded
+          else exploded.join(broadcast(hotDf), Seq("shingle"), "left_anti")
+        // spread: keep AQE from coalescing the small-bytes/high-CPU pair
+        // explode below.
+        spread(
+          afterSketch.groupBy("shingle")
+            .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
+            .filter(size(col("docs")) >= 2 && size(col("docs")) <= maxDf),
+          col("shingle"))
       } else {
+        // ONE explicit shuffle on shingle feeds BOTH aggregations: the df
+        // count and the posting-list collect read the same reused exchange
+        // (vs letting each groupBy plan its own partial-agg shuffle of the
+        // full exploded frame — measured 2.4 s → 1.65 s at sf0.1). The
+        // explicit N also keeps AQE from coalescing the downstream
+        // CPU-heavy pair explode. The two-pass count→cut→collect stays in
+        // THIS path: with no level-1 guard, a mega-hot shingle would
+        // otherwise materialize its full posting list in one aggregation
+        // buffer (count partials compress; collect_set partials don't).
+        val ex = spread(
+          sets.select(col("id"), col("sz"), explode(col("sh")).as("shingle")),
+          col("shingle"))
         val hot = ex.groupBy("shingle").agg(count(lit(1)).as("df_"))
           .filter(col("df_") > maxDf).select("shingle")
-        e => e.join(hot, Seq("shingle"), "left_anti")
+        ex.join(hot, Seq("shingle"), "left_anti")
+          .groupBy("shingle")
+          .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
+          .filter(size(col("docs")) >= 2)
       }
-    val postings = cut(ex)
-      .groupBy("shingle")
-      .agg(sort_array(collect_set(struct(col("id"), col("sz")))).as("docs"))
-      .filter(size(col("docs")) >= 2)
     val pairs = postings
       .select(explode(GraftBridge.column(
         graft.functions.PairCombos(GraftBridge.expression(col("docs"))))).as("p"))
