@@ -361,7 +361,7 @@ object TextDedup {
     */
   private[graft] def verifiedJaccardPairs(sets: DataFrame,
       threshold: Double): DataFrame = {
-    val cands = ppjoinCandidatesFromSets(sets, threshold)
+    val cands = ppjoinCandidatesFromSets(sets, threshold, hashKeys = true)
     // Verification is CPU-bound (one array_intersect per candidate pair):
     // spread the pairs explicitly — AQE coalesces this small-bytes/
     // high-CPU frame to a couple of tasks otherwise (measured 3s of the
@@ -456,15 +456,42 @@ object TextDedup {
       .select(least(col("ma"), col("mb")).as("id_a") +:
         greatest(col("ma"), col("mb")).as("id_b") +: extra.map(col): _*)
 
+  /** Candidate machinery. `hashKeys = true` swaps every shingle STRING
+    * for its xxhash64 inside the candidate pipeline — the heavy df-join
+    * and prefix-build shuffles then ship 8-byte longs instead of
+    * ~30-char trigram strings (the r10 sf100 probe disk-killed on
+    * exactly those two stages: ~450M occurrence rows, shingle carried
+    * TWICE through the prefix sort). Sound for any consumer that
+    * re-verifies: candidacy under the hashed universe is the prefix
+    * bound applied to the HASHED sets, and hashing can only merge
+    * elements — J_hash ≥ J_string — so the candidate set stays a
+    * deterministic superset of the true string-Jaccard ≥ t pairs.
+    * It is a DIFFERENT superset than the string-ordered one, so the
+    * public [[ppjoinCandidates]] (whose x_leakage_split_fast oracle
+    * replays the string (df, shingle) prefix order bit-exactly) keeps
+    * `hashKeys = false`; [[ngramJaccardJoin]], whose verify stage
+    * recomputes exact Jaccard from the full string sets, uses the
+    * hashed path.
+    */
   private def ppjoinCandidatesFromSets(sets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double, hashKeys: Boolean = false): DataFrame = {
     // NOTE perf: unlike ngramJaccardTopK, pre-spreading this exploded
     // frame by shingle measured SLOWER (2.0 s vs 1.8 s at sf0.1) — the df
     // join needs the raw rows again, so partial-agg compression of the
     // count side wins over exchange reuse. Likewise materializing
     // `prefixes` (2.15 s): the self-join's identical subtrees already
     // dedup via ReuseExchange, so the eager checkpoint is pure overhead.
-    val exploded = sets.select(col("id"), explode(col("sh")).as("shingle"))
+    val base =
+      if (hashKeys)
+        // array_distinct: an intra-doc hash collision (odds ~1e-9 per
+        // corpus) would otherwise double-count df and break the
+        // shingles-distinct-per-doc invariant; sz is the HASHED set
+        // size so the length/prefix bounds are consistent within the
+        // hashed universe.
+        sets.select(col("id"),
+          array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
+      else sets.select(col("id"), col("sh"))
+    val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
     // Global rarest-first total order: (document frequency, shingle).
     // Deliberately NO broadcast hints and NO in-list pair generation in
     // this EXACT variant: the df table is vocabulary-sized and a hot
@@ -474,11 +501,13 @@ object TextDedup {
         exploded.groupBy("shingle").agg(count(lit(1)).as("df_")), "shingle")
     // Per-doc prefix of the df-sorted shingle list. Materialized: the
     // candidate self-join reads it on both sides, and its construction
-    // (df join + per-doc sort) is most of the query's work.
+    // (df join + per-doc sort) is most of the query's work. The sort key
+    // IS struct(df_, shingle), so the shingle rides in the struct once —
+    // an earlier shape carried it twice (inside ord AND alongside),
+    // doubling the prefix build's shuffle bytes.
     val prefixes = ranked
-      .withColumn("ord", struct(col("df_"), col("shingle")))
       .groupBy("id")
-      .agg(sort_array(collect_list(struct(col("ord"), col("shingle")))).as("sorted"),
+      .agg(sort_array(collect_list(struct(col("df_"), col("shingle")))).as("sorted"),
         count(lit(1)).as("sz"))
       .select(col("id"), col("sz"),
         explode(slice(transform(col("sorted"), _.getField("shingle")),
