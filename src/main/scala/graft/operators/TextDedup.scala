@@ -356,25 +356,109 @@ object TextDedup {
   }
 
   /** The direct (no-collapse) verify pipeline over prepared (id, sh, sz)
-    * sets: PPJoin candidates → per-pair exact Jaccard → threshold.
-    * `private[graft]` so the spec can pin collapse ≡ direct.
+    * sets: clustered PPJoin — canonical candidates and exact Jaccard both
+    * computed INSIDE the prefix-anchor cluster. `private[graft]` so the
+    * spec can pin collapse ≡ direct.
+    *
+    * CLUSTERED VERIFY (r10): the classic shape — candidate pair join,
+    * global distinct, then a verify join shipping BOTH full shingle
+    * arrays per pair — is pair-priced: at the sf100 probe (5M docs,
+    * 124M candidates of ~52 shingles) the verify join alone is ~800 GB
+    * of shuffle, and it disk-killed a 75 GB machine twice. This pipeline
+    * is cluster-priced instead:
+    *
+    *  1. Shingles become 128-bit fingerprints (h, h2) once; df and the
+    *     global rarest-first order live on the same (df, h, h2) universe,
+    *     so strings never enter a shuffle (fingerprint Jaccard ==
+    *     string Jaccard up to a 2^-128 cross-set collision — the same
+    *     odds-class [[setCollapse]] already calls exact).
+    *  2. Each doc's PREFIX entries group by anchor shingle;
+    *     [[graft.functions.PrunedPairCombos]] enumerates each cluster's
+    *     pairs in memory (20 B per member — no shingle payload) and
+    *     prunes them with the PPJoin length AND positional filters
+    *     before anything is emitted; a global groupBy then keeps each
+    *     pair at its MINIMUM shared anchor — the canonical form of the
+    *     old distinct. The positional filter is what tames a
+    *     replica-flooded corpus: docs sharing only a common skeleton
+    *     meet at deep prefix positions where the suffix bound collapses,
+    *     so they never leave the cluster (raw occurrence volume 291M at
+    *     sf100; survivors ≈ the true near-dup pairs).
+    *  3. Pairs chunk per anchor (row_number window, 256k pairs/chunk —
+    *     the skew guard for mega near-dup families); each chunk joins
+    *     the fingerprint sets of JUST its member docs, and
+    *     [[graft.functions.VerifyPairs]] merge-intersects the sorted
+    *     arrays in memory. A doc's verify payload ships once per
+    *     (anchor, chunk) it participates in — measured 42M memberships
+    *     at sf100 (≈38 GB) vs 2×124M pair-side arrays (≈800 GB).
     */
   private[graft] def verifiedJaccardPairs(sets: DataFrame,
       threshold: Double): DataFrame = {
-    val cands = ppjoinCandidatesFromSets(sets, threshold, hashKeys = true)
-    // Verification is CPU-bound (one array_intersect per candidate pair):
-    // spread the pairs explicitly — AQE coalesces this small-bytes/
-    // high-CPU frame to a couple of tasks otherwise (measured 3s of the
-    // query's 5s on a single core).
-    spread(cands, col("id_a"))
-      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("sz").as("sz_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    val hsets = cached(sets.select(col("id"),
+      sort_array(array_distinct(transform(col("sh"), s =>
+        struct(xxhash64(s).as("h"), xxhash64(lit("graft.vfy2"), s).as("h2")))))
+        .as("fp"))
+      .withColumn("sz", size(col("fp"))))
+    val exploded = hsets.select(col("id"), col("sz"), explode(col("fp")).as("e"))
+      .select(col("id"), col("sz"), col("e.h").as("h"), col("e.h2").as("h2"))
+    // Global rarest-first total order: (df, h, h2). Same no-broadcast
+    // rationale as ppjoinCandidatesFromSets: the df table is
+    // vocabulary-sized.
+    val dfTab = exploded.groupBy("h", "h2").agg(count(lit(1)).as("df_"))
+    val pref = exploded.join(dfTab, Seq("h", "h2"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df_"), col("h"), col("h2"))))
+          .as("sorted"),
+        first(col("sz")).as("sz"))
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("sorted"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          .as(Seq("pos", "a")))
+    val occ = pref
+      .groupBy(col("a").as("anchor"))
+      .agg(collect_list(struct(col("id"), col("sz"), col("pos"))).as("docs"))
+      .select(col("anchor"), explode(GraftBridge.column(
+        graft.functions.PrunedPairCombos(
+          GraftBridge.expression(col("docs")), threshold))).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"), col("anchor"))
+    // Canonicalization: each candidate pair survives only at its MINIMUM
+    // shared anchor under the global (df, h, h2) order — the dedup the
+    // old path bought with a same-volume distinct, except the anchor now
+    // also keys the verify clustering below. Materialized once: the
+    // chunk window plus BOTH the pair-group and membership branches read
+    // it.
+    val canon = cached(occ.groupBy("id_a", "id_b")
+      .agg(min(col("anchor")).as("anchor"))
+      .select(col("anchor.h").as("ah"), col("anchor.h2").as("ah2"),
+        col("id_a"), col("id_b")))
+    val chunk = ((row_number().over(
+        Window.partitionBy(col("ah"), col("ah2"))
+          .orderBy(col("id_a"), col("id_b"))) - 1) / lit(VerifyChunkPairs))
+      .cast("int").as("ck")
+    val chunked = canon.withColumn("ck", chunk)
+    val pairsG = chunked.groupBy("ah", "ah2", "ck")
+      .agg(collect_list(struct(col("id_a"), col("id_b"))).as("pairs"))
+    val docsG = chunked
+      .select(col("ah"), col("ah2"), col("ck"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .distinct()
+      .join(hsets, "id")
+      .groupBy("ah", "ah2", "ck")
+      .agg(collect_list(struct(col("id"), col("sz"), col("fp"))).as("docs"))
+    // spread: verify rows are few-and-fat (small bytes pre-explode, high
+    // CPU) — AQE would coalesce them onto a couple of cores.
+    spread(pairsG.join(docsG, Seq("ah", "ah2", "ck")), col("ah"))
+      .select(explode(GraftBridge.column(graft.functions.VerifyPairs(
+        GraftBridge.expression(col("pairs")),
+        GraftBridge.expression(col("docs")), threshold))).as("v"))
+      .select(col("v.id_a").as("id_a"), col("v.id_b").as("id_b"),
+        col("v.jaccard").as("jaccard"))
   }
+
+  /** Pairs per verify chunk: bounds one VerifyPairs task's buffer (256k
+    * pair structs ≈ 4 MB plus its member docs' fingerprint arrays) so a
+    * mega near-dup family spreads across tasks instead of pinning one.
+    */
+  private val VerifyChunkPairs = 1 << 18
 
   /** PPJoin prefix-filter CANDIDATE pairs only — a DETERMINISTIC
     * SUPERSET of the Jaccard ≥ `threshold` pairs (the prefix bound is
@@ -456,42 +540,22 @@ object TextDedup {
       .select(least(col("ma"), col("mb")).as("id_a") +:
         greatest(col("ma"), col("mb")).as("id_b") +: extra.map(col): _*)
 
-  /** Candidate machinery. `hashKeys = true` swaps every shingle STRING
-    * for its xxhash64 inside the candidate pipeline — the heavy df-join
-    * and prefix-build shuffles then ship 8-byte longs instead of
-    * ~30-char trigram strings (the r10 sf100 probe disk-killed on
-    * exactly those two stages: ~450M occurrence rows, shingle carried
-    * TWICE through the prefix sort). Sound for any consumer that
-    * re-verifies: candidacy under the hashed universe is the prefix
-    * bound applied to the HASHED sets, and hashing can only merge
-    * elements — J_hash ≥ J_string — so the candidate set stays a
-    * deterministic superset of the true string-Jaccard ≥ t pairs.
-    * It is a DIFFERENT superset than the string-ordered one, so the
-    * public [[ppjoinCandidates]] (whose x_leakage_split_fast oracle
-    * replays the string (df, shingle) prefix order bit-exactly) keeps
-    * `hashKeys = false`; [[ngramJaccardJoin]], whose verify stage
-    * recomputes exact Jaccard from the full string sets, uses the
-    * hashed path.
+  /** Candidate machinery for the PUBLIC string-universe candidate set:
+    * [[ppjoinCandidates]]' x_leakage_split_fast oracle replays the string
+    * (df, shingle) prefix order bit-exactly, so this path keeps shingle
+    * STRINGS as keys. The verified pipeline ([[verifiedJaccardPairs]])
+    * does NOT route through here — it runs the clustered fingerprint
+    * pipeline above, whose candidate universe is (df, h, h2)-ordered.
     */
   private def ppjoinCandidatesFromSets(sets: DataFrame,
-      threshold: Double, hashKeys: Boolean = false): DataFrame = {
+      threshold: Double): DataFrame = {
     // NOTE perf: unlike ngramJaccardTopK, pre-spreading this exploded
     // frame by shingle measured SLOWER (2.0 s vs 1.8 s at sf0.1) — the df
     // join needs the raw rows again, so partial-agg compression of the
     // count side wins over exchange reuse. Likewise materializing
     // `prefixes` (2.15 s): the self-join's identical subtrees already
     // dedup via ReuseExchange, so the eager checkpoint is pure overhead.
-    val base =
-      if (hashKeys)
-        // array_distinct: an intra-doc hash collision (odds ~1e-9 per
-        // corpus) would otherwise double-count df and break the
-        // shingles-distinct-per-doc invariant; sz is the HASHED set
-        // size so the length/prefix bounds are consistent within the
-        // hashed universe.
-        sets.select(col("id"),
-          array_distinct(transform(col("sh"), s => xxhash64(s))).as("sh"))
-      else sets.select(col("id"), col("sh"))
-    val exploded = base.select(col("id"), explode(col("sh")).as("shingle"))
+    val exploded = sets.select(col("id"), explode(col("sh")).as("shingle"))
     // Global rarest-first total order: (document frequency, shingle).
     // Deliberately NO broadcast hints and NO in-list pair generation in
     // this EXACT variant: the df table is vocabulary-sized and a hot
