@@ -218,6 +218,35 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("cx")))).as("sorted"))
       .select(col("cid"), transform(col("sorted"), _.getField("cx")).as("cvec"))
 
+  /** Cluster-balanced diversity sample — the D4-style curation stage
+    * (Tirumala et al. 2023: dedup + diversify before training): nearest-
+    * centroid assignment (one broadcast of k rows over one corpus scan,
+    * [[lloydAssign]]) followed by a deterministic per-cluster quota: at
+    * most `cap` members survive per cluster, chosen by ascending 48-bit
+    * sha256 prefix of the salted id (a uniform, rerun-stable draw).
+    * Over-dense embedding regions are down-sampled toward uniform
+    * cluster representation; clusters at or under the cap pass whole.
+    *
+    * Scale shape: the quota rides [[ScaleJoins.topKPerGroup]]'s bounded
+    * map-side heaps — `cap` rows per cluster per partition cross the
+    * shuffle — never a window sort, which would drag the whole corpus
+    * into k partitions. The heap score is the NEGATED hash (48 bits,
+    * exactly representable in double), so both the retained set and the
+    * emitted rank are (hash asc, id asc) — replayable as a ROW_NUMBER
+    * in any engine. Returns (cid, idCol, rk), rk 1-based within cluster.
+    */
+  def clusterSample(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cap: Int, saltPrefix: String = "cs|"): DataFrame = {
+    val scored = lloydAssign(corpus, idCol, vecCol, centroids)
+      .select(col("id"), col("cid"))
+      .withColumn("negh",
+        -conv(substring(sha2(concat(lit(saltPrefix), col("id").cast("string")), 256),
+            1, 12), 16, 10)
+          .cast("long").cast("double"))
+    ScaleJoins.topKPerGroup(scored, Seq("cid"), "negh", "id", cap)
+      .select(col("cid"), col("id").as(idCol), col("rk").cast("long").as("rk"))
+  }
+
   /** All same-bucket candidate pairs with exact cosine, over explicit
     * planes — the shared core of the top-k and near-dup variants.
     * Candidates share the full bucket key (all sign bits); exact cosine

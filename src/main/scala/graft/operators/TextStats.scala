@@ -82,4 +82,35 @@ object TextStats {
     */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, t) => xxhash64(acc, t))
+
+  /** The GPT-2-family BPE pre-tokenizer pattern (lowercased corpus
+    * variant) — ONE canonical spelling, shared by the per-doc count
+    * (x_token_count_bpe) and the fertility report below.
+    */
+  val BpePretokenRegex: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** Per-language tokenizer fertility report — the eval a tokenizer
+    * rollout runs before training: chars per BPE token and BPE tokens
+    * per whitespace word, by language. A language whose fertility sits
+    * far above the corpus mean is under-served by the vocab (its text
+    * fragments into byte-ish pieces and burns sequence length for the
+    * same content). One narrow projection + one lang-keyed agg;
+    * integer-exact publication (BIGINT sums, ppm floor divisions — no
+    * float aggregation, so the report is bit-stable cross-engine).
+    */
+  def tokenizerFertility(docs: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(langCol).as("lang"),
+        length(col(textCol)).cast("long").as("nc"),
+        graft.functions.tokenCount(col(textCol)).cast("long").as("nw"),
+        size(regexp_extract_all(lower(col(textCol)),
+          lit(BpePretokenRegex), lit(0))).cast("long").as("nb"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
+        sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
+      .withColumn("chars_per_tok_ppm",
+        expr("(n_chars * 1000000) DIV n_bpe_tokens"))
+      .withColumn("toks_per_word_ppm",
+        expr("(n_bpe_tokens * 1000000) DIV n_words"))
 }

@@ -1076,7 +1076,7 @@ object TextQueries {
       (s, dir) => Tables.documents(s, dir)
         .select(col("doc_id"),
           size(regexp_extract_all(lower(col("text")),
-            lit("'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"), lit(0)))
+            lit(TextStats.BpePretokenRegex), lit(0)))
             .as("n_bpe_tokens"))
         .orderBy(col("doc_id")),
       Some("SELECT doc_id, len(regexp_extract_all(lower(text), " +
@@ -1092,6 +1092,36 @@ object TextQueries {
       Some("""
         SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens
         FROM documents ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 37i: tokenizer fertility report — the eval a tokenizer rollout
+    // runs before training: chars per BPE token and BPE tokens per
+    // whitespace word, per language (a language whose fertility sits
+    // far above the corpus mean is under-served by the vocab — its
+    // text fragments into byte-ish pieces and burns sequence length).
+    // Same GPT-2-family pre-tokenizer as x_token_count_bpe (37b); one
+    // narrow projection + one lang-keyed agg, ppm ratios by BIGINT
+    // floor division — integer-exact cross-engine, no float sums.
+    Q("x_tokenizer_stats",
+      (s, dir) => TextStats.tokenizerFertility(Tables.documents(s, dir))
+        .orderBy(col("lang")),
+      Some("""
+        WITH t AS (
+          SELECT lang, CAST(length(text) AS BIGINT) AS nc,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nw,
+                 CAST(len(regexp_extract_all(lower(text),
+                   '''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9[:space:]]+')) AS BIGINT) AS nb
+          FROM documents),
+        g AS (SELECT lang, COUNT(*) AS n_docs,
+                     CAST(SUM(nc) AS BIGINT) AS n_chars,
+                     CAST(SUM(nw) AS BIGINT) AS n_words,
+                     CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens
+              FROM t GROUP BY lang)
+        SELECT lang, n_docs, n_chars, n_words, n_bpe_tokens,
+               (n_chars * 1000000) // n_bpe_tokens AS chars_per_tok_ppm,
+               (n_bpe_tokens * 1000000) // n_words AS toks_per_word_ppm
+        FROM g ORDER BY lang
       """)),
 
     // ------------------------------------------------------------------
@@ -1563,6 +1593,52 @@ object TextQueries {
         SELECT cid AS centroid_id, COUNT(*) AS n_members,
                CAST(SUM(CAST(floor(dist * 1e6) AS BIGINT)) AS BIGINT) AS inertia_e6
         FROM a2 GROUP BY cid ORDER BY centroid_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 36g: cluster-balanced diversity sampling — the D4-style curation
+    // stage (Tirumala et al. 2023: dedup + diversify before training):
+    // assign every vector to its nearest deterministic-seed centroid
+    // (the SAME bit-exact lloydAssign pass s_kmeans_lloyd proves), then
+    // keep at most CAP members per cluster by a deterministic sha256
+    // ranking — over-dense embedding regions are down-sampled toward
+    // uniform cluster representation, sparse clusters survive whole.
+    // Scale shape: selection rides TopKAgg's bounded map-side heaps
+    // (cap rows per cluster per partition cross the shuffle) — NEVER a
+    // window sort that would drag the corpus into k partitions. The
+    // rank key is a 48-bit sha256 prefix negated into the heap's score
+    // (exactly representable in double), so heap order ==
+    // (hash asc, vec_id asc) == the oracle's ROW_NUMBER.
+    Q("x_cluster_sample",
+      (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val c0 = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"),
+            transform(col("embedding"), x => x.cast("double")).as("cvec"))
+        Similarity.clusterSample(emb, "vec_id", "embedding", c0, cap = 32)
+          .orderBy(col("cid"), col("rk"))
+      },
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        c0 AS (SELECT vec_id AS cid, v AS cvec FROM v WHERE vec_id < 8),
+        d1 AS (SELECT v.vec_id, cid,
+                      list_reduce(list_transform(range(1, 65),
+                        i -> (v.v[i] - cvec[i]) * (v.v[i] - cvec[i])),
+                        (a, b) -> a + b) AS dist
+               FROM v, c0),
+        a1 AS (SELECT vec_id, cid FROM (
+                 SELECT vec_id, cid,
+                        ROW_NUMBER() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, cid) AS rn
+                 FROM d1) WHERE rn = 1),
+        h AS (SELECT cid, vec_id,
+                     CAST(('0x' || substr(sha256('cs|' || CAST(vec_id AS VARCHAR)), 1, 12))::UBIGINT AS BIGINT) AS hv
+              FROM a1),
+        r AS (SELECT cid, vec_id,
+                     ROW_NUMBER() OVER (PARTITION BY cid ORDER BY hv, vec_id) AS rk
+              FROM h)
+        SELECT cid, vec_id, rk FROM r WHERE rk <= 32 ORDER BY cid, rk
       """)),
 
     Q("s_label_centroids",
