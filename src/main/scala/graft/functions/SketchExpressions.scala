@@ -77,6 +77,47 @@ case class Shingles(child: Expression, n: Int, word: Boolean)
     copy(child = newChild)
 }
 
+/** ALL n-token windows of `child` in document order (NOT distinct —
+  * positions matter: `posexplode` over this array yields (pos, gram)
+  * with pos the 0-based token offset, the unit the exact-substring
+  * dedup contract is stated in). Tokenization is a verbatim split on
+  * single spaces (empty tokens preserved) so a DuckDB oracle replays it
+  * as `string_split(text, ' ')` — deliberately NOT SketchHash.tokenize,
+  * whose normalization the oracle cannot reproduce. Inputs shorter than
+  * n tokens yield an EMPTY array (no window fits — the `range` guard on
+  * the SQL side). Why native instead of `transform(sequence(...), i ->
+  * array_join(slice(t, i+1, n), ' '))`: projection collapse inlines the
+  * `split` into the lambda, re-tokenizing per element (the measured
+  * O(tokens²) hazard documented on [[Shingles]]); here one split + one
+  * StringBuilder pass per row.
+  */
+case class SubstrWindows(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j)); j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubstrWindows =
+    copy(child = newChild)
+}
+
 /** All ordered pairs from a posting list: array<struct<id, sz>> (sorted,
   * so id_a < id_b holds positionally) → array<struct<id_a, id_b, sz_a,
   * sz_b>>. One tight O(n²/2) loop per list — the higher-order

@@ -106,6 +106,84 @@ object TextDedup {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Exact SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", the ExactSubstr tier): any run
+    * of ≥ `minTokens` consecutive tokens that occurs more than once in
+    * the corpus keeps only its globally-first occurrence (by (doc_id,
+    * token position)); every other occurrence is cut out of its
+    * document. Complements [[spanDedup]] (fixed grid — a shifted copy
+    * shares no spans) and [[cdcDedup]] (content-defined boundaries —
+    * re-syncs, but at chunk granularity): this contract is positional
+    * and exact at TOKEN granularity, the strongest of the three.
+    *
+    * Mechanics: a repeated run of length ≥ L contains a repeated
+    * L-window at every offset, so flagging every L-window with corpus
+    * frequency ≥ 2 and deleting all its occurrences except the first
+    * marks exactly the non-first occurrences of every maximal repeated
+    * run. Marked windows merge into disjoint per-doc spans (running-max
+    * islands), and documents reassemble from their unmarked tokens.
+    *
+    * Scale shape (100 TB posture): window generation is one native
+    * expression + posexplode (no token-array carried through Generate —
+    * rows are (doc_id, pos, gram) only). First-occurrence is a groupBy
+    * on the gram with `min(struct(doc, pos))` + count — PARTIAL-
+    * aggregable, so a boilerplate gram repeated 10M times combines
+    * map-side instead of sorting one hot key (why not a row_number
+    * window, which must sort every occurrence of the hottest gram in
+    * one partition). Deleted-occurrence discovery is an equi-join on
+    * the gram (skew-safe: the flagged side is one row per gram); spans
+    * and reassembly shuffle by doc_id once (window + two groupBys share
+    * the partitioning). Everything downstream of the explode carries
+    * fixed-width rows except the gram itself; production keying can
+    * swap the gram for xxhash64(gram) (8 B, collision-negligible at
+    * 2⁻⁶⁴) — the oracled contract keys on the string so DuckDB replays
+    * equality exactly.
+    *
+    * Returns (doc_id, text_clean, n_dropped) for EVERY input doc —
+    * untouched docs pass through whole, fully-duplicated docs come back
+    * with empty text_clean and n_dropped = token count.
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+      minTokens: Int = 8): DataFrame = {
+    val L = minTokens
+    val wins = df.select(col(idCol).as("doc_id"),
+        posexplode(GraftBridge.column(
+          graft.functions.SubstrWindows(GraftBridge.expression(col(textCol)), L)))
+          .as(Seq("pos", "gram")))
+    val flagged = wins.groupBy("gram")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("gram"), col("first.doc_id").as("fdoc"),
+        col("first.pos").as("fpos"))
+    val deleted = wins.join(flagged, "gram")
+      .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
+      .select(col("doc_id"), col("pos").cast("long").as("s"),
+        (col("pos") + L - 1).cast("long").as("e"))
+    // Merge marked windows into disjoint spans: running max of span end
+    // over (doc, start) order; a start beyond prevMax+1 opens an island
+    // (adjacent spans fuse too — membership is what matters downstream).
+    val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
+    val spans = deleted
+      .withColumn("pmax", max(col("e")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("s") > col("pmax") + 1, 1).otherwise(0))
+      .withColumn("isl", sum(col("brk")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("t"))
+      .join(spans, Seq("doc_id"), "left")
+      .withColumn("kept", when(col("spans").isNull, col("t"))
+        .otherwise(expr(
+          "filter(t, (x, i) -> NOT exists(spans, sp -> i >= sp.s AND i <= sp.e))")))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("text_clean"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_dropped"))
+  }
+
   // ------------------------------------------------------------------
   // Shingling helpers (narrow, codegen'd — no UDFs)
   // ------------------------------------------------------------------

@@ -370,6 +370,48 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 43m: EXACT-SUBSTRING dedup (Lee et al. 2022's ExactSubstr tier) —
+    // every ≥8-token run that occurs more than once corpus-wide keeps
+    // only its first (doc_id, pos) occurrence; later occurrences are cut
+    // out of their docs, which reassemble from surviving tokens. The
+    // positional, token-granular sibling of d_dedup_spans (fixed grid)
+    // and d_dedup_cdc (content-defined chunks). Spark side flags via a
+    // partial-aggregable min(struct(doc,pos))+count groupBy (no hot-gram
+    // window sort); oracle replays window-frequency, first-occurrence,
+    // DISTINCT deleted positions and reassembly directly.
+    Q("d_dedup_substring",
+      (s, dir) => TextDedup.substringDedup(
+          Tables.documents(s, dir), "doc_id", "text", minTokens = 8)
+        .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wpos AS (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos
+                 FROM toks WHERE len(t) >= 8),
+        wins AS (SELECT doc_id, pos,
+                        array_to_string(t[pos+1 : pos+8], ' ') AS gram
+                 FROM wpos),
+        del AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         ROW_NUMBER() OVER (PARTITION BY gram
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM wins) WHERE rn >= 2),
+        offs AS (SELECT unnest(range(0, 8)) AS g),
+        delpos AS (SELECT DISTINCT doc_id, pos + g AS p FROM del, offs),
+        tp AS (SELECT doc_id, unnest(range(0, len(t))) AS p, t FROM toks),
+        kept AS (SELECT tp.doc_id, tp.p, tp.t[tp.p + 1] AS tok
+                 FROM tp LEFT JOIN delpos d
+                   ON tp.doc_id = d.doc_id AND tp.p = d.p
+                 WHERE d.p IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT toks.doc_id,
+               coalesce(agg.text_clean, '') AS text_clean,
+               len(toks.t) - coalesce(agg.n_kept, 0) AS n_dropped
+        FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 31b: the same top-k join with the df-cut driven by the SpaceSaving
     // heavy-hitter sketch instead of an exact count agg — constant-size
     // summaries per partition instead of a distinct-shingle-wide partial-
