@@ -19,7 +19,7 @@ object Bench {
     "d_dedup_exact", "d_dedup_minhash_lsh", "d_dedup_ngram_jaccard",
     "d_dedup_ppjoin", "d_dedup_resolve", "s_cosine_topk", "s_ann_ivf",
     "x_contamination", "x_gopher_filter",
-    "d_dedup_spans", "x_seq_pack", "x_heavy_hitters", "t_cdc_apply",
+    "d_dedup_spans", "d_dedup_substring", "x_seq_pack", "x_heavy_hitters", "t_cdc_apply",
     "t_fuzzy_match", "d_dedup_semantic", "d_dedup_fuzzy_apply", "x_tfidf",
     "x_curation_e2e", "x_dsir_select", "x_winnow_fingerprint",
     "d_minhash_portable", "q_ntile", "m_multimodal_meta", "m_audio_meta",
