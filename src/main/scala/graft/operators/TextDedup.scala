@@ -160,9 +160,17 @@ object TextDedup {
       .filter(!(col("doc_id") === col("fdoc") && col("pos") === col("fpos")))
       .select(col("doc_id"), col("pos").cast("long").as("s"),
         (col("pos") + L - 1).cast("long").as("e"))
-    // Merge marked windows into disjoint spans: running max of span end
-    // over (doc, start) order; a start beyond prevMax+1 opens an island
-    // (adjacent spans fuse too — membership is what matters downstream).
+    cutDeleted(df, idCol, textCol, deleted)
+  }
+
+  /** Shared tail of [[substringDedup]] and [[SubstrIndex.dedupBatch]]:
+    * merge marked windows `(doc_id, s, e)` into disjoint per-doc spans
+    * (running-max islands — adjacent spans fuse too; membership is what
+    * matters downstream) and reassemble every input doc from its
+    * unmarked tokens.
+    */
+  private[operators] def cutDeleted(df: DataFrame, idCol: String,
+      textCol: String, deleted: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("s", "e")
     val spans = deleted
       .withColumn("pmax", max(col("e")).over(

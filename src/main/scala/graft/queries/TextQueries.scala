@@ -39,6 +39,15 @@ object TextQueries {
     root
   }
 
+  /** Scratch slot for the persisted substring-gram index (same
+    * discipline as [[ivfPqScratch]]). */
+  private lazy val substrScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-substr-index")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   // ------------------------------------------------------------------
   // Decode-once media feature store (SURVEY §2.3 rows 41/41c/41d/88):
   // ONE decode pass per session per corpus dir writes the parquet
@@ -367,6 +376,66 @@ object TextQueries {
                string_agg(ch, '' ORDER BY chunk_idx) AS text_clean,
                count(*) AS n_kept
         FROM kept GROUP BY doc_id ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // 43n: INCREMENTAL exact-substring dedup against a persisted gram
+    // index (SubstrIndex — the standing artifact a crawl pipeline
+    // maintains): the corpus half (doc_id below the id midpoint) builds
+    // the index, the batch half dedups against it WITHOUT re-reading
+    // the corpus (touched-bucket partition-filtered probe). Oracle: the
+    // full-union ExactSubstr rerun restricted to batch rows — equality
+    // holds because corpus ids precede batch ids (the crawl timeline
+    // the index encodes; spec'd in SubstrIndexSpec).
+    Q("d_dedup_substring_incr",
+      (s, dir) => {
+        val docs = Tables.documents(s, dir)
+        val thr = docs.agg(
+          expr("(min(doc_id) + max(doc_id)) DIV 2").as("thr"))
+        val withThr = docs.crossJoin(broadcast(thr))
+        val corpus = withThr.filter(col("doc_id") < col("thr"))
+          .select("doc_id", "text")
+        val batch = withThr.filter(col("doc_id") >= col("thr"))
+          .select("doc_id", "text")
+        substrScratch.synchronized {
+          deleteRec(substrScratch)
+          val path = substrScratch.toString
+          graft.operators.SubstrIndex.build(
+            corpus, "doc_id", "text", path, minTokens = 8)
+          graft.operators.SubstrIndex.dedupBatch(
+              s, path, batch, "doc_id", "text")
+            .orderBy("doc_id")
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
+      },
+      Some("""
+        WITH thr AS (SELECT (min(doc_id) + max(doc_id)) // 2 AS thr FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wpos AS (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos
+                 FROM toks WHERE len(t) >= 8),
+        wins AS (SELECT doc_id, pos,
+                        array_to_string(t[pos+1 : pos+8], ' ') AS gram
+                 FROM wpos),
+        del AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         ROW_NUMBER() OVER (PARTITION BY gram
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM wins) WHERE rn >= 2),
+        offs AS (SELECT unnest(range(0, 8)) AS g),
+        delpos AS (SELECT DISTINCT doc_id, pos + g AS p FROM del, offs),
+        tp AS (SELECT doc_id, unnest(range(0, len(t))) AS p, t FROM toks),
+        kept AS (SELECT tp.doc_id, tp.p, tp.t[tp.p + 1] AS tok
+                 FROM tp LEFT JOIN delpos d
+                   ON tp.doc_id = d.doc_id AND tp.p = d.p
+                 WHERE d.p IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT toks.doc_id,
+               coalesce(agg.text_clean, '') AS text_clean,
+               len(toks.t) - coalesce(agg.n_kept, 0) AS n_dropped
+        FROM toks LEFT JOIN agg USING (doc_id), thr
+        WHERE toks.doc_id >= thr.thr ORDER BY toks.doc_id
       """)),
 
     // ------------------------------------------------------------------

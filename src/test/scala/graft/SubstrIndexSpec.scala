@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SubstrIndex, TextDedup}
+
+/** Persisted gram index for incremental exact-substring dedup (SURVEY
+  * §2.3 row 43n). Core contract: with corpus ids preceding batch ids
+  * (the crawl timeline), dedupBatch against the index == the batch rows
+  * of a full-union substringDedup rerun; append keeps that equality for
+  * later batches without touching the standing corpus.
+  */
+class SubstrIndexSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    java.nio.file.Files.createTempDirectory("substr-ix").toString
+
+  private def df(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def collect(d: DataFrame): Set[(Long, String, Long)] =
+    d.select("doc_id", "text_clean", "n_dropped")
+      .as[(Long, String, Long)].collect().toSet
+
+  private val corpus = Seq(
+    1L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+    2L -> "one two three four five six seven eight nine ten",
+    3L -> "red orange yellow green blue indigo violet white black grey")
+
+  test("dedupBatch == full-union substringDedup restricted to the batch") {
+    val path = tmp()
+    SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
+    val batch = Seq(
+      // embeds corpus doc 1's middle run after a fresh prefix
+      10L -> "fresh start gamma delta epsilon zeta eta done",
+      // batch-internal duplicate pair
+      11L -> "micro kilo mega giga tera peta exa cool",
+      12L -> "micro kilo mega giga tera peta exa cool",
+      // clean doc
+      13L -> "nothing here repeats at all trust me")
+    val got = collect(SubstrIndex.dedupBatch(spark, path, df(batch),
+      "doc_id", "text"))
+    val want = collect(TextDedup.substringDedup(
+        df(corpus ++ batch), "doc_id", "text", minTokens = 4)
+      .filter(col("doc_id") >= 10))
+    assert(got == want)
+    // And the corpus hit really cut doc 10's embedded run.
+    assert(got.exists { case (id, _, n) => id == 10L && n > 0 })
+  }
+
+  test("append extends the corpus: batch2 dedups against corpus ∪ batch1") {
+    val path = tmp()
+    SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
+    val b1 = Seq(20L -> "lorem ipsum dolor sit amet consectetur adipiscing elit")
+    SubstrIndex.append(df(b1), "doc_id", "text", path)
+    val b2 = Seq(
+      // repeats batch1's run — must be cut even though the CORPUS
+      // never contained it
+      30L -> "prefix words dolor sit amet consectetur suffix here",
+      // repeats corpus doc 2
+      31L -> "three four five six extra tail tokens here")
+    val got = collect(SubstrIndex.dedupBatch(spark, path, df(b2),
+      "doc_id", "text"))
+    val want = collect(TextDedup.substringDedup(
+        df(corpus ++ b1 ++ b2), "doc_id", "text", minTokens = 4)
+      .filter(col("doc_id") >= 30))
+    assert(got == want)
+    assert(got.count { case (_, _, n) => n > 0 } == 2)
+  }
+
+  test("append after append == rebuild over the union (probe equality)") {
+    val path = tmp(); val path2 = tmp()
+    val b1 = Seq(20L -> "lorem ipsum dolor sit amet consectetur adipiscing elit")
+    val b2 = Seq(25L -> "silver copper bronze gold platinum iron tin lead")
+    SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
+    SubstrIndex.append(df(b1), "doc_id", "text", path)
+    SubstrIndex.append(df(b2), "doc_id", "text", path)
+    SubstrIndex.build(df(corpus ++ b1 ++ b2), "doc_id", "text", path2,
+      minTokens = 4)
+    val probe = Seq(40L ->
+      "x1 dolor sit amet consectetur x2 silver copper bronze gold x3 three four five six x4")
+    val a = collect(SubstrIndex.dedupBatch(spark, path, df(probe), "doc_id", "text"))
+    val b = collect(SubstrIndex.dedupBatch(spark, path2, df(probe), "doc_id", "text"))
+    assert(a == b)
+    assert(a.head._3 > 0)
+  }
+
+  test("probe reads only touched buckets (static partition filter)") {
+    val path = tmp()
+    SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
+    val batch = df(Seq(50L -> "just a tiny probe batch of words"))
+    val plan = SubstrIndex.dedupBatch(spark, path, batch, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"expected a static bucket partition filter on the grams scan:\n$plan")
+  }
+
+  test("untouched batch docs pass through whole") {
+    val path = tmp()
+    SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
+    val batch = Seq(60L -> "completely novel text with no overlap anywhere")
+    val got = collect(SubstrIndex.dedupBatch(spark, path, df(batch),
+      "doc_id", "text"))
+    assert(got == Set((60L, batch.head._2, 0L)))
+  }
+}
