@@ -32,6 +32,15 @@ object StreamQueries {
     root
   }
 
+  /** Scratch slot for the streaming substring-dedup gate (same
+    * discipline as [[upsertScratch]]). */
+  private lazy val substrGateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-substr-gate")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   val all: Seq[Q] = Seq(
 
     // 42: canonicalize (the streaming ingest transform)
@@ -214,6 +223,66 @@ object StreamQueries {
               FROM events)
         WHERE rn = 1
         ORDER BY user_id, event_type
+      """)),
+
+    // 58: streaming incremental exact-substring dedup END-TO-END — the
+    // documents table split into two id-ordered parquet drops (low half
+    // as 8 files, high half as 1; maxFilesPerTrigger=8 makes them two
+    // micro-batches in mod-time order, the st_upsert_merge discipline),
+    // a REAL readStream + substrDedupSink: batch 1 builds the gram index
+    // and emits its internal dedup, batch 2 is cut against the PERSISTED
+    // index (touched-bucket partition-filtered probe — the standing
+    // corpus is never re-read) and appends its grams. Because every
+    // repeated gram's first occurrence lies in the earliest drop that
+    // contains it, the accumulated stream output equals ONE batch
+    // substringDedup over the whole table — so the oracle is EXACTLY
+    // d_dedup_substring's SQL: the streaming pipeline must reproduce the
+    // batch operator bit-for-bit.
+    Q("st_substr_gate",
+      (s, dir) => {
+        deleteRec(substrGateScratch)
+        val tmp = java.nio.file.Files.createDirectories(substrGateScratch)
+        val drop = s"$tmp/drop"
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        val thr = docs.agg(expr("(min(doc_id) + max(doc_id)) DIV 2").as("thr"))
+        val withThr = docs.crossJoin(broadcast(thr))
+        withThr.filter(col("doc_id") < col("thr")).select("doc_id", "text")
+          .repartition(8).write.mode("append").parquet(drop)
+        withThr.filter(col("doc_id") >= col("thr")).select("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(drop)
+        val src = s.readStream.schema("doc_id LONG, text STRING")
+          .option("maxFilesPerTrigger", 8).parquet(drop)
+        StreamOps.substrDedupSink(src, s"$tmp/index", s"$tmp/out",
+          s"$tmp/ckpt", "doc_id", "text", minTokens = 8)
+          .awaitTermination()
+        s.read.parquet(s"$tmp/out").orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        wpos AS (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS pos
+                 FROM toks WHERE len(t) >= 8),
+        wins AS (SELECT doc_id, pos,
+                        array_to_string(t[pos+1 : pos+8], ' ') AS gram
+                 FROM wpos),
+        del AS (SELECT doc_id, pos FROM (
+                  SELECT doc_id, pos,
+                         ROW_NUMBER() OVER (PARTITION BY gram
+                                            ORDER BY doc_id, pos) AS rn
+                  FROM wins) WHERE rn >= 2),
+        offs AS (SELECT unnest(range(0, 8)) AS g),
+        delpos AS (SELECT DISTINCT doc_id, pos + g AS p FROM del, offs),
+        tp AS (SELECT doc_id, unnest(range(0, len(t))) AS p, t FROM toks),
+        kept AS (SELECT tp.doc_id, tp.p, tp.t[tp.p + 1] AS tok
+                 FROM tp LEFT JOIN delpos d
+                   ON tp.doc_id = d.doc_id AND tp.p = d.p
+                 WHERE d.p IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS text_clean,
+                       count(*) AS n_kept
+                FROM kept GROUP BY doc_id)
+        SELECT toks.doc_id,
+               coalesce(agg.text_clean, '') AS text_clean,
+               len(toks.t) - coalesce(agg.n_kept, 0) AS n_dropped
+        FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id
       """))
   )
 }

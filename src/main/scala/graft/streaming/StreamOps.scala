@@ -166,6 +166,61 @@ object StreamOps {
       joinType)
   }
 
+  /** Incremental exact-substring dedup as a STREAMING stage: each
+    * micro-batch is cut against the gram index the PRIOR batches built
+    * ([[graft.operators.SubstrIndex.dedupBatch]] — touched-bucket
+    * partition-filtered probe, never a corpus re-read), its cleaned docs
+    * append to `outPath`, and its raw grams grow the index. When drops
+    * arrive in doc-id order (the crawl timeline), the accumulated output
+    * equals ONE batch [[graft.operators.TextDedup.substringDedup]] over
+    * the union — the property the st_substr_gate oracle checks
+    * end-to-end. Restart caveat: the out/ sink is plain append — a batch
+    * replayed after a crash between the write and the checkpoint commit
+    * would double-append (same class as the CDC sink's at-least-once
+    * contract; production points outPath at an idempotent/batchId-keyed
+    * committer).
+    */
+  def substrDedupSink(
+      df: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 8,
+      numBuckets: Int = 64): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        // One materialization: the batch feeds the dedup AND the index
+        // growth below.
+        val b = batch.localCheckpoint()
+        val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+        val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val exists = fs.exists(meta)
+        val cleaned =
+          if (exists)
+            graft.operators.SubstrIndex.dedupBatch(
+              spark, indexPath, b, idCol, textCol)
+          else // first drop: no standing corpus — batch-internal dedup
+            graft.operators.TextDedup.substringDedup(
+              b, idCol, textCol, minTokens)
+        cleaned.write.mode("append").parquet(outPath)
+        // Grow the index AFTER emitting (dedupBatch must not see the
+        // batch's own grams). RAW batch grams, preserving the raw-union
+        // first-occurrence semantics.
+        if (exists)
+          graft.operators.SubstrIndex.append(b, idCol, textCol, indexPath)
+        else
+          graft.operators.SubstrIndex.build(
+            b, idCol, textCol, indexPath, minTokens, numBuckets)
+        ()
+      }
+      .start()
+
   /** foreachBatch upsert sink: merge each micro-batch into a parquet
     * target by key (last-writer-wins within the batch via tieBreakers).
     * The swap is write-new → rename, via the Hadoop FileSystem API so it

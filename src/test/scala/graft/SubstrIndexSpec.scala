@@ -98,6 +98,30 @@ class SubstrIndexSpec extends AnyFunSuite {
       s"expected a static bucket partition filter on the grams scan:\n$plan")
   }
 
+  test("streaming gate: two id-ordered drops reproduce batch substringDedup") {
+    val root = tmp()
+    val drop = s"$root/drop"
+    val low = Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "one two three four five six seven eight")
+    val high = Seq(
+      10L -> "pre gamma delta epsilon zeta post tail here",
+      11L -> "one two three four nine ten eleven twelve")
+    df(low).repartition(2).write.mode("append").parquet(drop)
+    Thread.sleep(1100) // distinct mod-times: drop order IS batch order
+    df(high).coalesce(1).write.mode("append").parquet(drop)
+    val src = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", 2).parquet(drop)
+    graft.streaming.StreamOps.substrDedupSink(src, s"$root/index",
+      s"$root/out", s"$root/ckpt", "doc_id", "text", minTokens = 4)
+      .awaitTermination()
+    val got = collect(spark.read.parquet(s"$root/out"))
+    val want = collect(TextDedup.substringDedup(
+      df(low ++ high), "doc_id", "text", minTokens = 4))
+    assert(got == want)
+    assert(got.count { case (_, _, n) => n > 0 } == 2) // both high docs cut
+  }
+
   test("untouched batch docs pass through whole") {
     val path = tmp()
     SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
