@@ -139,6 +139,17 @@ object TextDedup {
     * 2⁻⁶⁴) — the oracled contract keys on the string so DuckDB replays
     * equality exactly.
     *
+    * The window frame `wins` is deliberately NOT materialized although
+    * two consumers read it (the flag agg and the probe join): its gram
+    * rows are ~25× the corpus text, so checkpointing trades a narrow
+    * scan+explode recompute for corpus×25 storage traffic — the wrong
+    * side of the bargain at 100 TB. At modest SF the planner broadcasts
+    * the flagged side anyway, so the probe branch pays no shuffle at
+    * all (plan read at sf0.001); measured 0.73× linear at the sf100
+    * probe with the recompute in place. (Contrast [[SubstrIndex
+    * .dedupBatch]], where the BATCH's windows ARE materialized — three
+    * consumers and the batch is small beside the standing corpus.)
+    *
     * Returns (doc_id, text_clean, n_dropped) for EVERY input doc —
     * untouched docs pass through whole, fully-duplicated docs come back
     * with empty text_clean and n_dropped = token count.
