@@ -14,7 +14,8 @@ import graft.functions._
   *
   * Exposes the custom Catalyst expressions to `spark.sql(...)` users:
   * strip_accents, uuid5, shingles, minhash_sig, simhash, vec_dot,
-  * nfc_normalize, tokens, norm_token_count, cdc_chunks, pair_combos —
+  * nfc_normalize, tokens, norm_token_count, cdc_chunks, pair_combos,
+  * substr_windows —
   * and the custom aggregates space_saving, top_k_pairs, vec_min (the
   * analyzer wraps a bare AggregateFunction from a registry builder into
   * its AggregateExpression, so they work in GROUP BY queries).
@@ -81,6 +82,9 @@ object GraftExtensions {
     },
     // pair_combos(array<struct<id,sz>>) → exploded candidate pairs
     "pair_combos" -> { exprs => PairCombos(exprs.head) },
+    // substr_windows(text, n): ALL n-token windows in order (positions
+    // via posexplode — the ExactSubstr dedup unit)
+    "substr_windows" -> { exprs => SubstrWindows(exprs(0), intLit(exprs(1))) },
     // aggregates — the analyzer wraps these into AggregateExpressions
     "space_saving" -> { exprs => SpaceSavingAgg(exprs(0), intLit(exprs(1))) },
     "count_min" -> { exprs =>

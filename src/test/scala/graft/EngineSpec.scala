@@ -49,13 +49,15 @@ class EngineSpec extends AnyFunSuite {
                 norm_token_count(' A  b\tC ') AS ntc,
                 cdc_chunks(repeat('xyz ', 64)) AS cc,
                 pair_combos(array(named_struct('id', 1L, 'sz', 2),
-                                  named_struct('id', 2L, 'sz', 3))) AS pc
+                                  named_struct('id', 2L, 'sz', 3))) AS pc,
+                substr_windows('a b c d', 3) AS sw
       """).head()
     assert(r.getSeq[String](r.fieldIndex("tk")).toSeq == Seq("a", "b", "c"))
     assert(r.getAs[Long]("ntc") == 3L)
     // chunks must concatenate losslessly back to the input
     assert(r.getSeq[String](r.fieldIndex("cc")).mkString == "xyz " * 64)
     assert(r.getSeq[Row](r.fieldIndex("pc")).length == 1)
+    assert(r.getSeq[String](r.fieldIndex("sw")).toSeq == Seq("a b c", "b c d"))
 
     // aggregates resolve through the registry and group correctly
     Seq(("a", 1.0, 10L), ("a", 3.0, 30L), ("b", 2.0, 20L))
