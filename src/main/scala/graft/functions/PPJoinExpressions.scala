@@ -96,11 +96,16 @@ case class PrunedPairCombos(docs: Expression, threshold: Double)
   *
   * `pairs`: array<struct<id_a:long, id_b:long>> (this cluster's — possibly
   * one CHUNK of a large cluster's — canonical candidates). `docs`:
-  * array<struct<id:long, sz:int, fp:array<struct<h:long, h2:long>>>> with
-  * fp sorted ascending by (h, h2); every id referenced by `pairs` must
-  * appear. Emits struct<id_a, id_b, jaccard> for pairs with jaccard >=
-  * threshold, where jaccard is computed by a linear merge-intersect over
-  * the sorted fingerprint arrays: |A∩B| / (|A| + |B| - |A∩B|).
+  * array<struct<id:long, sz:int, fpl:array<long>>> where fpl is the
+  * INTERLEAVED fingerprint sequence (h0, h2_0, h1, h2_1, …) in ascending
+  * (h, h2) order — flat long arrays pack at 16 B/gram in Tungsten where
+  * an array<struct<h,h2>> pays ~32 B/gram, and this payload IS the
+  * verify stage's dominant shuffle (measured ~38 GB at the sf100
+  * probe before packing). Every id referenced by `pairs` must appear.
+  * Emits struct<id_a, id_b, jaccard> for pairs with jaccard >=
+  * threshold, where jaccard is computed by a linear 2-step
+  * merge-intersect over the sorted interleaved arrays:
+  * |A∩B| / (|A| + |B| - |A∩B|).
   *
   * 128-bit fingerprints stand in for the shingle strings (the whole point:
   * a doc's verify payload is ~16 B per shingle instead of a ~30-char
@@ -124,20 +129,11 @@ case class VerifyPairs(pairs: Expression, docs: Expression, threshold: Double)
   override def eval(input: InternalRow): Any = {
     val ds = docs.eval(input).asInstanceOf[ArrayData]
     val n = ds.numElements()
-    val byId = new java.util.HashMap[java.lang.Long, (Int, Array[Long], Array[Long])](n * 2)
+    val byId = new java.util.HashMap[java.lang.Long, (Int, Array[Long])](n * 2)
     var i = 0
     while (i < n) {
       val row = ds.getStruct(i, 3)
-      val fp = row.getArray(2)
-      val m = fp.numElements()
-      val h = new Array[Long](m); val h2 = new Array[Long](m)
-      var k = 0
-      while (k < m) {
-        val e = fp.getStruct(k, 2)
-        h(k) = e.getLong(0); h2(k) = e.getLong(1)
-        k += 1
-      }
-      byId.put(row.getLong(0), (row.getInt(1), h, h2))
+      byId.put(row.getLong(0), (row.getInt(1), row.getArray(2).toLongArray()))
       i += 1
     }
     val ps = pairs.eval(input).asInstanceOf[ArrayData]
@@ -147,7 +143,7 @@ case class VerifyPairs(pairs: Expression, docs: Expression, threshold: Double)
     while (i < np) {
       val p = ps.getStruct(i, 2)
       val a = byId.get(p.getLong(0)); val b = byId.get(p.getLong(1))
-      val inter = intersectSorted(a._2, a._3, b._2, b._3)
+      val inter = intersectSorted(a._2, b._2)
       val j = inter.toDouble / (a._1 + b._1 - inter)
       if (j >= threshold) out += InternalRow(p.getLong(0), p.getLong(1), j)
       i += 1
@@ -155,17 +151,18 @@ case class VerifyPairs(pairs: Expression, docs: Expression, threshold: Double)
     new GenericArrayData(out.toArray)
   }
 
-  private def intersectSorted(ah: Array[Long], ah2: Array[Long],
-      bh: Array[Long], bh2: Array[Long]): Int = {
+  /** Merge-intersect two interleaved (h, h2) sequences sorted ascending
+    * by (h, h2); indices advance in steps of 2. */
+  private def intersectSorted(a: Array[Long], b: Array[Long]): Int = {
     var i = 0; var j = 0; var shared = 0
-    while (i < ah.length && j < bh.length) {
-      val c = java.lang.Long.compare(ah(i), bh(j)) match {
-        case 0 => java.lang.Long.compare(ah2(i), bh2(j))
+    while (i < a.length && j < b.length) {
+      val c = java.lang.Long.compare(a(i), b(j)) match {
+        case 0 => java.lang.Long.compare(a(i + 1), b(j + 1))
         case x => x
       }
-      if (c == 0) { shared += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      if (c == 0) { shared += 1; i += 2; j += 2 }
+      else if (c < 0) i += 2
+      else j += 2
     }
     shared
   }

@@ -534,13 +534,25 @@ object TextDedup {
     val chunked = canon.withColumn("ck", chunk)
     val pairsG = chunked.groupBy("ah", "ah2", "ck")
       .agg(collect_list(struct(col("id_a"), col("id_b"))).as("pairs"))
+    // Membership payloads ship as INTERLEAVED array<long> (h0,h2_0,h1,
+    // h2_1,…), not array<struct<h,h2>>: Tungsten stores a struct array
+    // at ~32 B/gram (8 B offset slot + 24 B struct) vs 16 B/gram flat —
+    // this projection is the measured ~38 GB sf100 membership shuffle,
+    // so the packing halves the verify stage's disk/network footprint.
+    // Order is preserved by transform+flatten over the already-(h,h2)-
+    // sorted fp, so VerifyPairs' 2-step merge-intersect sees the same
+    // sequence the struct walk did. Packed BEFORE the membership join:
+    // evaluated once per doc (5M rows), not once per membership (42M).
+    val packed = hsets.select(col("id"), col("sz"),
+      flatten(transform(col("fp"),
+        e => array(e.getField("h"), e.getField("h2")))).as("fpl"))
     val docsG = chunked
       .select(col("ah"), col("ah2"), col("ck"),
         explode(array(col("id_a"), col("id_b"))).as("id"))
       .distinct()
-      .join(hsets, "id")
+      .join(packed, "id")
       .groupBy("ah", "ah2", "ck")
-      .agg(collect_list(struct(col("id"), col("sz"), col("fp"))).as("docs"))
+      .agg(collect_list(struct(col("id"), col("sz"), col("fpl"))).as("docs"))
     // spread: verify rows are few-and-fat (small bytes pre-explode, high
     // CPU) — AQE would coalesce them onto a couple of cores.
     spread(pairsG.join(docsG, Seq("ah", "ah2", "ck")), col("ah"))
