@@ -171,3 +171,43 @@ case class VerifyPairs(pairs: Expression, docs: Expression, threshold: Double)
       newChildren: IndexedSeq[Expression]): VerifyPairs =
     copy(pairs = newChildren(0), docs = newChildren(1))
 }
+
+/** Exact Jaccard of two packed fingerprint sets — the DIRECT-verify
+  * scalar for small candidate volumes. Inputs are the same interleaved
+  * (h0, h2_0, h1, h2_1, …) ascending-(h, h2) `array<long>` payloads
+  * [[VerifyPairs]] consumes; output is |A∩B| / (|A| + |B| - |A∩B|) with
+  * the identical merge-intersect and double arithmetic, so the adaptive
+  * cutover in `TextDedup.verifiedJaccardPairs` emits bit-identical
+  * scores on either branch. One scalar eval per candidate pair: this is
+  * the pair-priced shape (each doc's array ships once per pair it is
+  * in), which is exactly right BELOW the cutover where pairs are few
+  * and the cluster path's fixed ~5 extra shuffles dominate.
+  */
+case class PackedJaccard(a: Expression, b: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(a, b)
+  override def nullable: Boolean = false
+  override lazy val deterministic: Boolean = true
+  override def dataType: DataType = DoubleType
+
+  override def eval(input: InternalRow): Any = {
+    val xa = a.eval(input).asInstanceOf[ArrayData].toLongArray()
+    val xb = b.eval(input).asInstanceOf[ArrayData].toLongArray()
+    var i = 0; var j = 0; var shared = 0
+    while (i < xa.length && j < xb.length) {
+      val c = java.lang.Long.compare(xa(i), xb(j)) match {
+        case 0 => java.lang.Long.compare(xa(i + 1), xb(j + 1))
+        case x => x
+      }
+      if (c == 0) { shared += 1; i += 2; j += 2 }
+      else if (c < 0) i += 2
+      else j += 2
+    }
+    shared.toDouble / (xa.length / 2 + xb.length / 2 - shared)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): PackedJaccard =
+    copy(a = newChildren(0), b = newChildren(1))
+}

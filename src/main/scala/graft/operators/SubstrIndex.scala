@@ -108,7 +108,18 @@ object SubstrIndex {
       idCol: String, textCol: String): DataFrame = {
     val (minTokens, numBuckets) = meta(spark, path)
     val wins = Materialize(windows(batch, idCol, textCol, minTokens))
+    // REPLAY GUARD: postings whose doc_id is one of the batch's own ids
+    // can only exist if a crashed run already appended this batch (doc
+    // ids are globally unique across drops). Probing against them would
+    // make every batch window a "hit" — the replayed docs would re-emit
+    // fully cut — so they are excluded: the replayed probe then sees
+    // exactly the pre-append index and reproduces the crashed run's
+    // output byte-for-byte (the remaining replay exposure is the out/
+    // sink's documented at-least-once double-append, which a
+    // batchId-keyed committer can heal because the content now agrees).
+    val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
     val idx = touched(spark, path, wins, numBuckets)
+      .join(batchIds, Seq("doc_id"), "left_anti")
       .select(col("h"), col("h2"))
     val hit = wins.join(idx, Seq("h", "h2"), "left_semi")
     val miss = wins.join(idx, Seq("h", "h2"), "left_anti")

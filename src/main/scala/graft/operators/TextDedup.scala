@@ -489,7 +489,8 @@ object TextDedup {
     *     at sf100 (≈38 GB) vs 2×124M pair-side arrays (≈800 GB).
     */
   private[graft] def verifiedJaccardPairs(sets: DataFrame,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      directMaxPairs: Long = DirectVerifyMaxPairs): DataFrame = {
     val hsets = cached(sets.select(col("id"),
       sort_array(array_distinct(transform(col("sh"), s =>
         struct(xxhash64(s).as("h"), xxhash64(lit("graft.vfy2"), s).as("h2")))))
@@ -527,6 +528,34 @@ object TextDedup {
       .agg(min(col("anchor")).as("anchor"))
       .select(col("anchor.h").as("ah"), col("anchor.h2").as("ah2"),
         col("id_a"), col("id_b")))
+    // ADAPTIVE CUTOVER (r11): below DirectVerifyMaxPairs candidates the
+    // pair-priced verify — join each pair to its two packed fingerprint
+    // arrays, one PackedJaccard scalar per pair — beats the cluster
+    // path, whose ~5 extra shuffles (chunk window, pair/membership
+    // aggregations, membership join) are fixed overhead that taxed
+    // every small corpus (r10: d_dedup_ppjoin 1.4 → 3.4 s at sf0.1).
+    // canon is already localCheckpoint-materialized, so the count is a
+    // cached-scan. Scores are bit-identical on either branch
+    // (PackedJaccard replicates VerifyPairs' merge-intersect and double
+    // arithmetic), so oracles and consumers cannot tell them apart.
+    val nCand = canon.count()
+    if (sys.env.contains("GRAFT_VERIFY_DEBUG"))
+      System.err.println(s"[verify-cutover] candidates=$nCand " +
+        s"branch=${if (nCand <= directMaxPairs) "direct" else "cluster"}")
+    if (nCand <= directMaxPairs) {
+      val packed1 = hsets.select(col("id"), flatten(transform(col("fp"),
+        e => array(e.getField("h"), e.getField("h2")))).as("fpl"))
+      return canon
+        .join(packed1.select(col("id").as("id_a"), col("fpl").as("fpl_a")),
+          Seq("id_a"))
+        .join(packed1.select(col("id").as("id_b"), col("fpl").as("fpl_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          GraftBridge.column(graft.functions.PackedJaccard(
+            GraftBridge.expression(col("fpl_a")),
+            GraftBridge.expression(col("fpl_b")))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+    }
     val chunk = ((row_number().over(
         Window.partitionBy(col("ah"), col("ah2"))
           .orderBy(col("id_a"), col("id_b"))) - 1) / lit(VerifyChunkPairs))
@@ -569,6 +598,18 @@ object TextDedup {
     */
   private val VerifyChunkPairs = 1 << 18
 
+  /** Candidate-count cutover between the pair-priced direct verify and
+    * the cluster-priced verify. Cost model: the direct join ships each
+    * doc's packed array once per PAIR (~2 × 800 B at ~50 shingles → ~1.6
+    * KB/pair ≈ 1.6 GB of shuffle at the cutover — one cheap shuffle),
+    * while the cluster path ships it once per (anchor, chunk) membership
+    * but pays ~5 fixed shuffles. Measured r11 at sf0.1 (57k candidates →
+    * direct) and held at the sf10/sf100 probes (≫ cutover → cluster
+    * path, floors unchanged). `private[graft]` so specs can exercise
+    * both branches deterministically.
+    */
+  private[graft] val DirectVerifyMaxPairs = 1L << 20
+
   /** PPJoin prefix-filter CANDIDATE pairs only — a DETERMINISTIC
     * SUPERSET of the Jaccard ≥ `threshold` pairs (the prefix bound is
     * sound: any two sets with Jaccard ≥ t share a shingle inside each
@@ -584,12 +625,19 @@ object TextDedup {
     */
   def ppjoinCandidates(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // Same exact-duplicate collapse as [[ngramJaccardJoin]], same
-    // equality argument: candidacy (shared prefix shingle + length
-    // filter) is a function of the two sets alone, and two identical
-    // sets always share their first sorted shingle — so the collapsed
-    // candidate set equals the direct one EXACTLY, not just up to
-    // connected components (LeakageSplitSpec pins both).
+    // Same exact-duplicate collapse as [[ngramJaccardJoin]]. The
+    // equality argument needs one more ingredient than the verify
+    // pipeline's: candidacy depends on the global rarest-first (df,
+    // shingle) prefix ORDER, which is a corpus-wide statistic, not a
+    // function of the two sets alone — collapsing a 1000-member dup
+    // family would drop its shingles' df from ~1000 to 1 and reshuffle
+    // every doc's prefix. So the collapsed join computes df WEIGHTED by
+    // group size (`w` from setCollapse): Σ w over reps containing a
+    // shingle equals the full-corpus count exactly, the prefix order is
+    // bit-identical to the direct path's, identical sets get identical
+    // prefixes, and the collapsed candidate set equals the direct one
+    // EXACTLY, not just up to connected components (LeakageSplitSpec
+    // pins candidate equality on a dup-heavy corpus).
     val sets = cached(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
@@ -607,21 +655,27 @@ object TextDedup {
     * never lose a true pair's doc). Returns (members, repSets):
     * members = (id, rep) with rep = min id of the doc's identical-set
     * group; repSets = the one-representative-per-group subset of
-    * `sets`. Both shuffles are narrow (ids + two longs); the shingle
-    * arrays themselves never leave the scan that fingerprints them.
+    * `sets` PLUS a `w` column = the group's member count, so collapsed
+    * consumers can reconstruct full-corpus statistics (document
+    * frequency = Σ w over the reps containing a shingle — identical
+    * sets contribute identical shingles, so the weighted count over
+    * reps IS the unweighted count over all docs). Both shuffles are
+    * narrow (ids + two longs); the shingle arrays themselves never
+    * leave the scan that fingerprints them.
     */
   private def setCollapse(sets: DataFrame): (DataFrame, DataFrame) = {
     val keyed = sets.select(col("id"),
       xxhash64(sort_array(col("sh"))).as("f1"),
       xxhash64(lit("graft.setfp2"), sort_array(col("sh"))).as("f2"))
+    val grpWin = Window.partitionBy(col("f1"), col("f2"))
     val memb = cached(keyed
-      .withColumn("rep",
-        min(col("id")).over(Window.partitionBy(col("f1"), col("f2"))))
-      .select("id", "rep"))
+      .withColumn("rep", min(col("id")).over(grpWin))
+      .withColumn("w", count(lit(1)).over(grpWin))
+      .select("id", "rep", "w"))
     val repSets = sets.join(
-      memb.filter(col("id") === col("rep")).select("id"),
-      Seq("id"), "left_semi")
-    (memb, repSets)
+      memb.filter(col("id") === col("rep")).select(col("id"), col("w")),
+      Seq("id"))
+    (memb.select("id", "rep"), repSets)
   }
 
   /** All unordered same-group pairs (id_a < id_b) of a (id, rep)
@@ -655,8 +709,15 @@ object TextDedup {
     * STRINGS as keys. The verified pipeline ([[verifiedJaccardPairs]])
     * does NOT route through here — it runs the clustered fingerprint
     * pipeline above, whose candidate universe is (df, h, h2)-ordered.
+    *
+    * `sets` must carry a `w` weight column (per-doc multiplicity): the
+    * document frequency that orders the prefix is Σ w, so a collapsed
+    * caller (each rep weighted by its identical-set group size)
+    * reproduces the full-corpus df order exactly. Direct (no-collapse)
+    * callers pass w = 1. `private[graft]` so LeakageSplitSpec can pin
+    * collapsed ≡ direct at the candidate level.
     */
-  private def ppjoinCandidatesFromSets(sets: DataFrame,
+  private[graft] def ppjoinCandidatesFromSets(sets: DataFrame,
       threshold: Double): DataFrame = {
     // NOTE perf: unlike ngramJaccardTopK, pre-spreading this exploded
     // frame by shingle measured SLOWER (2.0 s vs 1.8 s at sf0.1) — the df
@@ -664,14 +725,16 @@ object TextDedup {
     // count side wins over exchange reuse. Likewise materializing
     // `prefixes` (2.15 s): the self-join's identical subtrees already
     // dedup via ReuseExchange, so the eager checkpoint is pure overhead.
-    val exploded = sets.select(col("id"), explode(col("sh")).as("shingle"))
-    // Global rarest-first total order: (document frequency, shingle).
+    val exploded = sets.select(col("id"), col("w"), explode(col("sh")).as("shingle"))
+    // Global rarest-first total order: (document frequency, shingle) —
+    // df is the WEIGHTED occurrence count (Σ w), i.e. the full-corpus
+    // doc count even when the caller collapsed exact-dup groups.
     // Deliberately NO broadcast hints and NO in-list pair generation in
     // this EXACT variant: the df table is vocabulary-sized and a hot
     // prefix shingle's posting list is unbounded (no df-cut to lean on),
     // so the shuffle join is the plan that survives corpus scale.
     val ranked = exploded.join(
-        exploded.groupBy("shingle").agg(count(lit(1)).as("df_")), "shingle")
+        exploded.groupBy("shingle").agg(sum(col("w")).as("df_")), "shingle")
     // Per-doc prefix of the df-sorted shingle list. Materialized: the
     // candidate self-join reads it on both sides, and its construction
     // (df join + per-doc sort) is most of the query's work. The sort key

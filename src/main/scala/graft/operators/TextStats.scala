@@ -109,8 +109,12 @@ object TextStats {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("nc")).as("n_chars"),
         sum(col("nw")).as("n_words"), sum(col("nb")).as("n_bpe_tokens"))
+      // nullif guards: a language whose docs are all empty/whitespace
+      // has 0 tokens — Spark's DIV would return NULL but DuckDB's //
+      // RAISES on divide-by-zero, so both engines must see the same
+      // explicit NULL (oracle guards identically).
       .withColumn("chars_per_tok_ppm",
-        expr("(n_chars * 1000000) DIV n_bpe_tokens"))
+        expr("(n_chars * 1000000) DIV nullif(n_bpe_tokens, 0)"))
       .withColumn("toks_per_word_ppm",
-        expr("(n_bpe_tokens * 1000000) DIV n_words"))
+        expr("(n_bpe_tokens * 1000000) DIV nullif(n_words, 0)"))
 }

@@ -248,8 +248,22 @@ object StreamQueries {
         val withThr = docs.crossJoin(broadcast(thr))
         withThr.filter(col("doc_id") < col("thr")).select("doc_id", "text")
           .repartition(8).write.mode("append").parquet(drop)
+        // FileStreamSource batches by modification time; on filesystems
+        // with coarse mtime granularity the second drop's file can TIE
+        // with the first drop's 8 and interleave into micro-batch 1 —
+        // breaking the "first occurrence lives in the earliest drop"
+        // precondition the oracle depends on (this query is
+        // order-sensitive, unlike st_upsert_merge). Stamp the second
+        // drop's files strictly later to pin the batch order.
+        val dropDir = new java.io.File(drop)
+        def partFiles() = Option(dropDir.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        val firstNames = partFiles().map(_.getName).toSet
+        val firstMax = partFiles().map(_.lastModified).max
         withThr.filter(col("doc_id") >= col("thr")).select("doc_id", "text")
           .coalesce(1).write.mode("append").parquet(drop)
+        partFiles().filterNot(f => firstNames(f.getName))
+          .foreach(_.setLastModified(firstMax + 60000L))
         val src = s.readStream.schema("doc_id LONG, text STRING")
           .option("maxFilesPerTrigger", 8).parquet(drop)
         StreamOps.substrDedupSink(src, s"$tmp/index", s"$tmp/out",

@@ -1230,8 +1230,8 @@ object TextQueries {
                      CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens
               FROM t GROUP BY lang)
         SELECT lang, n_docs, n_chars, n_words, n_bpe_tokens,
-               (n_chars * 1000000) // n_bpe_tokens AS chars_per_tok_ppm,
-               (n_bpe_tokens * 1000000) // n_words AS toks_per_word_ppm
+               (n_chars * 1000000) // nullif(n_bpe_tokens, 0) AS chars_per_tok_ppm,
+               (n_bpe_tokens * 1000000) // nullif(n_words, 0) AS toks_per_word_ppm
         FROM g ORDER BY lang
       """)),
 

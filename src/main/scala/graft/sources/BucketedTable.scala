@@ -89,15 +89,32 @@ object BucketedTable {
       case None =>
         // First load: the whole batch is the table. Staging + one root
         // rename — all-or-nothing like the legacy sink's first write.
+        // The meta file is written INTO the staging dir before the
+        // rename, so data and meta become visible in the same atomic
+        // step: a crash can never leave a loaded target without meta
+        // (the old meta-after-rename order had exactly that window, and
+        // the next upsert's None branch would have read it as "no
+        // table" and wiped it).
         val init = stamp.map(st => Transform.stampInitial(deduped, st))
           .getOrElse(deduped)
         val staging = new Path(targetDir + ".staging")
         fs.delete(staging, true)
         writeBuckets(init, keys, numBuckets, staging.toString,
           numBuckets, maxRecordsPerFile)
-        if (fs.exists(root)) must(fs.delete(root, true), "delete empty target", targetDir)
+        writeMeta(fs, staging, numBuckets, keys)
+        if (fs.exists(root)) {
+          // Meta-less non-empty root: NOT ours to destroy — either a
+          // foreign dataset the caller mistyped, or (pre-atomic-meta
+          // layouts) a crash artifact. Refuse loudly instead of
+          // silently treating it as a fresh first load.
+          if (fs.listStatus(root).nonEmpty)
+            throw new java.io.IOException(
+              s"BucketedTable: target $targetDir exists non-empty without " +
+                s"$MetaFile — refusing to overwrite; delete it explicitly " +
+                "or restore the meta file")
+          must(fs.delete(root, true), "delete empty target", targetDir)
+        }
         must(fs.rename(staging, root), "rename .staging -> target", targetDir)
-        writeMeta(fs, root, numBuckets, keys)
 
       case Some((n, storedKeys)) =>
         require(storedKeys == keys,

@@ -178,7 +178,13 @@ object StreamOps {
     * replayed after a crash between the write and the checkpoint commit
     * would double-append (same class as the CDC sink's at-least-once
     * contract; production points outPath at an idempotent/batchId-keyed
-    * committer).
+    * committer). The nastier crash window — append committed, checkpoint
+    * not, so the replay probes an index that already owns the batch's
+    * own grams — is healed inside [[graft.operators.SubstrIndex
+    * .dedupBatch]]: postings keyed by the batch's own doc ids are
+    * excluded from the probe (globally-unique ids mean they can only be
+    * a replayed append), so the replayed output is byte-identical to
+    * the crashed run's and the replayed append is a no-op (spec'd).
     */
   def substrDedupSink(
       df: DataFrame,

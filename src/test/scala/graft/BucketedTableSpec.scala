@@ -134,6 +134,31 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(sortedRows(BucketedTable.read(spark, bt)) == once)
   }
 
+  test("first load lands data + meta atomically; meta-less non-empty targets are refused") {
+    val bt = tmp("atomic")
+    BucketedTable.upsert(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), bt, Seq("k"),
+      numBuckets = 4)
+    // Meta arrived in the SAME rename as the data (it was staged first),
+    // so there is no loaded-but-meta-less crash window.
+    assert(BucketedTable.meta(spark, bt).contains((4, Seq("k"))))
+    val root = new Path(bt)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(bt + ".staging")), "staging dir must be gone")
+
+    // Simulate the pre-fix crash artifact / a mistyped foreign dataset:
+    // a non-empty target without the meta file. The next upsert must
+    // REFUSE (the old behavior silently deleted the whole directory and
+    // treated the call as a fresh first load — data loss).
+    fs.delete(new Path(root, "_graft_buckets.json"), false)
+    val e = intercept[java.io.IOException] {
+      BucketedTable.upsert(Seq((3L, "c")).toDF("k", "v"), bt, Seq("k"),
+        numBuckets = 4)
+    }
+    assert(e.getMessage.contains("refusing"))
+    // The existing data survived the refusal.
+    assert(spark.read.parquet(bt).count() == 2)
+  }
+
   test("bucket-count and key mismatches fail loudly; meta round-trips") {
     val bt = tmp("meta")
     BucketedTable.upsert(Seq((1L, "a")).toDF("k", "v"), bt, Seq("k"),

@@ -81,4 +81,17 @@ class DiversitySampleSpec extends AnyFunSuite {
       ("en", 1L, 5L, 2L, 2L, 2500000L, 1000000L),
       ("fr", 2L, 8L, 4L, 6L, 1333333L, 1500000L)))
   }
+
+  test("tokenizerFertility: zero-token language yields NULL ppm, not an error") {
+    // A language whose docs are all empty/whitespace has 0 BPE tokens;
+    // the ppm divisions must NULL out identically to the oracle's
+    // nullif guard (DuckDB's // raises on a bare divide-by-zero).
+    val docs = Seq(("xx", ""), ("en", "ab cd")).toDF("lang", "text")
+    val row = TextStats.tokenizerFertility(docs)
+      .filter(col("lang") === "xx")
+      .select("n_bpe_tokens", "chars_per_tok_ppm", "toks_per_word_ppm")
+      .collect().head
+    assert(row.getLong(0) == 0L)
+    assert(row.isNullAt(1), "chars_per_tok_ppm must be NULL at 0 tokens")
+  }
 }

@@ -226,6 +226,24 @@ class LeakageSplitSpec extends AnyFunSuite {
     assert(brute.keySet.subsetOf(cands),
       s"collapsed candidates lost true pairs: ${(brute.keySet -- cands).take(5)}")
 
+    // Candidate-level collapse ≡ direct: the collapsed path's weighted
+    // df (Σ group size) must reproduce the FULL-CORPUS (df, shingle)
+    // prefix order bit-exactly, so the candidate set — not just its
+    // closure — matches the no-collapse join. This corpus is the
+    // adversarial case: an 8-copy family drops shingle df from 10 to 3
+    // under unweighted rep-only counting, which reorders prefixes and
+    // perturbs candidacy (and the x_leakage_split_fast oracle replays
+    // full-corpus df, so any divergence is an oracle mismatch).
+    val directSets = d.select(col("doc_id").as("id"),
+        TextDedup.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sz", size(col("sh")))
+      .withColumn("w", lit(1L))
+    val directCands = TextDedup.ppjoinCandidatesFromSets(directSets, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(cands == directCands,
+      s"collapsed vs direct candidates: missing=${(directCands -- cands).take(5)} " +
+        s"extra=${(cands -- directCands).take(5)}")
+
     // And collapsed ≡ direct end to end (same prepared sets, no collapse).
     val prepped = d.select(col("doc_id").as("id"),
         TextDedup.wordShingles(col("text"), 3).as("sh"))
@@ -235,6 +253,22 @@ class LeakageSplitSpec extends AnyFunSuite {
       .map { case (a, b, j) => ((a, b), j) }.toMap
     assert(direct.keySet == got.keySet,
       "direct (no-collapse) pipeline disagrees with collapsed pipeline")
+
+    // Both verify branches of the adaptive cutover must emit the SAME
+    // pairs with bit-identical jaccard: force the pair-priced direct
+    // verify (directMaxPairs = ∞) and the cluster-priced chunked verify
+    // (directMaxPairs = 0) over the same sets and compare exactly.
+    val viaDirect = TextDedup.verifiedJaccardPairs(prepped, 0.8,
+        directMaxPairs = Long.MaxValue)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    val viaCluster = TextDedup.verifiedJaccardPairs(prepped, 0.8,
+        directMaxPairs = 0L)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(viaDirect == viaCluster,
+      s"adaptive verify branches diverge: onlyDirect=${(viaDirect.toSet -- viaCluster.toSet).take(5)} " +
+        s"onlyCluster=${(viaCluster.toSet -- viaDirect.toSet).take(5)}")
   }
 
   test("family members always share a side under the fast split") {

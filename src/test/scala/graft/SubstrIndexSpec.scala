@@ -51,6 +51,37 @@ class SubstrIndexSpec extends AnyFunSuite {
     assert(got.exists { case (id, _, n) => id == 10L && n > 0 })
   }
 
+  test("crash replay: dedupBatch after the batch's own append reproduces the pre-append output") {
+    val path = tmp()
+    SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
+    val batch = Seq(
+      10L -> "fresh start gamma delta epsilon zeta eta done",
+      11L -> "micro kilo mega giga tera peta exa cool",
+      12L -> "micro kilo mega giga tera peta exa cool",
+      13L -> "nothing here repeats at all trust me")
+    val before = collect(SubstrIndex.dedupBatch(spark, path, df(batch),
+      "doc_id", "text"))
+    // Crash window: append committed, checkpoint didn't — the stream
+    // replays the SAME batch against an index that already owns the
+    // batch's grams under the batch's own doc ids. The replay guard
+    // must make the probe ignore those postings, so the replayed output
+    // is byte-identical (without it every window "hits" and the docs
+    // re-emit fully cut).
+    SubstrIndex.append(df(batch), "doc_id", "text", path)
+    val replay = collect(SubstrIndex.dedupBatch(spark, path, df(batch),
+      "doc_id", "text"))
+    assert(replay == before,
+      s"replayed batch diverged: ${replay -- before} vs ${before -- replay}")
+    assert(replay.exists { case (id, t, _) => id == 11L && t.nonEmpty },
+      "replayed doc lost its text — self-hit corruption")
+    // And the replayed append is a no-op: grams already owned.
+    val postings = spark.read.parquet(s"$path/grams")
+    val cnt = postings.groupBy("h", "h2").count().filter(col("count") > 1).count()
+    assert(cnt == 0, "replayed append duplicated postings")
+    SubstrIndex.append(df(batch), "doc_id", "text", path)
+    assert(spark.read.parquet(s"$path/grams").count() == postings.count())
+  }
+
   test("append extends the corpus: batch2 dedups against corpus ∪ batch1") {
     val path = tmp()
     SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
