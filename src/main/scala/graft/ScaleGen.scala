@@ -29,13 +29,18 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir) = args.take(2)
     val factor = if (args.length > 2) args(2).toInt else 10
+    // Optional 4th arg: comma-separated table subset (e.g.
+    // "lineitem,orders,events" to re-create just the relational side of
+    // an existing scale dir without churning the doc/vector tables).
+    val tables: Option[Set[String]] =
+      if (args.length > 3) Some(args(3).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16").toInt
     val spark = GraftSession.harness(cpus)
-    try run(spark, srcDir, outDir, factor) finally spark.stop()
+    try run(spark, srcDir, outDir, factor, tables) finally spark.stop()
   }
 
   def run(spark: SparkSession, srcDir: String, outDir: String,
-      factor: Int): Unit = {
+      factor: Int, tables: Option[Set[String]] = None): Unit = {
     def src(t: String): DataFrame = spark.read.parquet(s"$srcDir/$t.parquet")
     def keyBase(t: String, k: String): Long =
       src(t).agg(max(col(k))).collect()(0).getLong(0) + 1L
@@ -80,9 +85,10 @@ object ScaleGen {
     // `parts` is now a floor, not a target: a frame already wider than
     // it (the spread replicas) writes its own partitions directly.
     def write(df: DataFrame, t: String, parts: Int): Unit =
-      (if (df.rdd.getNumPartitions > parts) df else df.repartition(parts))
-        .write.mode("overwrite")
-        .parquet(s"$outDir/$t.parquet")
+      if (tables.forall(_.contains(t)))
+        (if (df.rdd.getNumPartitions > parts) df else df.repartition(parts))
+          .write.mode("overwrite")
+          .parquet(s"$outDir/$t.parquet")
 
     // Dims: fixed, like TPC-H region/nation at every SF.
     write(src("region"), "region", 1)
