@@ -82,11 +82,18 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println("BENCH_DETAIL " + jmap(results))
     val head = headline.flatMap(k => results.get(k).map(k -> _))
+    // Ambient controls: untouched TPC-H shapes whose times move only
+    // with the host, never with graft changes — embedded in every board
+    // so tools/sf_gate.py (and a human) can normalize cross-round
+    // comparisons by the measured host-day drift instead of
+    // hand-adjudicating it (r10 did, twice).
+    val controls = Vector("q1_agg", "q3_shipping", "q_window_rank")
+      .flatMap(k => results.get(k).map(k -> _))
     // Final line LAST and < ~1 KB: the driver's captured tail is 2000
     // chars, so a full 100+-query map gets its front truncated and fails
     // to parse (rounds 1-2 shipped "parsed": null because of this).
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${jmap(head)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"controls":${jmap(controls)},"queries":${jmap(head)},"sf":"$sfDir"}"""
     println(line)
     // Also persisted to a file so the result never depends on how much
     // of stdout the harness keeps.

@@ -66,10 +66,11 @@ object Similarity {
     * verifiable outside the JVM; `hyperplanes` (splitmix64 — wrapping
     * multiplies SQL can't express) stays the default elsewhere.
     */
-  def portablePlanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] =
+  def portablePlanes(numPlanes: Int, dim: Int,
+      salt: String = ""): Seq[Seq[Double]] =
     Seq.tabulate(numPlanes, dim) { (p, d) =>
       val hx = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(s"$p,$d".getBytes("UTF-8"))
+        .digest(s"$salt$p,$d".getBytes("UTF-8"))
       val u = ((hx(0) & 0xffL) << 24) | ((hx(1) & 0xffL) << 16) |
         ((hx(2) & 0xffL) << 8) | (hx(3) & 0xffL)
       (u - 2147483648L).toDouble / 2147483648.0
@@ -279,6 +280,104 @@ object Similarity {
     * (s_ann_lsh) passes maxBucket=1024 explicitly; exact-contract
     * consumers leave it unbounded and keep their bit-stable output.
     */
+  /** Recall@k eval of the IVF×PQ retrieval SHAPE with fully PORTABLE
+    * quantizers — the oracle-checkable twin of the persisted
+    * [[IvfPq]] layout (whose MLlib k-means codebooks float-drift across
+    * runs and so can only be spec-checked): IVF cells come from
+    * sha256-derived centroids (argmin L2, ties to the lower cell),
+    * PQ codebooks are SAMPLED — the `codes` lowest-id corpus vectors'
+    * subvectors (the random-sampling init every PQ trainer starts from)
+    * — and candidates are scored by asymmetric-distance inner product
+    * (per subspace, dot(query sub, codebook entry of the candidate's
+    * code)), exactly the ADC chain [[PqIndex]] runs. Every stage —
+    * centroid derivation, both argmins, the probe's nProbe cell
+    * ranking, the ADC sum (left-associated, fixed fold order) and the
+    * top-k tie-break — replays bit-for-bit in a SQL engine, so the
+    * recall measurement ITSELF is oracled, not just the machinery.
+    *
+    * Scale shape: centroids and the `codes`-row sampled codebook are
+    * literals/bounded collects; quantization is one narrow corpus
+    * projection (no join); probes broadcast; candidates ride the cell
+    * equi-join; per-probe windows sort candidate sets, not the corpus.
+    * Returns (query_id, n_candidates, n_hits, recall_e6) like the LSH
+    * recall eval.
+    */
+  def portableIvfPqRecall(emb: DataFrame, idCol: String, vecCol: String,
+      probeMax: Long = 10L, cells: Int = 16, m: Int = 8, subDim: Int = 8,
+      codes: Int = 16, nProbe: Int = 2, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = m * subDim
+    val cents = portablePlanes(cells, dim, salt = "ivf:")
+    // Sampled codebook: the `codes` lowest-id vectors (bounded collect).
+    val cb: IndexedSeq[Seq[Double]] = emb
+      .orderBy(col(idCol)).limit(codes)
+      .select(transform(col(vecCol), x => x.cast("double")).as("v"))
+      .collect().map(_.getSeq[Double](0)).toIndexedSeq
+    require(cb.length == codes,
+      s"portableIvfPqRecall: corpus has ${cb.length} < $codes vectors")
+
+    def l2(vec: Column, cvec: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedlit(cvec), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+
+    val vd = emb.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val cellPick = least(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2(col("v"), c).as("d"), lit(i).as("c")) }: _*)
+    val coded0 = vd.withColumn("cell", cellPick.getField("c"))
+    val coded = (0 until m).foldLeft(coded0) { (df, mi) =>
+      val subCol = slice(col("v"), mi * subDim + 1, subDim)
+      df.withColumn(s"code_$mi", least((0 until codes).map { j =>
+        val cbSub = cb(j).slice(mi * subDim, (mi + 1) * subDim)
+        struct(aggregate(
+          zip_with(subCol, typedlit(cbSub), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x).as("d"), lit(j).as("j"))
+      }: _*).getField("j"))
+    }
+    val corpus = Materialize(coded)
+
+    val probes = corpus.filter(col("id") < probeMax)
+      .select(col("id").as("query_id"), col("v").as("qv"))
+    // nProbe nearest cells per probe: ascending (L2, cell) over the
+    // centroid literals — array_sort of (d, c) structs, then slice.
+    val probeCellArr = array_sort(array(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2(col("qv"), c).as("d"), lit(i).as("c")) }: _*))
+    val probed = probes
+      .withColumn("pc", explode(slice(probeCellArr, 1, nProbe)))
+      .select(col("query_id"), col("qv"), col("pc.c").as("cell"))
+
+    val cand = corpus.join(broadcast(probed), Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+    // ADC score: left-associated sum over subspaces of
+    // dot(query sub m, codebook[code_m] sub m) — the m-lookup chain.
+    val adc = (0 until m).map { mi =>
+      val qSub = slice(col("qv"), mi * subDim + 1, subDim)
+      val cbArr = typedlit((0 until codes).map(j =>
+        cb(j).slice(mi * subDim, (mi + 1) * subDim)))
+      dot(qSub, element_at(cbArr, col(s"code_$mi") + 1))
+    }.reduce(_ + _)
+    val scored = cand.withColumn("adc", adc)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("id"))
+    val ann = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k).select(col("query_id"), col("id"))
+    val exact = cosineTopK(emb, emb.filter(col(idCol) < probeMax),
+        idCol, vecCol, k)
+      .select(col("query_id"), col("id"))
+    val nCand = cand.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val nHits = ann.join(exact, Seq("query_id", "id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    probes.select(col("query_id"))
+      .join(nCand, Seq("query_id"), "left")
+      .join(nHits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * (1000000L / k)).as("recall_e6"))
+      .orderBy(col("query_id"))
+  }
+
   def annLshPairs(corpus: DataFrame, idCol: String, vecCol: String,
       planes: Seq[Seq[Double]], maxBucket: Int = Int.MaxValue,
       refinePlanes: Int = 16, refineSeed: Long = 0x5eed2L): DataFrame = {

@@ -1082,6 +1082,110 @@ object TextQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 95: IVF×PQ recall gate — the quality eval the persisted billion-
+    // scale layout (36f) was missing: recall@10 of the full IVF(nProbe)
+    // × PQ(ADC) retrieval chain against exact cosine, per probe, with
+    // PORTABLE quantizers (sha256 centroids, sampled codebook = the 16
+    // lowest-id vectors) so the ENTIRE eval — cell assignment, PQ
+    // codes, probe cell ranking, the left-associated ADC sums, both
+    // top-10 rankings and their intersection — replays bit-for-bit in
+    // DuckDB. The MLlib-trained IvfPq itself can't be oracled (float
+    // k-means); this measures the same retrieval shape's quality with
+    // replayable quantizers, and IvfPqSpec pins the persisted path's
+    // recall floor separately.
+    Q("x_recall_ivfpq",
+      (s, dir) => Similarity.portableIvfPqRecall(
+        Tables.embeddings(s, dir), "vec_id", "embedding"),
+      Some("""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                   FROM embeddings),
+        cents AS (SELECT p, list_transform(range(0, 64), d ->
+                    ((('0x' || substr(sha256('ivf:' || CAST(p AS VARCHAR) || ',' || CAST(d AS VARCHAR)), 1, 8))::BIGINT
+                      - 2147483648) / 2147483648.0)) AS c
+                  FROM (SELECT unnest(range(0, 16)) AS p)),
+        cdist AS (SELECT vec_id, p,
+                         list_reduce(list_transform(range(1, 65),
+                           i -> (v.v[i] - c[i]) * (v.v[i] - c[i])), (a, b) -> a + b) AS d
+                  FROM v, cents),
+        cellass AS (SELECT vec_id, p AS cell FROM (
+                      SELECT vec_id, p,
+                             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, p) AS rn
+                      FROM cdist) WHERE rn = 1),
+        cb AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, v AS cv
+               FROM v ORDER BY vec_id LIMIT 16),
+        subd AS (SELECT v.vec_id, mm.m, cb.j,
+                        list_reduce(list_transform(range(1, 9),
+                          i -> (v.v[mm.m*8 + i] - cb.cv[mm.m*8 + i])
+                             * (v.v[mm.m*8 + i] - cb.cv[mm.m*8 + i])),
+                          (a, b) -> a + b) AS d
+                 FROM v, (SELECT unnest(range(0, 8)) AS m) mm, cb),
+        pqcode AS (SELECT vec_id, m, j AS code FROM (
+                     SELECT vec_id, m, j,
+                            ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+                     FROM subd) WHERE rn = 1),
+        probes AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+        pdist AS (SELECT pr.query_id, cents.p,
+                         list_reduce(list_transform(range(1, 65),
+                           i -> (pr.qv[i] - c[i]) * (pr.qv[i] - c[i])), (a, b) -> a + b) AS d
+                  FROM probes pr, cents),
+        pcell AS (SELECT query_id, p AS cell FROM (
+                    SELECT query_id, p,
+                           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, p) AS rn
+                    FROM pdist) WHERE rn <= 2),
+        cand AS (SELECT pc.query_id, ca.vec_id AS id
+                 FROM pcell pc JOIN cellass ca ON ca.cell = pc.cell
+                 WHERE ca.vec_id <> pc.query_id),
+        adcterm AS (SELECT c.query_id, c.id, co.m,
+                           list_reduce(list_transform(range(1, 9),
+                             i -> pr.qv[co.m*8 + i] * cb.cv[co.m*8 + i]),
+                             (a, b) -> a + b) AS t
+                    FROM cand c
+                    JOIN pqcode co ON co.vec_id = c.id
+                    JOIN cb ON cb.j = co.code
+                    JOIN probes pr ON pr.query_id = c.query_id),
+        adc AS (SELECT query_id, id,
+                       max(CASE WHEN m=0 THEN t END)
+                         + max(CASE WHEN m=1 THEN t END)
+                         + max(CASE WHEN m=2 THEN t END)
+                         + max(CASE WHEN m=3 THEN t END)
+                         + max(CASE WHEN m=4 THEN t END)
+                         + max(CASE WHEN m=5 THEN t END)
+                         + max(CASE WHEN m=6 THEN t END)
+                         + max(CASE WHEN m=7 THEN t END) AS adc
+                FROM adcterm GROUP BY query_id, id),
+        ann AS (SELECT query_id, id FROM (
+                  SELECT query_id, id,
+                         ROW_NUMBER() OVER (PARTITION BY query_id
+                                            ORDER BY adc DESC, id) AS rk
+                  FROM adc) WHERE rk <= 10),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS nrm
+              FROM v),
+        q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n WHERE vec_id < 10),
+        pairs AS (SELECT q.query_id, n.vec_id AS id,
+                         list_reduce(list_transform(range(1, 65), i -> n.v[i] * q.qv[i]),
+                                     (a, b) -> a + b) / (q.qnrm * n.nrm) AS cosine
+                  FROM q, n WHERE n.vec_id <> q.query_id),
+        exact AS (SELECT query_id, id FROM (
+                    SELECT query_id, id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY cosine DESC, id) AS rk
+                    FROM pairs) WHERE rk <= 10),
+        nc AS (SELECT query_id, COUNT(*) AS n_candidates FROM cand GROUP BY 1),
+        nh AS (SELECT a.query_id, COUNT(*) AS n_hits
+               FROM ann a JOIN exact e ON a.query_id = e.query_id AND a.id = e.id
+               GROUP BY 1)
+        SELECT p.query_id,
+               COALESCE(nc.n_candidates, 0) AS n_candidates,
+               COALESCE(nh.n_hits, 0) AS n_hits,
+               COALESCE(nh.n_hits, 0) * 100000 AS recall_e6
+        FROM probes p
+        LEFT JOIN nc ON nc.query_id = p.query_id
+        LEFT JOIN nh ON nh.query_id = p.query_id
+        ORDER BY p.query_id
+      """)),
+
+    // ------------------------------------------------------------------
     // 36: ANN via wider LSH buckets (4 planes → coarser, higher recall)
     Q("s_ann_lsh",
       // maxBucket opts into the occupancy guard HERE, not in the operator

@@ -97,4 +97,44 @@ class IvfPqSpec extends AnyFunSuite {
       .select("query_id", "id", "rk").as[(Long, Long, Int)].collect().toSet
     assert(run(p1) == run(p2))
   }
+
+  test("quality gate: persisted IVFxPQ recall@10 vs exact L2 clears the floor") {
+    // The oracled x_recall_ivfpq measures the retrieval shape with
+    // portable quantizers; THIS pins the deployed artifact — MLlib-
+    // trained IVF + PQ, persisted layout, nProbe probing — to a recall
+    // floor against the exact L2 top-10 over the same probes (L2 is the
+    // metric the ADC chain approximates — PqIndexSpec's own floor is
+    // likewise vs exact L2). The floor (0.15 mean recall@10 at nProbe=6
+    // of 8 cells, 32x compression, unnormalized random vectors — a
+    // worst case for PQ) is what a rollout would alert on: measured mean
+    // is ~0.23 here, ~11x the 0.02 chance level of a random top-10 from
+    // the candidate pool, and a broken ADC chain or codebook mix-up
+    // lands at chance. Exactness at nProbe=k stays pinned by the
+    // build/append tests above.
+    val emb = Tables.embeddings(spark, sfDir)
+    val ivf = IvfIndex.train(emb, "embedding", k = 8, maxIter = 5)
+    val pq = PqIndex.train(emb, "embedding", m = 8, k = 16, maxIter = 5)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq-recall").toString
+    IvfPq.build(emb, "vec_id", "embedding", path, ivf, pq)
+    val qs = queriesOf(emb, 10)
+    val ann = IvfPq.search(spark, path, qs, k = 10, nProbe = 6)
+      .select("query_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // Exact L2 top-10, driver-side over the collected corpus (500 rows).
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val exact = qs.map { case (qid, q) =>
+      qid -> all.filter(_._1 != qid)
+        .map { case (id, v) =>
+          (v.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum, id) }
+        .sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    val recalls = exact.map { case (q, want) =>
+      ann.getOrElse(q, Set.empty).intersect(want).size / 10.0 }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.size == 10)
+    assert(mean >= 0.15,
+      f"IVFxPQ mean recall@10 $mean%.2f below 0.15 floor (per-probe: " +
+        recalls.map(r => f"$r%.1f").mkString(",") + ")")
+  }
 }

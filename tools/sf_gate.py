@@ -25,6 +25,18 @@ flagged, even if the prior board got a lucky run. That is what lets
 reach ~3.5x with ZERO code change — measured r8) without false alarms:
 the floor, not the previous board's luck, is the reference for "this is
 just noise".
+
+AMBIENT CONTROL (r11): cross-round boards carry up to ~1.6x host-day
+drift on code that did not change (measured r7-r10; the r10 verdict
+hand-adjudicated it twice). --controls (default
+q1_agg,q3_shipping,q_window_rank — untouched TPC-H shapes) names
+queries whose new/prior ratio estimates that drift; the gate divides
+every comparison by the MEDIAN control ratio before flagging, and the
+floors comparison scales by the same drift. A deliberately slow host
+then produces zero false flags at --factor 2 because every ratio is
+normalized by the controls' shared slowdown. --controls= (empty)
+disables normalization. Controls present in only one board are skipped;
+with zero usable controls the gate runs un-normalized and says so.
 """
 import json
 import re
@@ -70,25 +82,45 @@ def main():
     new_path, prior_path = args[0], args[1]
     new = load_queries(new_path)
     prior = load_queries(prior_path)
+
+    controls_opt = opts.get("controls", "q1_agg,q3_shipping,q_window_rank")
+    controls = [c for c in (controls_opt or "").split(",") if c]
+    ratios = sorted(
+        new[c] / prior[c]
+        for c in controls
+        if c in new and c in prior and prior[c] > 0 and new[c] > 0)
+    if ratios:
+        drift = ratios[len(ratios) // 2] if len(ratios) % 2 else \
+            (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+        print(f"== ambient control drift {drift:.2f}x "
+              f"(median of {len(ratios)} controls: "
+              + ", ".join(f"{r:.2f}" for r in ratios) + ") ==")
+    else:
+        drift = 1.0
+        if controls:
+            print("== no usable control queries in both boards — "
+                  "gating un-normalized ==")
+
     flagged, missing, excused = [], [], []
     for name, sec in sorted(new.items()):
         if name not in prior:
             missing.append(name)
             continue
-        p = prior[name]
+        p = prior[name] * drift
         if p > 0 and sec > factor * p and sec - p > abs_floor:
             fl = floors.get(name)
-            if fl is not None and sec <= floor_margin * fl:
+            if fl is not None and sec <= floor_margin * fl * drift:
                 excused.append((name, p, sec, fl))
                 continue
             flagged.append((name, p, sec, sec / p))
     for name in missing:
         print(f"NEW   {name}: no prior — record it in the prior board")
     for name, p, sec, fl in excused:
-        print(f"NOISE {name}: {p:.2f}s -> {sec:.2f}s but within "
-              f"{floor_margin}x isolated floor {fl:.2f}s")
+        print(f"NOISE {name}: {p:.2f}s (drift-adj prior) -> {sec:.2f}s but "
+              f"within {floor_margin}x isolated floor {fl:.2f}s x drift")
     for name, p, sec, r in flagged:
-        print(f"FLAG  {name}: {p:.2f}s -> {sec:.2f}s ({r:.1f}x > {factor}x)")
+        print(f"FLAG  {name}: {p:.2f}s (drift-adj prior) -> {sec:.2f}s "
+              f"({r:.1f}x > {factor}x)")
     kept = [n for n in new if n in prior]
     print(f"== {len(kept)} compared, {len(flagged)} flagged, "
           f"{len(excused)} excused by floors, {len(missing)} without prior ==")
