@@ -57,6 +57,12 @@ object GraftSession {
     val spark = builder(s"local[$cpus]", cpus)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
+      // Probe-scale heaps (64 GB) see full-GC pauses past the 10 s
+      // heartbeat default; in local mode the "lost" executor is the
+      // driver's own JVM, so the timeout is pure log noise that can
+      // escalate to task re-runs mid-probe. Widen both.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     GraftExtensions.register(spark)
     spark.sparkContext.setLogLevel("WARN")

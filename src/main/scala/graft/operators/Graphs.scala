@@ -96,4 +96,30 @@ object Graphs {
       .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       .select("u", "v")
   }
+
+  /** Synchronous min-label propagation over an undirected edge frame
+    * (u, v), `rounds` rounds: every node starts labeled with itself and
+    * each round takes the minimum of its own label and its neighbors'.
+    * After r rounds a node carries the smallest node id within graph
+    * distance r — the bounded-round community assignment (full
+    * connected components is this run to a fixed point; see
+    * DedupResolve.connectedComponents for the contraction version that
+    * converges in O(log² n)). Bounded unrolling keeps the oracle
+    * replayable and the shuffle count fixed: each round is one shuffle
+    * join + one aggregation on the label frame, never on the corpus.
+    */
+  def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
+    val sym = edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    val nodes = sym.select(col("u").as("node")).distinct()
+    var lab = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val nb = sym.join(lab.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u").as("node")).agg(min(col("label")).as("nl"))
+      lab = lab.join(nb, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+    }
+    lab
+  }
 }

@@ -634,6 +634,59 @@ object AnalyticsQueries {
       """)),
 
     // ------------------------------------------------------------------
+    // 3-round min-label propagation on the weighted co-supply graph (the
+    // q_kcore edge cut): every supplier starts labeled with itself and
+    // each synchronous round adopts the minimum label in its closed
+    // neighborhood — after r rounds a node carries the smallest supplier
+    // id within distance r, the bounded-round community assignment.
+    // Scale shape: the per-round cost is one shuffle join of the edge
+    // frame against the (node, label) frame plus a min-agg — label
+    // frames only, the corpus is never re-shuffled — and bounded
+    // unrolling (vs a convergence loop) fixes the stage count and keeps
+    // the oracle a finite SQL replay, like q_kcore/q_pagerank.
+    Q("q_label_prop",
+      (s, dir) => {
+        import graft.operators.Graphs
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+          .distinct()
+        val edges = li.as("a").join(li.as("b"), Seq("ok"))
+          .filter(col("a.sk") < col("b.sk"))
+          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
+          .agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 28).select("u", "v")
+        Graphs.labelPropagate(edges, 3)
+          .select(col("node").as("suppkey"), col("label").as("community"))
+          .orderBy(col("suppkey"))
+      },
+      Some("""
+        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+                    FROM lineitem),
+        e0 AS (SELECT a.sk AS u, b.sk AS v
+               FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
+               GROUP BY 1, 2 HAVING COUNT(*) >= 28),
+        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        n AS (SELECT DISTINCT u AS node FROM sym),
+        l0 AS (SELECT node, node AS label FROM n),
+        r1 AS (SELECT s.u AS node, MIN(l.label) AS nl
+               FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1),
+        l1 AS (SELECT l0.node,
+                      least(l0.label, coalesce(r1.nl, l0.label)) AS label
+               FROM l0 LEFT JOIN r1 ON r1.node = l0.node),
+        r2 AS (SELECT s.u AS node, MIN(l.label) AS nl
+               FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1),
+        l2 AS (SELECT l1.node,
+                      least(l1.label, coalesce(r2.nl, l1.label)) AS label
+               FROM l1 LEFT JOIN r2 ON r2.node = l1.node),
+        r3 AS (SELECT s.u AS node, MIN(l.label) AS nl
+               FROM sym s JOIN l2 l ON l.node = s.v GROUP BY 1),
+        l3 AS (SELECT l2.node,
+                      least(l2.label, coalesce(r3.nl, l2.label)) AS label
+               FROM l2 LEFT JOIN r3 ON r3.node = l2.node)
+        SELECT node AS suppkey, label AS community FROM l3 ORDER BY suppkey
+      """)),
+
+    // ------------------------------------------------------------------
     // Key-skew report — the diagnostic an engineer runs BEFORE picking a
     // partitioning/salting strategy for a join or aggregation key: the
     // top-20 heaviest keys with their absolute and cumulative share of

@@ -1591,6 +1591,150 @@ object DataPipelineQueries {
         FROM (SELECT doc_id, unnest(grams) AS passage FROM g)
         GROUP BY 1 HAVING COUNT(*) >= 2
         ORDER BY df DESC, passage LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // Math/code-density router — the pretraining-mix stage that routes
+    // documents to a math/code-specialist pipeline vs the prose path
+    // (OpenWebMath/StackExchange-style selection): symbol-class counts
+    // (digits, operators, brackets) and LaTeX-ish command hits in ONE
+    // narrow codegen'd projection, densities integer-exact in ppm so
+    // the routing decision replays bit-for-bit. The corpus text is
+    // prose-only, so docs are deterministically augmented from doc_id
+    // (the x_link_graph synthesis pattern) to exercise both routes.
+    Q("x_math_density",
+      (s, dir) => {
+        val suffix = when(col("doc_id") % 7 === 0,
+            lit(" E = mc^2 and \\frac{a}{b} + \\alpha * (x + y) / z^2 = 0.5"))
+          .when(col("doc_id") % 7 === 3,
+            lit(" for (i = 0; i < 10; i++) { s += arr[i] * 2; }"))
+          .otherwise(lit(""))
+        val body = concat(col("text"), suffix)
+        def classCount(pat: String) =
+          (length(body) - length(regexp_replace(body, pat, ""))).cast("long")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            length(body).cast("long").as("n_chars"),
+            classCount("[0-9]").as("digits"),
+            classCount("[=+*/^<>]").as("mathsym"),
+            classCount("[(){}\\[\\]]").as("brackets"),
+            regexp_count(body, lit("\\\\[a-zA-Z]+")).cast("long")
+              .as("latex_cmds"))
+          .withColumn("density_e6",
+            expr("(digits + mathsym + brackets) * 1000000 DIV n_chars"))
+          .withColumn("route",
+            when(col("density_e6") >= 15000 || col("latex_cmds") >= 2,
+              lit("math")).otherwise(lit("prose")))
+          .orderBy(col("doc_id"))
+      },
+      Some(raw"""
+        WITH b AS (
+          SELECT doc_id,
+                 text || CASE doc_id % 7
+                   WHEN 0 THEN ' E = mc^2 and \frac{a}{b} + \alpha * (x + y) / z^2 = 0.5'
+                   WHEN 3 THEN ' for (i = 0; i < 10; i++) { s += arr[i] * 2; }'
+                   ELSE '' END AS body
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 CAST(length(body) AS BIGINT) AS n_chars,
+                 CAST(length(body) - length(regexp_replace(body, '[0-9]', '', 'g')) AS BIGINT) AS digits,
+                 CAST(length(body) - length(regexp_replace(body, '[=+*/^<>]', '', 'g')) AS BIGINT) AS mathsym,
+                 CAST(length(body) - length(regexp_replace(body, '[(){}\[\]]', '', 'g')) AS BIGINT) AS brackets,
+                 CAST(len(regexp_extract_all(body, '\\[a-zA-Z]+')) AS BIGINT) AS latex_cmds
+          FROM b)
+        SELECT doc_id, n_chars, digits, mathsym, brackets, latex_cmds,
+               CAST((digits + mathsym + brackets) * 1000000 // n_chars AS BIGINT) AS density_e6,
+               CASE WHEN (digits + mathsym + brackets) * 1000000 // n_chars >= 15000
+                         OR latex_cmds >= 2
+                    THEN 'math' ELSE 'prose' END AS route
+        FROM m ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Weighted-blocklist safety filter — the wordlist pass every corpus
+    // release runs before training: per-term hit counts on NORMALIZED
+    // tokens (the duckToks twin — substring hits like 'slowly' must NOT
+    // fire a 'slow' rule), a severity score as the weighted sum, and a
+    // keep/flag/drop verdict. One narrow projection, no shuffle: the
+    // hit counters are codegen'd array-filter sizes over the same token
+    // array, so adding rules widens the projection, not the plan.
+    Q("x_blocklist_filter",
+      (s, dir) => {
+        import graft.operators.TextStats.stopwordHits
+        val toks = split(graft.functions.normText(col("text")), " ")
+        def hits(w: String) = stopwordHits(toks, Seq(w)).cast("long")
+        Tables.documents(s, dir)
+          .select(col("doc_id"),
+            hits("slow").as("n_slow"), hits("merge").as("n_merge"),
+            hits("vector").as("n_vector"), hits("big").as("n_big"))
+          .withColumn("score",
+            col("n_slow") * 3 + col("n_merge") * 2 + col("n_vector") * 5 +
+              col("n_big"))
+          .withColumn("verdict",
+            when(col("score") >= 40, lit("drop"))
+              .when(col("score") >= 30, lit("flag")).otherwise(lit("keep")))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS toks FROM documents),
+        h AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(toks, x -> x = 'slow')) AS BIGINT) AS n_slow,
+                 CAST(len(list_filter(toks, x -> x = 'merge')) AS BIGINT) AS n_merge,
+                 CAST(len(list_filter(toks, x -> x = 'vector')) AS BIGINT) AS n_vector,
+                 CAST(len(list_filter(toks, x -> x = 'big')) AS BIGINT) AS n_big
+          FROM t)
+        SELECT doc_id, n_slow, n_merge, n_vector, n_big,
+               n_slow * 3 + n_merge * 2 + n_vector * 5 + n_big AS score,
+               CASE WHEN n_slow * 3 + n_merge * 2 + n_vector * 5 + n_big >= 40
+                    THEN 'drop'
+                    WHEN n_slow * 3 + n_merge * 2 + n_vector * 5 + n_big >= 30
+                    THEN 'flag' ELSE 'keep' END AS verdict
+        FROM h ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Hashing-trick featurizer (signed feature hashing): per-document
+    // sparse 64-bucket bag-of-tokens vectors — bucket from the token's
+    // sha256 prefix, ±1 sign from the next hex digit — the classic
+    // collision-unbiased input representation for the fastText-style
+    // quality classifier (x_quality_classifier) and any linear probe.
+    // Scale shape: explode → (doc, bucket) partial-agg — ONE shuffle
+    // whose width is min(tokens, 64)/doc, never a vocabulary build; the
+    // sha256 hash family keeps it engine-portable (the x_dsir_features
+    // anchor pattern). Deterministic doc_id sample bounds the output.
+    Q("x_hashed_bow",
+      (s, dir) => {
+        val toks = split(graft.functions.normText(col("text")), " ")
+        Tables.documents(s, dir).filter(col("doc_id") % 11 === 0)
+          .select(col("doc_id"), explode(toks).as("tok"))
+          .filter(col("tok") =!= "")
+          .withColumn("h", sha2(col("tok"), 256))
+          .select(col("doc_id"),
+            (conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 64)
+              .as("bucket"),
+            when(conv(substring(col("h"), 9, 1), 16, 10).cast("int") >= 8,
+              lit(-1L)).otherwise(lit(1L)).as("sgn"))
+          .groupBy(col("doc_id"), col("bucket"))
+          .agg(sum(col("sgn")).as("w"))
+          .filter(col("w") =!= 0)
+          .orderBy(col("doc_id"), col("bucket"))
+      },
+      Some(s"""
+        WITH t AS (SELECT doc_id, $Toks AS toks FROM documents
+                   WHERE doc_id % 11 = 0),
+        h AS (SELECT doc_id, sha256(tok) AS hh
+              FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+              WHERE tok <> ''),
+        b AS (SELECT doc_id,
+                     ('0x' || substr(hh, 1, 8))::BIGINT % 64 AS bucket,
+                     CASE WHEN ('0x' || substr(hh, 9, 1))::BIGINT >= 8
+                          THEN -1 ELSE 1 END AS sgn
+              FROM h)
+        SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
+        FROM b GROUP BY 1, 2 HAVING SUM(sgn) <> 0
+        ORDER BY doc_id, bucket
       """))
   )
 }

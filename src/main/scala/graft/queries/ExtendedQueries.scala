@@ -311,6 +311,50 @@ object ExtendedQueries {
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
                COUNT(*) AS n
         FROM events GROUP BY 1 ORDER BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // Runtime-bloom-pruned selective semi join: the ~4% of orders above
+    // the price cut are folded into a Bloom filter (constant-size
+    // per-partition sketches, treeAggregated) that is broadcast and
+    // probed as a codegen'd predicate INSIDE the lineitem scan stage —
+    // ~96% of the fact rows die map-side, before the semi join ever
+    // sees them; the broadcast semi join then kills the Bloom's false
+    // positives, so the result is exact. This is the runtime-filter
+    // shape that matters at 100 TB: the fact-side scan emits only
+    // might-match rows and NOTHING here shuffles the fact table (the
+    // dim side is broadcast both as bloom bits and as the join hash
+    // relation). Oracle = the plain semi join — same answer, pruned
+    // plan, exactly like q_salted_agg's contract.
+    Q("q_bloom_join",
+      (s, dir) => {
+        import org.apache.spark.sql.GraftBridge
+        val sel = Tables.orders(s, dir)
+          .filter(col("o_totalprice") > 480000.0)
+          // String keys: BloomMightContain probes UTF8String bytes, so
+          // build and probe must agree on the encoding.
+          .select(col("o_orderkey").cast("string").as("l_orderkey"))
+        val bloom = sel.stat.bloomFilter("l_orderkey",
+          math.max(sel.count(), 1L), 0.01)
+        val bc = s.sparkContext.broadcast(bloom)
+        Tables.lineitem(s, dir)
+          .withColumn("l_orderkey", col("l_orderkey").cast("string"))
+          .filter(GraftBridge.column(graft.functions.BloomMightContain(
+            GraftBridge.expression(col("l_orderkey")), bc)))
+          .join(broadcast(sel), Seq("l_orderkey"), "left_semi")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n_items"),
+            Q.dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0)
+        GROUP BY 1 ORDER BY l_returnflag
       """))
   )
 }

@@ -72,4 +72,30 @@ class BloomGateSpec extends AnyFunSuite {
       assert(probed.count() > 0)
     } finally spark.conf.set(fallbackConf, prev)
   }
+
+  test("q_bloom_join equals the plain semi join with the probe on the scan") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, sfDir)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // Unpruned truth: plain broadcast semi join, no bloom stage.
+    val sel = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 480000.0)
+      .select(col("o_orderkey").as("l_orderkey"))
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(sel, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.sameElements(plain))
+    assert(rows.nonEmpty)
+    // Plan: the bloom probe is a data filter feeding a broadcast semi
+    // join — the fact side is never shuffled (the only exchanges are
+    // broadcasts and the final agg's key exchange).
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("bloommightcontain"), s"probe missing:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"semi join must broadcast the dim side:\n$plan")
+  }
 }

@@ -133,4 +133,72 @@ class DataPipelineSpec extends AnyFunSuite {
     assert(a.length == 20)
     assert(a.map(_._2).toSeq == a.map(_._2).sortBy(-_).toSeq) // df descending
   }
+
+  test("x_blocklist_filter counts whole tokens only and scores consistently") {
+    import graft.operators.TextStats.stopwordHits
+    // 'slowly' must NOT fire the 'slow' rule — token equality, not
+    // substring match (the classic Scunthorpe failure of naive grep
+    // blocklists). Checked directly on the hit counter the query uses.
+    val df = Seq((1L, "slowly slow slowing slow"), (2L, "vector vectors"))
+      .toDF("doc_id", "text")
+    val toks = split(graft.functions.normText(col("text")), " ")
+    val hits = df.select(col("doc_id"),
+        stopwordHits(toks, Seq("slow")).as("slow"),
+        stopwordHits(toks, Seq("vector")).as("vec"))
+      .as[(Long, Int, Int)].collect()
+      .map { case (id, a, b) => id -> (a, b) }.toMap
+    assert(hits(1L) == (2, 0))
+    assert(hits(2L) == (0, 1))
+    // Corpus run: verdict thresholds are a function of the score column.
+    val rows = q("x_blocklist_filter")
+      .select("score", "verdict").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (sc, v) =>
+      val expect = if (sc >= 40) "drop" else if (sc >= 30) "flag" else "keep"
+      assert(v == expect, s"score=$sc verdict=$v")
+    }
+    // All three routes must exist on the synthetic corpus, or the
+    // thresholds are vacuous at this scale.
+    assert(rows.map(_._2).distinct.length == 3, rows.map(_._2).distinct.toSeq)
+  }
+
+  test("x_math_density routes the augmented docs and only those") {
+    val rows = q("x_math_density")
+      .select("doc_id", "latex_cmds", "density_e6", "route")
+      .as[(Long, Long, Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, latex, dens, route) =>
+      val expect = if (dens >= 15000 || latex >= 2) "math" else "prose"
+      assert(route == expect, s"doc $id: dens=$dens latex=$latex route=$route")
+      // LaTeX commands only come from the %7==0 augmentation.
+      if (latex > 0) assert(id % 7 == 0)
+      // Un-augmented docs are pure prose: zero symbol density.
+      if (id % 7 != 0 && id % 7 != 3) assert(dens == 0 && route == "prose")
+    }
+    assert(rows.exists(_._4 == "math") && rows.exists(_._4 == "prose"))
+  }
+
+  test("x_hashed_bow is a signed multiset homomorphism over tokens") {
+    val rows = q("x_hashed_bow")
+      .select("doc_id", "bucket", "w").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, b, w) =>
+      assert(id % 11 == 0)
+      assert(b >= 0 && b < 64)
+      assert(w != 0) // zero-weight buckets are filtered
+    }
+    // |per-doc signed sum| can never exceed the doc's token count, and
+    // the featurizer is deterministic across runs (hash, not random).
+    val again = q("x_hashed_bow")
+      .select("doc_id", "bucket", "w").as[(Long, Long, Long)].collect()
+    assert(rows.toSeq == again.toSeq)
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(r => math.abs(r._3)).sum)
+    val nToks = graft.sources.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 11 === 0)
+      .select(col("doc_id"), graft.functions.normTokenCount(col("text")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    perDoc.foreach { case (id, s) =>
+      assert(s <= nToks(id), s"doc $id: sum|w|=$s > tokens=${nToks(id)}")
+    }
+  }
 }

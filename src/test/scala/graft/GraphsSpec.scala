@@ -47,4 +47,28 @@ class GraphsSpec extends AnyFunSuite {
     val e = Graphs.cooccurrenceEdges(m, "g", "m").as[(Long, Long)].collect().toSet
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("labelPropagate carries the min id exactly graph-distance rounds") {
+    // Path 1-2-3-4-5 plus an isolated edge (10, 11).
+    val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    def labels(r: Int): Map[Long, Long] =
+      Graphs.labelPropagate(g, r).as[(Long, Long)].collect().toMap
+    // After r rounds a node carries the min id within graph distance r.
+    assert(labels(1) == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L,
+      10L -> 10L, 11L -> 10L))
+    assert(labels(2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 3L,
+      10L -> 10L, 11L -> 10L))
+    assert(labels(3) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L,
+      10L -> 10L, 11L -> 10L))
+    // The 5-path's diameter is 4: fixed point reached at r = 4.
+    assert(labels(4) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("labelPropagate components never merge across disconnected parts") {
+    val g = edges((7L, 3L), (3L, 9L), (20L, 25L), (25L, 21L))
+    val l = Graphs.labelPropagate(g, 4).as[(Long, Long)].collect().toMap
+    assert(l == Map(3L -> 3L, 7L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 25L -> 20L))
+  }
 }
