@@ -368,7 +368,7 @@ object CurationQueries {
     Q("t_csv_roundtrip",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_roundtrip-${ProcessHandle.current().pid()}"
         docs.write.mode("overwrite").option("header", "true").csv(tmp)
         s.read.schema(docs.schema).option("header", "true").csv(tmp)
           .groupBy("lang")
@@ -655,7 +655,7 @@ object CurationQueries {
     Q("t_json_roundtrip",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_roundtrip-${ProcessHandle.current().pid()}"
         docs.write.mode("overwrite").json(tmp)
         s.read.schema(docs.schema).json(tmp)
           .groupBy("lang")
@@ -680,7 +680,7 @@ object CurationQueries {
     Q("t_orc_roundtrip",
       (s, dir) => {
         val docs = Tables.documents(s, dir)
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_roundtrip-${ProcessHandle.current().pid()}"
         docs.write.mode("overwrite").orc(tmp)
         s.read.orc(tmp)
           .groupBy("lang")
@@ -707,7 +707,7 @@ object CurationQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
           .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_zorder-${ProcessHandle.current().pid()}"
         graft.operators.ZOrder.writeClustered(
           li, Seq("l_partkey", "l_suppkey"), tmp, numFiles = 16)
         s.read.parquet(tmp)

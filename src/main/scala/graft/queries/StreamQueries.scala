@@ -27,7 +27,8 @@ object StreamQueries {
     */
   private lazy val upsertScratch: java.nio.file.Path = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-upsert-twin")
+      System.getProperty("java.io.tmpdir"),
+      "graft-upsert-twin-" + ProcessHandle.current().pid())
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
     root
   }
@@ -36,7 +37,8 @@ object StreamQueries {
     * discipline as [[upsertScratch]]). */
   private lazy val substrGateScratch: java.nio.file.Path = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-substr-gate")
+      System.getProperty("java.io.tmpdir"),
+      "graft-substr-gate-" + ProcessHandle.current().pid())
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
     root
   }
@@ -59,7 +61,8 @@ object StreamQueries {
     val key = Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(sfDir))
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft-drops-$slot-$key")
+      System.getProperty("java.io.tmpdir"),
+      s"graft-drops-${ProcessHandle.current().pid()}-$slot-$key")
     val ready = root.resolve("_ready")
     if (!java.nio.file.Files.exists(ready)) {
       deleteRec(root)

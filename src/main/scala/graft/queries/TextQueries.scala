@@ -34,7 +34,8 @@ object TextQueries {
     */
   private lazy val ivfPqScratch: java.nio.file.Path = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-ivfpq-twin")
+      System.getProperty("java.io.tmpdir"),
+      "graft-ivfpq-twin-" + ProcessHandle.current().pid())
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
     root
   }
@@ -43,7 +44,8 @@ object TextQueries {
     * discipline as [[ivfPqScratch]]). */
   private lazy val substrScratch: java.nio.file.Path = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-substr-index")
+      System.getProperty("java.io.tmpdir"),
+      "graft-substr-index-" + ProcessHandle.current().pid())
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
     root
   }

@@ -33,7 +33,8 @@ object TransformQueries {
     */
   private lazy val bucketScratch: java.nio.file.Path = {
     val root = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft-bucket-twin")
+      System.getProperty("java.io.tmpdir"),
+      "graft-bucket-twin-" + ProcessHandle.current().pid())
     Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
     root
   }
@@ -388,7 +389,8 @@ object TransformQueries {
         import graft.operators.IncrementalAgg
         import graft.operators.IncrementalAgg.AggCol
         val stateDir =
-          s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg/state"
+          s"${System.getProperty("java.io.tmpdir")}/graft_incr_agg-" +
+            s"${ProcessHandle.current().pid()}/state"
         // Fresh fold per invocation — leftover state would double-count.
         val p = new org.apache.hadoop.fs.Path(stateDir)
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

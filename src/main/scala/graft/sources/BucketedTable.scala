@@ -148,6 +148,12 @@ object BucketedTable {
           fs.delete(staging, true)
         }
     }
+    // Spark's own writers invalidate cached plans/listings for their
+    // output path; our FS-level renames bypass that, so a caller-held
+    // cached DataFrame over targetDir would keep serving the pre-swap
+    // file list (FAILED_READ_FILE after the _old cleanup). Same hygiene
+    // every table format does post-commit.
+    spark.catalog.refreshByPath(targetDir)
   }
 
   /** Finish any interrupted per-bucket swap: a `_old_kb=i` whose live
