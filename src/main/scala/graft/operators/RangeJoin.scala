@@ -32,4 +32,64 @@ object RangeJoin {
       .filter(col(pointTs) >= col(startCol) && col(pointTs) < col(endCol))
       .drop("__bucket")
   }
+
+  /** COUNT of points per interval (`start <= ts < end`) WITHOUT
+    * materializing the point×interval pairs — the order-statistics plan
+    * for the aggregate contract. [[pointInInterval]]'s bucketed pair
+    * join is the right shape when the pairs themselves are the output,
+    * but its intermediate grows with pointDensity × intervalDensity per
+    * bucket: the r11 factor-1000 probe (ScaleGen replicates events at
+    * the SAME timestamps, so per-bucket density rises with the factor —
+    * the adversarial dense-overlap regime) blew the pair count up ~10⁶×
+    * while the true COUNT output only grew 10³×.
+    *
+    * Here count(interval) = C(<end) − C(<start), where C(<t) = number of
+    * points with ts strictly below t. Each interval becomes two SIGNED
+    * endpoint probes (−1 at start, +1 at end) unioned with the points;
+    * one range partition by (ts, isPoint) orders the stream (probes sort
+    * BEFORE points at equal ts, so C(<t) excludes points AT t — which
+    * puts ts == start in and ts == end out, exactly the half-open
+    * window); a per-partition running point count plus
+    * [[Pack.exclusivePrefix]] over the ≤ numPartitions partition totals
+    * turns that order into global C(<t) with no single-task scan.
+    * Intervals that cover no point are dropped (inner-join contract,
+    * matching pointInInterval + groupBy).
+    *
+    * Cost: three linear shuffles (range partition, window hash on the
+    * partition id, final per-interval agg) — independent of how densely
+    * intervals overlap points.
+    */
+  def countInInterval(
+      points: DataFrame, pointTs: String,
+      intervals: DataFrame, startCol: String, endCol: String,
+      idCol: String): DataFrame = {
+    val probes = intervals.select(col(idCol), col(startCol).as("__ts"),
+        lit(-1L).as("__sgn"), lit(0L).as("__c"))
+      .unionByName(intervals.select(col(idCol), col(endCol).as("__ts"),
+        lit(1L).as("__sgn"), lit(0L).as("__c")))
+    val pts = points.select(lit(null).cast(
+        intervals.schema(idCol).dataType).as(idCol),
+      col(pointTs).as("__ts"), lit(0L).as("__sgn"), lit(1L).as("__c"))
+    // Range partition on the sort key: partition boundaries respect
+    // (ts, isPoint) order, so partition ids are ordered slabs of the
+    // global sort — the property the prefix sum below needs. The id is
+    // stamped in the same stage that materializes the exchange output.
+    val slabbed = pts.unionByName(probes)
+      .repartitionByRange(col("__ts"), col("__c"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val mat = Materialize(slabbed)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__ts"), col("__c"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = mat.withColumn("__run", coalesce(sum("__c").over(w), lit(0L)))
+    // ≤ shuffle.partitions rows: the recursion floor handles it directly.
+    val slabOff = Pack.exclusivePrefix(
+      mat.groupBy("__pid").agg(sum("__c").as("__n")), "__pid", "__n",
+      fanout = 1024)
+    run.filter(col("__sgn") =!= 0)
+      .join(slabOff.withColumnRenamed("off", "__off"), Seq("__pid"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__sgn") * (col("__off") + col("__run"))).as("n_points"))
+      .filter(col("n_points") > 0)
+  }
 }

@@ -283,9 +283,16 @@ object ExtendedQueries {
             (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
         val clicks = e.filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("ts"))
-        RangeJoin.pointInInterval(clicks, "ts", intervals, "w_start", "w_end")
-          .groupBy(col("signup_id"))
-          .agg(count(lit(1)).as("n_clicks"))
+        // Aggregate contract → order-statistics plan (r11): the bucketed
+        // pair join (RangeJoin.pointInInterval, still the operator when
+        // pairs ARE the output) grows with click×signup density per time
+        // bucket — the sf100 probe's compressed-timestamp regime blew its
+        // intermediate up ~10⁶× while the count output grew 10³×.
+        // countInInterval is C(<end)−C(<start) over signed endpoint
+        // probes: three linear shuffles at ANY overlap density, same rows.
+        RangeJoin.countInInterval(clicks, "ts", intervals,
+            "w_start", "w_end", "signup_id")
+          .withColumnRenamed("n_points", "n_clicks")
           .orderBy(col("signup_id"))
       },
       Some("""

@@ -47,6 +47,40 @@ class ScaleOpsSpec extends AnyFunSuite {
       col("ts") >= col("w_start") && col("ts") < col("w_end"))
       .select("pid", "iid").as[(Long, Long)].collect().toSet
     assert(bucketed == brute && brute.nonEmpty)
+
+    // The order-statistics COUNT plan agrees with the pair plan's
+    // groupBy on every interval — including the half-open boundary
+    // rows: points land exactly ON w_start (counted) and, for
+    // intervals whose end aligns to the minute grid, ON w_end (not).
+    val viaPairs = RangeJoin.pointInInterval(points, "ts", intervals,
+        "w_start", "w_end", bucketSeconds = 300L)
+      .groupBy(col("iid")).agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val viaCount = RangeJoin.countInInterval(points, "ts", intervals,
+        "w_start", "w_end", "iid")
+      .as[(Long, Long)].collect().toMap
+    assert(viaCount == viaPairs && viaPairs.nonEmpty)
+  }
+
+  test("countInInterval drops empty intervals and survives dense overlap") {
+    // 1000 points at ONE timestamp and 500 identical intervals over it:
+    // the pair plan would build 500k rows; the count plan's output is
+    // 500 rows of n=1000. Plus one interval strictly before all points
+    // (zero matches -> absent, the inner-join contract).
+    val t0 = 1700000000000L
+    val points = Seq.tabulate(1000)(i =>
+      (i.toLong, new java.sql.Timestamp(t0))).toDF("pid", "ts")
+    val intervals = (Seq.tabulate(500)(i =>
+        (i.toLong, new java.sql.Timestamp(t0 - 60000L),
+          new java.sql.Timestamp(t0 + 60000L))) :+
+      (999L, new java.sql.Timestamp(t0 - 7200000L),
+        new java.sql.Timestamp(t0 - 3600000L)))
+      .toDF("iid", "w_start", "w_end")
+    val out = RangeJoin.countInInterval(points, "ts", intervals,
+      "w_start", "w_end", "iid").as[(Long, Long)].collect().toMap
+    assert(out.size == 500)
+    assert(out.values.forall(_ == 1000L))
+    assert(!out.contains(999L))
   }
 
   test("bucketed join plans without any shuffle exchange") {
