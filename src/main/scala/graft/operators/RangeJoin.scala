@@ -92,4 +92,45 @@ object RangeJoin {
       .agg(sum(col("__sgn") * (col("__off") + col("__run"))).as("n_points"))
       .filter(col("n_points") > 0)
   }
+
+  /** Peak number of concurrently open intervals per group — the classic
+    * ±1 endpoint sweep (max running sum over interval starts/ends),
+    * distributed the same way as [[countInInterval]]: one range
+    * partition on (group, ts, delta) orders each group's endpoint
+    * stream across ordered slabs; the running sum inside a (group,
+    * slab) window plus a slab-offset prefix (a bounded ≤ #partitions
+    * frame, windowed directly) gives the global running concurrency,
+    * and max(offset + within-slab max) is the peak. No window ever
+    * spans more than one partition's rows, so a group 1000× denser
+    * than the rest cannot recreate the single-task ordered scan.
+    *
+    * Half-open [start, end): ends sort BEFORE starts at equal ts
+    * (delta −1 < +1), so an interval ending exactly when another
+    * starts never counts as overlap.
+    */
+  def peakConcurrency(
+      intervals: DataFrame, startCol: String, endCol: String,
+      groupCol: String): DataFrame = {
+    val deltas = intervals.select(col(groupCol), col(startCol).as("__ts"),
+        lit(1L).as("__d"))
+      .unionByName(intervals.select(col(groupCol), col(endCol).as("__ts"),
+        lit(-1L).as("__d")))
+    val slabbed = Materialize(deltas
+      .repartitionByRange(col(groupCol), col("__ts"), col("__d"))
+      .withColumn("__pid", spark_partition_id().cast("long")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "__pid").orderBy(col("__ts"), col("__d"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val slabStats = slabbed.withColumn("__run", sum("__d").over(w))
+      .groupBy(col(groupCol), col("__pid"))
+      .agg(sum("__d").as("__tot"), max("__run").as("__mx"))
+    // ≤ numPartitions rows per group: window over the slab-stats frame
+    // is the bounded recursion floor, no exclusivePrefix level needed.
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__pid")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    slabStats.withColumn("__off", coalesce(sum("__tot").over(wOff), lit(0L)))
+      .groupBy(col(groupCol))
+      .agg(max(col("__off") + col("__mx")).as("peak"))
+  }
 }

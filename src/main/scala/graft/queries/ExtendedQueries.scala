@@ -362,6 +362,39 @@ object ExtendedQueries {
         WHERE l_orderkey IN
           (SELECT o_orderkey FROM orders WHERE o_totalprice > 480000.0)
         GROUP BY 1 ORDER BY l_returnflag
+      """)),
+
+    // ------------------------------------------------------------------
+    // Peak concurrency per event type: max number of simultaneously open
+    // 30-minute activity windows — the ±1 endpoint sweep, distributed
+    // (RangeJoin.peakConcurrency). The naive formulation is a global
+    // ordered scan (single-task window); here each group's endpoint
+    // stream spreads over range-ordered slabs, the running sum is a
+    // bounded within-slab window, and slab offsets come from a
+    // ≤ #partitions frame — a 1000×-denser group cannot recreate the
+    // one-task scan. ROWS frames on both engines: a RANGE frame would
+    // hand every tie-peer the run total and inflate the max.
+    Q("q_peak_concurrency",
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(col("event_type"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        RangeJoin.peakConcurrency(iv, "w_start", "w_end", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, ts AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT event_type, ts + INTERVAL 30 MINUTE AS t, -1 AS d
+          FROM events),
+        r AS (SELECT event_type,
+                     SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+              FROM d)
+        SELECT event_type, CAST(MAX(running) AS BIGINT) AS peak
+        FROM r GROUP BY 1 ORDER BY event_type
       """))
   )
 }
