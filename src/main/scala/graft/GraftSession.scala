@@ -52,9 +52,20 @@ object GraftSession {
     * entry point so the harness can never drift from `getOrCreate`
     * (e.g. an `s.sql` query using strip_accents/minhash_sig failing
     * only under the harness).
+    *
+    * `SPARK_GRAFT_SHUFFLE` overrides the shuffle-partition count
+    * (default = cpus). A cluster sizes shuffle partitions by input
+    * volume (~2-3x total cores, or bytes/128MB); the fixed-32 default
+    * at factor-1000 probe scale forces ~19M rows/partition into a
+    * single hash-agg spill that a real deployment never sees (the r11
+    * q18_large_orders 2.55x residual was exactly this). The knob lets
+    * scale probes run in the partition regime the data size calls for,
+    * so plan cost and harness regime can be separated by measurement.
     */
   def harness(cpus: Int): SparkSession = {
-    val spark = builder(s"local[$cpus]", cpus)
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(cpus)
+    val spark = builder(s"local[$cpus]", shuffle)
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       // Probe-scale heaps (64 GB) see full-GC pauses past the 10 s

@@ -204,7 +204,12 @@ case class PackedJaccard(a: Expression, b: Expression)
       else if (c < 0) i += 2
       else j += 2
     }
-    shared.toDouble / (xa.length / 2 + xb.length / 2 - shared)
+    val denom = xa.length / 2 + xb.length / 2 - shared
+    // Two empty packed sets would give 0/0 = NaN, which Spark orders
+    // ABOVE all doubles — `jaccard >= threshold` would pass and emit a
+    // bogus pair. Candidates always share an anchor shingle today, but
+    // the expression must not depend on that caller invariant.
+    if (denom == 0) 0.0 else shared.toDouble / denom
   }
 
   override protected def withNewChildrenInternal(

@@ -63,11 +63,18 @@ object RangeJoin {
       points: DataFrame, pointTs: String,
       intervals: DataFrame, startCol: String, endCol: String,
       idCol: String): DataFrame = {
-    val probes = intervals.select(col(idCol), col(startCol).as("__ts"),
+    // NULL endpoints/timestamps must match pointInInterval's predicate
+    // semantics (a NULL never satisfies the range filter): a NULL __ts
+    // would otherwise sort FIRST under repartitionByRange and inflate
+    // the running count C(<t) for every probe, and a NULL interval
+    // endpoint would place its probe undefined instead of dropping the
+    // interval.
+    val iv = intervals.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val probes = iv.select(col(idCol), col(startCol).as("__ts"),
         lit(-1L).as("__sgn"), lit(0L).as("__c"))
-      .unionByName(intervals.select(col(idCol), col(endCol).as("__ts"),
+      .unionByName(iv.select(col(idCol), col(endCol).as("__ts"),
         lit(1L).as("__sgn"), lit(0L).as("__c")))
-    val pts = points.select(lit(null).cast(
+    val pts = points.filter(col(pointTs).isNotNull).select(lit(null).cast(
         intervals.schema(idCol).dataType).as(idCol),
       col(pointTs).as("__ts"), lit(0L).as("__sgn"), lit(1L).as("__c"))
     // Range partition on the sort key: partition boundaries respect

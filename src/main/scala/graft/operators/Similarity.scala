@@ -374,7 +374,11 @@ object Similarity {
       .select(col("query_id"),
         coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) * (1000000L / k)).as("recall_e6"))
+        // Multiply BEFORE the integer division: `1000000 / k` at
+        // plan-build time loses the remainder for k ∤ 1e6 (k=3 would
+        // report perfect recall as 999999).
+        expr(s"coalesce(n_hits, CAST(0 AS BIGINT)) * 1000000 DIV $k")
+          .as("recall_e6"))
       .orderBy(col("query_id"))
   }
 

@@ -444,6 +444,23 @@ object TextDedup {
     val sets = cached(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
+    if (!collapseWorthwhile(sets)) {
+      // SMALL-CORPUS FAST PATH (r12): skip the exact-dup collapse and
+      // the member-expansion joins entirely — below [[CollapseMinDocs]]
+      // with a measured-small dup-pair mass the collapse's window
+      // shuffle + membership checkpoint + two expansion joins are pure
+      // constant (they only pay in flood regimes the probe just ruled
+      // out). Output is identical: identical non-empty sets share their
+      // first prefix shingle, so the direct pipeline finds those pairs
+      // with PackedJaccard == 1.0 exactly; identical EMPTY sets (the
+      // one family the prefix index cannot see — no shingle to anchor
+      // on) are paired explicitly, matching the collapsed path's
+      // intra-group contract.
+      return emptySetPairs(sets)
+        .withColumn("jaccard", lit(1.0))
+        .filter(lit(1.0) >= threshold)
+        .unionByName(verifiedJaccardPairs(sets, threshold))
+    }
     val (memb, repSets) = setCollapse(sets)
     val repPairs = verifiedJaccardPairs(repSets, threshold)
     intraGroupPairs(memb)
@@ -641,6 +658,15 @@ object TextDedup {
     val sets = cached(
       df.select(col(idCol).as("id"), wordShingles(col(textCol), n).as("sh"))
         .withColumn("sz", size(col("sh"))))
+    if (!collapseWorthwhile(sets)) {
+      // Same small-corpus fast path as [[ngramJaccardJoin]]: direct
+      // candidates with w = 1 (the unweighted df IS the full-corpus df
+      // when nothing was collapsed), plus the explicit empty-set family.
+      return emptySetPairs(sets)
+        .filter(lit(1.0) >= threshold)
+        .unionByName(ppjoinCandidatesFromSets(
+          sets.withColumn("w", lit(1L)), threshold))
+    }
     val (memb, repSets) = setCollapse(sets)
     intraGroupPairs(memb)
       .filter(lit(1.0) >= threshold)
@@ -663,6 +689,61 @@ object TextDedup {
     * narrow (ids + two longs); the shingle arrays themselves never
     * leave the scan that fingerprints them.
     */
+  /** Should the exact-dup collapse run for this corpus? Collapse is a
+    * flood defense: it converts a 1000-member identical-set family's
+    * ~500k foregone-conclusion verify pairs into one representative. On
+    * a small corpus with few duplicates it is pure constant — a window
+    * shuffle, a membership checkpoint and two expansion joins that the
+    * r11 board measured as most of d_dedup_ppjoin's small-SF overhead.
+    *
+    * Decision, cheapest-signal-first: above [[CollapseMinDocs]] docs,
+    * collapse unconditionally (scale regime — no probe shuffle added to
+    * the big path). Below it, ONE narrow aggregation (two xxhash64s per
+    * doc, map-side-combined groupBy) measures the intra-family pair
+    * mass Σ c·(c−1)/2; collapse engages iff that mass is a material
+    * fraction of [[DirectVerifyMaxPairs]] — so a small-but-flooded
+    * corpus (90k copies of one doc) still collapses, by measurement
+    * rather than by doc count. `sets` is Materialize'd by every caller,
+    * so the count and the probe read the checkpoint, not the lineage.
+    */
+  private def collapseWorthwhile(sets: DataFrame): Boolean = {
+    if (sets.count() > CollapseMinDocs) return true
+    val dupPairs = sets
+      .select(xxhash64(sort_array(col("sh"))).as("f1"),
+        xxhash64(lit("graft.setfp2"), sort_array(col("sh"))).as("f2"))
+      .groupBy("f1", "f2").agg(count(lit(1)).as("c"))
+      // Σ c·(c−1) (twice the pair count) keeps the sum in LONG — `/`
+      // on columns is fractional division.
+      .agg(coalesce(sum(col("c") * (col("c") - 1)), lit(0L)).as("dp2"))
+      .head().getLong(0) / 2
+    dupPairs > DirectVerifyMaxPairs / 4
+  }
+
+  /** Docs below this count probe for duplicate floods instead of
+    * collapsing unconditionally (~the corpus size where the collapse
+    * machinery's fixed shuffles stop being measurable against the
+    * verify pipeline itself).
+    */
+  private[graft] val CollapseMinDocs = 1L << 19
+
+  /** All unordered pairs of docs whose shingle set carries NO anchor —
+    * empty or null `sh` (a null text under wordShingles; a genuinely
+    * empty array can only come from a caller-prepared frame, since the
+    * whole-text short-doc rule emits at least [""]). These are invisible
+    * to the prefix index (nothing to anchor on) and the one family the
+    * no-collapse fast path must emit explicitly to match the collapsed
+    * path's intra-group contract (setCollapse groups null sets under one
+    * fingerprint the same way). The single constant rep keys an equi
+    * join; output is quadratic in that doc count, which is the
+    * operator's contract for identical docs. Vacuous on any wordShingles
+    * corpus without null texts — a defensive parity guard, not a hot
+    * path.
+    */
+  private def emptySetPairs(sets: DataFrame): DataFrame =
+    intraGroupPairs(
+      sets.filter(col("sz").isNull || col("sz") === 0)
+        .select(col("id"), lit(0L).as("rep")))
+
   private def setCollapse(sets: DataFrame): (DataFrame, DataFrame) = {
     val keyed = sets.select(col("id"),
       xxhash64(sort_array(col("sh"))).as("f1"),

@@ -579,24 +579,41 @@ object AnalyticsQueries {
 
     // ------------------------------------------------------------------
     // 3-round k-core peeling on the WEIGHTED co-supply graph (edges =
-    // supplier pairs sharing ≥ 28 orders — the weight cut is what makes
-    // the graph sparse enough for core structure to exist): each round
-    // drops nodes with degree < k and their edges (one degree agg + two
+    // supplier pairs whose shared-order count reaches the corpus's own
+    // 80th weight percentile — the weight cut is what makes the graph
+    // sparse enough for core structure to exist): each round drops
+    // nodes with degree < k and their edges (one degree agg + two
     // semi-joins — Graphs.peel). Bounded unrolling, not a convergence
     // loop: the standard approximate core a 100 TB pipeline runs when
     // full peeling's O(peel-depth) rounds are too many; the oracle
     // replays all three rounds verbatim.
+    //
+    // SCALE-AWARE CUT (r12): the old fixed w ≥ 28 was calibrated on
+    // sf0.01's dense 100-supplier pool; as the pool grows the shared-
+    // order count per pair falls and the fixed cut empties the graph —
+    // every sf0.1+ board was timing (and "oracle-matching") an EMPTY
+    // answer. The cut is now percentile_disc(0.8) of the weight
+    // distribution, computed from the weight HISTOGRAM (≤ max-weight
+    // rows — never a corpus-sized percentile buffer) with integer-exact
+    // cume arithmetic (cum·5 ≥ n·4 ⟺ cume_dist ≥ 0.8) so both engines
+    // replay the cut bit-for-bit, the t_winsorize discipline.
     Q("q_kcore",
       (s, dir) => {
         import graft.operators.Graphs
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .distinct()
-        val edges = li.as("a").join(li.as("b"), Seq("ok"))
-          .filter(col("a.sk") < col("b.sk"))
-          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 28).select("u", "v")
+        val pw = Graphs.cooccurrenceWeightedEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        val hist = pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum(col("c")).as("n"))
+        // Histogram-sized frames: the global-order window runs over
+        // ≤ distinct-weight rows (hundreds), never the pair frame.
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("w"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val wcut = cum.crossJoin(broadcast(tot))
+          .filter(col("cum") * 5 >= col("n") * 4)
+          .agg(min(col("w")).as("wc"))
+        val edges = pw.crossJoin(broadcast(wcut))
+          .filter(col("w") >= col("wc")).select("u", "v")
         val k = 10
         val core = Graphs.peel(Graphs.peel(Graphs.peel(edges, k), k), k)
         Graphs.degrees(core)
@@ -604,24 +621,29 @@ object AnalyticsQueries {
           .orderBy(col("suppkey"))
       },
       Some("""
-        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                    FROM lineitem),
-        e0 AS (SELECT a.sk AS u, b.sk AS v
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                    l_suppkey AS sk FROM lineitem),
+        pw AS MATERIALIZED (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS w
                FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
-               GROUP BY 1, 2 HAVING COUNT(*) >= 28),
-        d0 AS (SELECT node, COUNT(*) AS deg FROM (
+               GROUP BY 1, 2),
+        hist AS (SELECT w, COUNT(*) AS c FROM pw GROUP BY 1),
+        tot AS (SELECT SUM(c) AS n FROM hist),
+        cum AS (SELECT w, SUM(c) OVER (ORDER BY w) AS cum FROM hist),
+        wcut AS (SELECT MIN(w) AS wc FROM cum, tot WHERE cum * 5 >= n * 4),
+        e0 AS MATERIALIZED (SELECT u, v FROM pw, wcut WHERE w >= wc),
+        d0 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
                  SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
                GROUP BY node),
-        e1 AS (SELECT u, v FROM e0
+        e1 AS MATERIALIZED (SELECT u, v FROM e0
                WHERE u IN (SELECT node FROM d0 WHERE deg >= 10)
                  AND v IN (SELECT node FROM d0 WHERE deg >= 10)),
-        d1 AS (SELECT node, COUNT(*) AS deg FROM (
+        d1 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
                  SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
                GROUP BY node),
-        e2 AS (SELECT u, v FROM e1
+        e2 AS MATERIALIZED (SELECT u, v FROM e1
                WHERE u IN (SELECT node FROM d1 WHERE deg >= 10)
                  AND v IN (SELECT node FROM d1 WHERE deg >= 10)),
-        d2 AS (SELECT node, COUNT(*) AS deg FROM (
+        d2 AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
                  SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
                GROUP BY node),
         e3 AS (SELECT u, v FROM e2
@@ -647,35 +669,48 @@ object AnalyticsQueries {
     Q("q_label_prop",
       (s, dir) => {
         import graft.operators.Graphs
-        val li = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
-          .distinct()
-        val edges = li.as("a").join(li.as("b"), Seq("ok"))
-          .filter(col("a.sk") < col("b.sk"))
-          .groupBy(col("a.sk").as("u"), col("b.sk").as("v"))
-          .agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 28).select("u", "v")
+        // Same scale-aware 80th-percentile weight cut as q_kcore (the
+        // shared "co-supply community graph" definition) — the fixed
+        // w ≥ 28 cut emptied the graph above sf0.01, making the
+        // propagation vacuous exactly where the boards time it.
+        val pw = Graphs.cooccurrenceWeightedEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        val hist = pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
+        val tot = hist.agg(sum(col("c")).as("n"))
+        val cum = hist.withColumn("cum", sum(col("c")).over(
+          Window.orderBy(col("w"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        val wcut = cum.crossJoin(broadcast(tot))
+          .filter(col("cum") * 5 >= col("n") * 4)
+          .agg(min(col("w")).as("wc"))
+        val edges = pw.crossJoin(broadcast(wcut))
+          .filter(col("w") >= col("wc")).select("u", "v")
         Graphs.labelPropagate(edges, 3)
           .select(col("node").as("suppkey"), col("label").as("community"))
           .orderBy(col("suppkey"))
       },
       Some("""
-        WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
-                    FROM lineitem),
-        e0 AS (SELECT a.sk AS u, b.sk AS v
+        WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok,
+                    l_suppkey AS sk FROM lineitem),
+        pw AS MATERIALIZED (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS w
                FROM li a JOIN li b ON a.ok = b.ok AND a.sk < b.sk
-               GROUP BY 1, 2 HAVING COUNT(*) >= 28),
-        sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+               GROUP BY 1, 2),
+        hist AS (SELECT w, COUNT(*) AS c FROM pw GROUP BY 1),
+        tot AS (SELECT SUM(c) AS n FROM hist),
+        cum AS (SELECT w, SUM(c) OVER (ORDER BY w) AS cum FROM hist),
+        wcut AS (SELECT MIN(w) AS wc FROM cum, tot WHERE cum * 5 >= n * 4),
+        e0 AS MATERIALIZED (SELECT u, v FROM pw, wcut WHERE w >= wc),
+        sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
         n AS (SELECT DISTINCT u AS node FROM sym),
-        l0 AS (SELECT node, node AS label FROM n),
+        l0 AS MATERIALIZED (SELECT node, node AS label FROM n),
         r1 AS (SELECT s.u AS node, MIN(l.label) AS nl
                FROM sym s JOIN l0 l ON l.node = s.v GROUP BY 1),
-        l1 AS (SELECT l0.node,
+        l1 AS MATERIALIZED (SELECT l0.node,
                       least(l0.label, coalesce(r1.nl, l0.label)) AS label
                FROM l0 LEFT JOIN r1 ON r1.node = l0.node),
         r2 AS (SELECT s.u AS node, MIN(l.label) AS nl
                FROM sym s JOIN l1 l ON l.node = s.v GROUP BY 1),
-        l2 AS (SELECT l1.node,
+        l2 AS MATERIALIZED (SELECT l1.node,
                       least(l1.label, coalesce(r2.nl, l1.label)) AS label
                FROM l1 LEFT JOIN r2 ON r2.node = l1.node),
         r3 AS (SELECT s.u AS node, MIN(l.label) AS nl

@@ -20,6 +20,25 @@ object DataPipelineQueries {
 
   private val Toks = Q.duckToks
 
+  private def deleteRec(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
+  /** Per-JVM scratch slot for the WET ingest round trip (the
+    * StreamQueries.upsertScratch discipline: one wiped-and-reused dir,
+    * shutdown-hook cleanup; results localCheckpoint before re-wipe).
+    */
+  private lazy val wetScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-wet-e2e-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   private val EnStop = TextStats.stopwords("en")
 
   /** Leakage-safe split from an arbitrary near-dup EDGE frame
@@ -796,6 +815,98 @@ object DataPipelineQueries {
                host,
                CAST(len(kept) AS BIGINT) AS n_params
         FROM norm ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // WET ingest END-TO-END — the crawl-to-corpus staging pipeline over
+    // a REAL WET round trip: documents are serialized into WARC/1.0
+    // record files (conversion records with mixed-case/tracking-param
+    // URLs, plus warcinfo records the reader must exclude), written as
+    // a distributed text file, re-read through the Wet source's
+    // lineSep record split + codegen'd header parse, then staged the
+    // way a training pipeline would: urlNormalize → min-length clean
+    // gate → exact content dedup (min-url_norm representative) → per-
+    // host corpus stats. The oracle re-derives every stage analytically
+    // from doc_id + text (the construction IS the ground truth; the
+    // urlNormalize internals are separately regex-replayed by
+    // x_url_normalize's oracle), so the whole file round trip — record
+    // framing, CRLF body trim, warcinfo exclusion — must come back
+    // bit-exact. Scale shape: the writer is a distributed text sink,
+    // the reader one scan (records split AT SCAN TIME by lineSep — no
+    // whole-file driver reads), and the pipeline is two narrow
+    // projections + one dedup shuffle + interval-free host aggs.
+    Q("x_wet_ingest_e2e",
+      (s, dir) => {
+        import graft.sources.Wet
+        val docs = Tables.documents(s, dir)
+        val url = concat(
+          when(col("doc_id") % 2 === 0, "HTTP").otherwise("https"),
+          lit("://WWW.Site"), (col("doc_id") % 7).cast("string"),
+          lit(".Example"),
+          when(col("doc_id") % 2 === 0, ":80").otherwise(":443"),
+          lit("//p//"), col("doc_id").cast("string"),
+          lit("?utm_source=crawl&b="), (col("doc_id") % 5).cast("string"),
+          lit("&a=1#frag"))
+        val conv = docs.select(concat(
+          lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+          url, lit("\r\nContent-Length: "),
+          length(col("text")).cast("string"),
+          lit("\r\n\r\n"), col("text")).as("value"))
+        val info = docs.filter(col("doc_id") % 97 === 0).select(
+          lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 19" +
+            "\r\n\r\nisPartOf: graft-wet").as("value"))
+        wetScratch.synchronized {
+          deleteRec(wetScratch)
+          val path = wetScratch.resolve("wet").toString
+          conv.unionByName(info).write.mode("overwrite").text(path)
+          val staged = Wet.conversions(s, path)
+            .select(WebText.urlNormalize(col("url")).as("url_norm"),
+              WebText.urlHost(col("url")).as("host"), col("content"))
+          val gated = staged.filter(length(col("content")) >= 20)
+          val reps = gated.groupBy(col("content"))
+            .agg(min(col("url_norm")).as("url_norm"))
+          val raw = staged.groupBy(col("host")).agg(count(lit(1)).as("n_raw"))
+          val g = gated.groupBy(col("host")).agg(count(lit(1)).as("n_gated"))
+          val u = reps
+            .withColumn("host", WebText.urlHost(col("url_norm")))
+            .groupBy(col("host"))
+            .agg(count(lit(1)).as("n_unique"),
+              sum(length(col("content"))).as("n_chars_kept"))
+          raw.join(g, Seq("host"), "left").join(u, Seq("host"), "left")
+            .select(col("host"), col("n_raw"),
+              coalesce(col("n_gated"), lit(0L)).as("n_gated"),
+              coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+              coalesce(col("n_chars_kept"), lit(0L)).as("n_chars_kept"))
+            .orderBy(col("host"))
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
+      },
+      Some(raw"""
+        WITH c AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END
+                   || '://site' || (doc_id % 7) || '.example/p/' || doc_id
+                   || '?a=1&b=' || (doc_id % 5) AS url_norm,
+                 'site' || (doc_id % 7) || '.example' AS host,
+                 regexp_replace(regexp_replace(text, '^\s+', ''),
+                                '\s+$$', '') AS content
+          FROM documents),
+        g AS (SELECT * FROM c WHERE length(content) >= 20),
+        reps AS (SELECT content, MIN(url_norm) AS url_norm
+                 FROM g GROUP BY content),
+        u AS (SELECT regexp_extract(url_norm, '^[^:]+://([^/?#]*)', 1)
+                       AS host,
+                     COUNT(*) AS n_unique,
+                     CAST(SUM(length(content)) AS BIGINT) AS n_chars_kept
+              FROM reps GROUP BY 1),
+        raw AS (SELECT host, COUNT(*) AS n_raw FROM c GROUP BY 1),
+        gg AS (SELECT host, COUNT(*) AS n_gated FROM g GROUP BY 1)
+        SELECT raw.host, raw.n_raw,
+               COALESCE(gg.n_gated, 0) AS n_gated,
+               COALESCE(u.n_unique, 0) AS n_unique,
+               COALESCE(u.n_chars_kept, 0) AS n_chars_kept
+        FROM raw LEFT JOIN gg USING (host) LEFT JOIN u USING (host)
+        ORDER BY raw.host
       """)),
 
     // ------------------------------------------------------------------
@@ -1621,7 +1732,7 @@ object DataPipelineQueries {
             regexp_count(body, lit("\\\\[a-zA-Z]+")).cast("long")
               .as("latex_cmds"))
           .withColumn("density_e6",
-            expr("(digits + mathsym + brackets) * 1000000 DIV n_chars"))
+            expr("(digits + mathsym + brackets) * 1000000 DIV nullif(n_chars, 0)"))
           .withColumn("route",
             when(col("density_e6") >= 15000 || col("latex_cmds") >= 2,
               lit("math")).otherwise(lit("prose")))
@@ -1644,8 +1755,8 @@ object DataPipelineQueries {
                  CAST(len(regexp_extract_all(body, '\\[a-zA-Z]+')) AS BIGINT) AS latex_cmds
           FROM b)
         SELECT doc_id, n_chars, digits, mathsym, brackets, latex_cmds,
-               CAST((digits + mathsym + brackets) * 1000000 // n_chars AS BIGINT) AS density_e6,
-               CASE WHEN (digits + mathsym + brackets) * 1000000 // n_chars >= 15000
+               CAST((digits + mathsym + brackets) * 1000000 // nullif(n_chars, 0) AS BIGINT) AS density_e6,
+               CASE WHEN (digits + mathsym + brackets) * 1000000 // nullif(n_chars, 0) >= 15000
                          OR latex_cmds >= 2
                     THEN 'math' ELSE 'prose' END AS route
         FROM m ORDER BY doc_id

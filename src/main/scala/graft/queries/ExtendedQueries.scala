@@ -341,8 +341,16 @@ object ExtendedQueries {
           // String keys: BloomMightContain probes UTF8String bytes, so
           // build and probe must agree on the encoding.
           .select(col("o_orderkey").cast("string").as("l_orderkey"))
-        val bloom = sel.stat.bloomFilter("l_orderkey",
-          math.max(sel.count(), 1L), 0.01)
+        // Fixed generous capacity instead of pre-counting the dim side
+        // (the count was a SECOND scan of the filtered dim before the
+        // treeAggregate build — one extra job per run, and at a 100×
+        // larger dim a real cost). 2^22 expected items @ 1% fpp ≈ 5 MB
+        // of bits: broadcast-cheap, and it holds the ~1-2%-selective
+        // predicate through the sf100 probe scale (150M orders → ~2-3M
+        // selected). An overfull filter only raises the fp rate — the
+        // broadcast semi join kills false positives, so correctness
+        // never depends on the sizing.
+        val bloom = sel.stat.bloomFilter("l_orderkey", 1L << 22, 0.01)
         val bc = s.sparkContext.broadcast(bloom)
         Tables.lineitem(s, dir)
           .withColumn("l_orderkey", col("l_orderkey").cast("string"))
@@ -395,6 +403,37 @@ object ExtendedQueries {
               FROM d)
         SELECT event_type, CAST(MAX(running) AS BIGINT) AS peak
         FROM r GROUP BY 1 ORDER BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // GLOBAL peak concurrency — the same ±1 endpoint sweep with ONE
+    // group spanning the whole corpus: the adversarial regime for the
+    // distributed sweep (q_peak_concurrency's event_type grouping gives
+    // every group ~1/5 of the rows; here the single group IS the dense
+    // group the r11 verdict asked to probe — a naive plan would put the
+    // entire ordered scan on one task, while peakConcurrency's range-
+    // partitioned slabs + bounded slab-offset window keep every window
+    // under one partition's rows no matter how dense the group gets).
+    // Registered (not probe-only) so the sf0.01 oracle pins the slab
+    // algebra in exactly the regime the sf100 probe times.
+    Q("q_peak_concurrency_global",
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(lit("all").as("g"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        RangeJoin.peakConcurrency(iv, "w_start", "w_end", "g")
+          .select(col("peak"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT ts AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT ts + INTERVAL 30 MINUTE AS t, -1 AS d FROM events),
+        r AS (SELECT SUM(d) OVER (ORDER BY t, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running
+              FROM d)
+        SELECT CAST(MAX(running) AS BIGINT) AS peak FROM r
       """))
   )
 }

@@ -43,6 +43,16 @@ object StreamQueries {
     root
   }
 
+  /** Scratch slot for the streaming range-count gate (same discipline
+    * as [[upsertScratch]]). */
+  private lazy val rangeGateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-range-gate-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   /** Build-once cache for a streaming query's input DROPS: `build`
     * writes the drop files the first time a (slot, sfDir) pair is seen
     * in this JVM; later invocations reuse them. Staging the stream's
@@ -351,6 +361,55 @@ object StreamQueries {
                coalesce(agg.text_clean, '') AS text_clean,
                len(toks.t) - coalesce(agg.n_kept, 0) AS n_dropped
         FROM toks LEFT JOIN agg USING (doc_id) ORDER BY toks.doc_id
+      """)),
+
+    // 59: streaming windowed range counts END-TO-END — clicks split into
+    // two parquet drops stream through a REAL readStream +
+    // StreamOps.rangeCountSink: each micro-batch runs the order-
+    // statistics countInInterval against the STATIC signup-window frame
+    // and lands its per-interval counts in a batchId-keyed increment
+    // file; the publish step sums increments. Because interval counts
+    // are distributive over any split of the points, the accumulated
+    // output equals ONE batch q_range_join over all clicks — so the
+    // oracle IS q_range_join's SQL: the stream must reproduce the batch
+    // operator bit-for-bit, whatever the micro-batch boundaries (no
+    // mtime pinning needed — unlike the substring gate, this pipeline
+    // is order-insensitive by construction).
+    Q("st_range_gate",
+      (s, dir) => {
+        val drop = cachedDrops("st_range_gate", dir) { d =>
+          val clicks = Tables.events(s, dir)
+            .filter(col("event_type") === "click")
+            .select(col("event_id").as("click_id"), col("ts"))
+          clicks.filter(col("click_id") % 2 === 0)
+            .repartition(8).write.mode("append").parquet(s"$d/drop")
+          clicks.filter(col("click_id") % 2 =!= 0)
+            .coalesce(1).write.mode("append").parquet(s"$d/drop")
+        } + "/drop"
+        deleteRec(rangeGateScratch)
+        val tmp = java.nio.file.Files.createDirectories(rangeGateScratch)
+        val intervals = Tables.events(s, dir)
+          .filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("ts").as("w_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+        phase("st_range_gate", "stream") {
+          val src = s.readStream.schema("click_id LONG, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 8).parquet(drop)
+          StreamOps.rangeCountSink(src, intervals, "ts",
+            "w_start", "w_end", "signup_id", s"$tmp/out", s"$tmp/ckpt")
+            .awaitTermination()
+        }
+        StreamOps.rangeCountRead(s, s"$tmp/out", "signup_id")
+          .withColumnRenamed("n_points", "n_clicks")
+          .orderBy(col("signup_id"))
+          .localCheckpoint() // materialize before the scratch is re-wiped
+      },
+      Some("""
+        SELECT s.event_id AS signup_id, COUNT(*) AS n_clicks
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
+        GROUP BY 1 ORDER BY signup_id
       """))
   )
 }

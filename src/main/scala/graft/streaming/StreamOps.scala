@@ -349,6 +349,49 @@ object StreamOps {
       Transform.applyChangelog(snapshot, batch, keys, opCol, latestBy, tieBreakers)
     }
 
+  /** foreachBatch windowed range-count sink — the streaming twin of
+    * [[graft.operators.RangeJoin.countInInterval]] (the r11
+    * order-statistics plan): `intervals` is a STATIC frame (the
+    * registered window table), points stream in, and each micro-batch
+    * writes its per-interval counts to a batchId-keyed subdirectory of
+    * `targetDir`. count(interval) is distributive over ANY partition of
+    * the points, so the published aggregate ([[rangeCountRead]]) equals
+    * the batch operator over the union of all batches bit-for-bit —
+    * order-INsensitive, unlike the substring gate. The batchId-keyed
+    * overwrite is what makes replay idempotent: a batch re-run after a
+    * crash between write and checkpoint commit overwrites its own
+    * subdirectory instead of double-counting (a running-total merge
+    * target would silently double-add — the at-least-once hazard the
+    * CDC sink documents).
+    */
+  def rangeCountSink(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointTs: String, startCol: String, endCol: String, idCol: String,
+      targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    points.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.RangeJoin.countInInterval(
+            batch, pointTs, intervals, startCol, endCol, idCol)
+          .write.mode("overwrite").parquet(s"$targetDir/batch_$batchId")
+        ()
+      }
+      .start()
+
+  /** Publish step for [[rangeCountSink]]: sum the per-batch increments.
+    * One groupBy over (#batches × matched intervals) rows — interval-
+    * cardinality, never point-cardinality. The zero-count intervals are
+    * absent (inner-join contract, matching countInInterval).
+    */
+  def rangeCountRead(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, idCol: String): DataFrame =
+    spark.read.parquet(s"$targetDir/batch_*")
+      .groupBy(col(idCol)).agg(sum(col("n_points")).as("n_points"))
+
   /** Shared merge-and-swap skeleton: heal a half-finished previous swap,
     * build the merged frame (given whether a target exists), write it to
     * staging, then swap. Swap order is crash-recoverable: target → .old,

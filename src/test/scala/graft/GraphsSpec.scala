@@ -48,6 +48,36 @@ class GraphsSpec extends AnyFunSuite {
     assert(e == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("cooccurrenceEdges dedups repeated (group, member) rows and " +
+      "singleton/empty groups emit nothing") {
+    // (10, 2) repeated — collect_set must absorb it like the old
+    // distinct did; group 12 is a singleton, group 13 all-duplicates.
+    val m = Seq((10L, 1L), (10L, 2L), (10L, 2L), (11L, 2L), (12L, 5L),
+      (13L, 7L), (13L, 7L)).toDF("g", "m")
+    val e = Graphs.cooccurrenceEdges(m, "g", "m").as[(Long, Long)].collect().toSet
+    assert(e == Set((1L, 2L)))
+  }
+
+  test("cooccurrenceWeightedEdges weights = shared-group counts, " +
+      "and equals the naive distinct+self-join+groupBy plan") {
+    val m = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 2L), // dup (11,2) must not inflate w
+      (12L, 2L), (12L, 3L), (13L, 9L)).toDF("g", "m")
+    val got = Graphs.cooccurrenceWeightedEdges(m, "g", "m")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 2L), (1L, 3L, 1L), (2L, 3L, 2L)))
+    // Reference plan (the pre-r12 shape).
+    val d = m.distinct()
+    val ref = d.as("a").join(d.as("b"),
+        $"a.g" === $"b.g" && $"a.m" < $"b.m")
+      .groupBy($"a.m".as("u"), $"b.m".as("v"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
+
   test("labelPropagate carries the min id exactly graph-distance rounds") {
     // Path 1-2-3-4-5 plus an isolated edge (10, 11).
     val g = edges((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))

@@ -43,6 +43,52 @@ class LeakageSplitSpec extends AnyFunSuite {
       .withColumnRenamed("id", "doc_id")
       .as[(Long, Long)].collect().toMap
 
+  test("a duplicate FLOOD still routes through the exact-dup collapse " +
+      "(r12: the small-corpus fast path must not reopen the flood cliff)") {
+    // 750 byte-identical copies → C(750,2) = 280,875 intra pairs —
+    // past the collapseWorthwhile dup-pair probe's cutover
+    // (DirectVerifyMaxPairs/4 = 262,144), so this corpus MUST take the
+    // collapsed branch even though it is tiny by doc count. One
+    // engineered near-variant (one mid-word edit of a 30-token doc:
+    // 3 of 28 shingles die → J = 25/31 ≈ 0.806) pins the cross-group
+    // expansion, and distinct background docs pin no-overfire.
+    val base = (0 until 30).map(i => s"fl${i * 13 % 89}_$i")
+    val varnt = { val t = base.toArray; t(15) = "edited_once"; t.toSeq }
+    val rows =
+      (0 until 750).map(i => (i.toLong, base.mkString(" "))) ++
+        Seq((9000L, varnt.mkString(" "))) ++
+        (0 until 20).map(i => (9100L + i,
+          (0 until 25).map(j => s"bg${i}_$j").mkString(" ")))
+    val df = rows.toDF("doc_id", "text")
+    val got = TextDedup.ngramJaccardJoin(df, "doc_id", "text", threshold = 0.8)
+    val intra = 750L * 749 / 2
+    assert(got.filter(col("jaccard") === 1.0).count() == intra,
+      "every intra-family pair must surface at jaccard 1.0")
+    val cross = got.filter(col("jaccard") < 1.0)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    assert(cross.length == 750 &&
+      cross.forall { case (_, b, j) =>
+        b == 9000L && math.abs(j - 25.0 / 31.0) < 1e-12 },
+      s"variant must pair with every family member at 25/31: ${cross.take(3).toSeq}")
+  }
+
+  test("PackedJaccard: 0/0 empty-set case returns 0.0, never NaN " +
+      "(NaN sorts ABOVE all doubles, so >= threshold would emit a pair)") {
+    import org.apache.spark.sql.GraftBridge
+    val df = Seq(
+      (Array.empty[Long], Array.empty[Long]),
+      (Array(1L, 2L), Array(1L, 2L)),
+      (Array(1L, 2L, 3L, 4L), Array(1L, 2L, 5L, 6L))).toDF("a", "b")
+    val j = df.select(GraftBridge.column(graft.functions.PackedJaccard(
+        GraftBridge.expression(col("a")), GraftBridge.expression(col("b"))))
+        .as("j"))
+      .as[Double].collect()
+    assert(!j(0).isNaN && j(0) == 0.0)
+    assert(j(1) == 1.0)
+    assert(j(2) == 1.0 / 3.0)
+  }
+
   test("candidate edges are a superset of the exact Jaccard edges") {
     val exact = TextDedup.ngramJaccardJoin(docs, "doc_id", "text", threshold = 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -31,12 +31,33 @@ drift on code that did not change (measured r7-r10; the r10 verdict
 hand-adjudicated it twice). --controls (default
 q1_agg,q3_shipping,q_window_rank — untouched TPC-H shapes) names
 queries whose new/prior ratio estimates that drift; the gate divides
-every comparison by the MEDIAN control ratio before flagging, and the
-floors comparison scales by the same drift. A deliberately slow host
-then produces zero false flags at --factor 2 because every ratio is
-normalized by the controls' shared slowdown. --controls= (empty)
-disables normalization. Controls present in only one board are skipped;
-with zero usable controls the gate runs un-normalized and says so.
+every comparison by the MEDIAN control ratio before flagging. A
+deliberately slow host then produces zero false flags at --factor 2
+because every ratio is normalized by the controls' shared slowdown.
+--controls= (empty) disables normalization. Controls present in only
+one board are skipped; with zero usable controls the gate runs
+un-normalized and says so.
+
+DRIFT GUARDRAILS (r12, per r11 advice): normalization can MASK a
+code-caused global slowdown — an engine-wide change (session config,
+a shared operator) slows the controls too and the gate would divide
+it away as "host drift". Two defenses:
+  1. --drift-cap (default 1.6, the measured ambient band): a median
+     control ratio outside [1/cap, cap] is CLAMPED to the band edge
+     and loudly flagged — beyond the band, "the host is slow" is no
+     longer the default explanation and the controls themselves must
+     be adjudicated (RunOne them; check they still sit within
+     --floor-margin of their isolated floors).
+  2. If the floors file carries a "_controls" stamp (control-query
+     seconds measured on the floor-probe host-day), each control's
+     new time is cross-checked against floor_margin x its own stamp
+     x the stamp-relative drift: a control that regressed in absolute
+     terms is reported even when the board-to-board ratio looks flat.
+FLOOR DRIFT (r12): the floor excuse previously scaled floors by the
+drift measured against the PRIOR BOARD's host-day, but floors were
+probed on a different host-day. With "_controls" in the floors file
+the gate now scales floors by new/floor-stamp drift (the floor-probe's
+own host-day); without stamps it falls back to board drift and says so.
 """
 import json
 import re
@@ -79,9 +100,16 @@ def main():
     abs_floor = float(opts.get("floor") or 2.0)
     floors = json.load(open(opts["floors"])) if opts.get("floors") else {}
     floor_margin = float(opts.get("floor-margin") or 2.0)
+    drift_cap = float(opts.get("drift-cap") or 1.6)
+    floor_stamps = floors.get("_controls") or {}
     new_path, prior_path = args[0], args[1]
     new = load_queries(new_path)
     prior = load_queries(prior_path)
+
+    def median(xs):
+        xs = sorted(xs)
+        return xs[len(xs) // 2] if len(xs) % 2 else \
+            (xs[len(xs) // 2 - 1] + xs[len(xs) // 2]) / 2
 
     controls_opt = opts.get("controls", "q1_agg,q3_shipping,q_window_rank")
     controls = [c for c in (controls_opt or "").split(",") if c]
@@ -89,27 +117,69 @@ def main():
         new[c] / prior[c]
         for c in controls
         if c in new and c in prior and prior[c] > 0 and new[c] > 0)
+    suspect_drift = False
     if ratios:
-        drift = ratios[len(ratios) // 2] if len(ratios) % 2 else \
-            (ratios[len(ratios) // 2 - 1] + ratios[len(ratios) // 2]) / 2
+        drift = median(ratios)
         print(f"== ambient control drift {drift:.2f}x "
               f"(median of {len(ratios)} controls: "
               + ", ".join(f"{r:.2f}" for r in ratios) + ") ==")
+        if drift > drift_cap or drift < 1.0 / drift_cap:
+            clamped = min(max(drift, 1.0 / drift_cap), drift_cap)
+            print(f"WARN  control drift {drift:.2f}x is OUTSIDE the "
+                  f"~{drift_cap}x ambient band — clamping normalization "
+                  f"to {clamped:.2f}x. Beyond the band this may be a "
+                  f"CODE-CAUSED global slowdown hiding behind the "
+                  f"controls; RunOne-isolate the controls and check them "
+                  f"against their isolated floors before trusting this "
+                  f"board.")
+            drift = clamped
+            suspect_drift = True
     else:
         drift = 1.0
         if controls:
             print("== no usable control queries in both boards — "
                   "gating un-normalized ==")
 
+    # Floor-probe host-day drift: scale the floor excuse by the drift
+    # vs the floors' OWN control stamps, not the prior board's host-day.
+    stamp_ratios = [new[c] / floor_stamps[c] for c in controls
+                    if c in new and c in floor_stamps
+                    and floor_stamps[c] > 0 and new[c] > 0]
+    if stamp_ratios:
+        floor_drift = min(max(median(stamp_ratios), 1.0 / drift_cap),
+                          drift_cap)
+        print(f"== floor-stamp drift {floor_drift:.2f}x (vs the floor-"
+              f"probe host-day, {len(stamp_ratios)} stamped controls, "
+              f"clamped to the {drift_cap}x band) ==")
+    else:
+        floor_drift = drift
+        if floors:
+            print("== floors file has no _controls stamp — floor excuse "
+                  "falls back to board drift (re-stamp on next floor "
+                  "probe) ==")
+
+    # Absolute control cross-check: a control that regressed vs its own
+    # isolated floor is evidence the "drift" is not ambient.
+    for c in controls:
+        if c in new and c in floor_stamps and floor_stamps[c] > 0:
+            if new[c] > floor_margin * drift_cap * floor_stamps[c]:
+                print(f"WARN  control {c}: {new[c]:.2f}s exceeds "
+                      f"{floor_margin}x{drift_cap}x its floor-day stamp "
+                      f"{floor_stamps[c]:.2f}s — the control itself "
+                      f"regressed; normalization is suspect.")
+                suspect_drift = True
+
     flagged, missing, excused = [], [], []
     for name, sec in sorted(new.items()):
+        if name.startswith("_"):
+            continue
         if name not in prior:
             missing.append(name)
             continue
         p = prior[name] * drift
         if p > 0 and sec > factor * p and sec - p > abs_floor:
             fl = floors.get(name)
-            if fl is not None and sec <= floor_margin * fl * drift:
+            if fl is not None and sec <= floor_margin * fl * floor_drift:
                 excused.append((name, p, sec, fl))
                 continue
             flagged.append((name, p, sec, sec / p))
@@ -121,10 +191,14 @@ def main():
     for name, p, sec, r in flagged:
         print(f"FLAG  {name}: {p:.2f}s (drift-adj prior) -> {sec:.2f}s "
               f"({r:.1f}x > {factor}x)")
-    kept = [n for n in new if n in prior]
+    kept = [n for n in new if n in prior and not n.startswith("_")]
     print(f"== {len(kept)} compared, {len(flagged)} flagged, "
           f"{len(excused)} excused by floors, {len(missing)} without prior ==")
-    sys.exit(1 if flagged else 0)
+    if suspect_drift:
+        print("== exit 1: drift outside the ambient band / control "
+              "regression — adjudicate the controls before accepting "
+              "this board ==")
+    sys.exit(1 if flagged or suspect_drift else 0)
 
 
 if __name__ == "__main__":
