@@ -91,9 +91,17 @@ object Graphs {
   /** Each triangle exactly once as (x, y, z), emitted from its lowest-
     * ordered vertex: wedge (x→y, x→z with ord(y) < ord(z)) closed by the
     * oriented edge y→z.
+    *
+    * The oriented frame is Materialize'd: it feeds BOTH wedge sides and
+    * the closing join (3 references), and its construction (degree agg
+    * + two joins over the caller's edge lineage) would otherwise be
+    * re-executed per reference — on a derived edge frame (e.g. the
+    * co-occurrence build) that re-execution multiplies the whole
+    * upstream pipeline, the Spark-side analog of the re-inlined-CTE
+    * blowup the r12 q_kcore oracle hit in DuckDB.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val o = orientedEdges(edges)
+    val o = Materialize(orientedEdges(edges))
     val wedges = o.as("e1").join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
@@ -120,8 +128,16 @@ object Graphs {
     * core" (each round is one degree agg + one semi-join-style filter).
     */
   def peel(edges: DataFrame, k: Int): DataFrame = {
-    val keep = degrees(edges).filter(col("deg") >= k).select(col("node"))
-    edges
+    // Materialize the round's input: it feeds the degree agg AND both
+    // semi-joins (3 references), and peel rounds NEST — without the
+    // checkpoint each round re-executes the previous rounds' whole
+    // lineage per reference (~3^rounds upstream replays; the r12 sf0.1
+    // board measured q_kcore at 45 s where the sibling one-pass
+    // label-prop build took 2.5 s). Each checkpoint is edge-frame-sized
+    // and freed by the ContextCleaner when the plan drops it.
+    val e = Materialize(edges)
+    val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+    e
       .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
       .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
       .select("u", "v")
@@ -139,16 +155,22 @@ object Graphs {
     * join + one aggregation on the label frame, never on the corpus.
     */
   def labelPropagate(edges: DataFrame, rounds: Int): DataFrame = {
-    val sym = edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v")))
+    // Materialize the symmetric edge frame (re-joined every round — one
+    // checkpoint vs `rounds` replays of the caller's edge build) and
+    // each round's label frame (referenced by the next round's join AND
+    // its own left join; unmaterialized, the final plan re-executes
+    // round r-1's lineage per reference — the iterative-loop
+    // checkpoint cadence DedupResolve's contraction already uses).
+    val sym = Materialize(edges.select(col("u"), col("v"))
+      .union(edges.select(col("v").as("u"), col("u").as("v"))))
     val nodes = sym.select(col("u").as("node")).distinct()
-    var lab = nodes.withColumn("label", col("node"))
+    var lab = Materialize(nodes.withColumn("label", col("node")))
     for (_ <- 1 to rounds) {
       val nb = sym.join(lab.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("nl"))
-      lab = lab.join(nb, Seq("node"), "left")
+      lab = Materialize(lab.join(nb, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
     }
     lab
   }

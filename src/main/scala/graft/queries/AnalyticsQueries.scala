@@ -487,8 +487,12 @@ object AnalyticsQueries {
     //    ordered vertex; no distinct over the wedge output.
     Q("q_triangle_count",
       (s, dir) => {
-        val edges = graft.operators.Graphs.cooccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        // Materialized: the edge frame feeds orientedEdges' degree agg +
+        // both orientation joins + triangleSupport's node roster — four
+        // references that would each replay the co-occurrence build.
+        val edges = graft.operators.Materialize(
+          graft.operators.Graphs.cooccurrenceEdges(
+            Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
         graft.operators.Graphs.triangleSupport(edges)
           .select(col("node").as("suppkey"), col("n_triangles"))
           .orderBy(col("suppkey"))
@@ -532,8 +536,8 @@ object AnalyticsQueries {
     Q("q_clustering_coeff",
       (s, dir) => {
         import graft.operators.Graphs
-        val edges = Graphs.cooccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        val edges = graft.operators.Materialize(Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
         Graphs.triangleSupport(edges)
           .join(Graphs.degrees(edges), Seq("node"))
           .select(col("node").as("suppkey"), col("deg"), col("n_triangles"),
@@ -600,8 +604,9 @@ object AnalyticsQueries {
     Q("q_kcore",
       (s, dir) => {
         import graft.operators.Graphs
-        val pw = Graphs.cooccurrenceWeightedEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        // Materialized: pw feeds the weight histogram AND the cut filter.
+        val pw = graft.operators.Materialize(Graphs.cooccurrenceWeightedEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
         val hist = pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val tot = hist.agg(sum(col("c")).as("n"))
         // Histogram-sized frames: the global-order window runs over
@@ -673,8 +678,9 @@ object AnalyticsQueries {
         // shared "co-supply community graph" definition) — the fixed
         // w ≥ 28 cut emptied the graph above sf0.01, making the
         // propagation vacuous exactly where the boards time it.
-        val pw = Graphs.cooccurrenceWeightedEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
+        // Materialized: pw feeds the weight histogram AND the cut filter.
+        val pw = graft.operators.Materialize(Graphs.cooccurrenceWeightedEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
         val hist = pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val tot = hist.agg(sum(col("c")).as("n"))
         val cum = hist.withColumn("cum", sum(col("c")).over(
