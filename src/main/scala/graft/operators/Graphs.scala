@@ -26,16 +26,14 @@ object Graphs {
     * is C(k, 2) — callers must ensure group sizes are bounded (e.g.
     * lineitems per order ≤ 7) or pre-cap them.
     *
-    * Plan (r12): per-group `collect_set` + an in-row pair expansion —
-    * ONE shuffle to group plus one shuffle to dedup/weight the pairs.
-    * The previous shape (distinct on (g, m), self-join on g, distinct)
-    * re-shuffled the member frame three times and materialized the
-    * per-group pair fan-out through a join; the collect_set groupBy
-    * dedups (g, m) for free in its aggregation buffer, and the pair
-    * explode is a codegen'd nested `transform` over the ≤ k-element
-    * sorted member array — map-side, no join. The r11 sf100 probes put
-    * the distinct+self-join build at 1.5-1.8× linear on
-    * q_triangle_count/q_kcore; this collapses exactly that cost.
+    * Plan: hash distinct + group-keyed self-join ([[groupPairs]] — see
+    * its note for why the collect_set alternative measured 4.9× slower),
+    * one final pair-dedup/weight shuffle. The r11 sf100 probes' 1.5-1.8×
+    * residual on the graph queries turned out to be lineage RE-EXECUTION
+    * (unmaterialized edge frames replayed per reference through the peel
+    * rounds / orientation joins — fixed by the Materialize discipline in
+    * [[peel]]/[[triangles]]/[[labelPropagate]] and the callers), not the
+    * join shape itself.
     */
   def cooccurrenceEdges(df: DataFrame, groupCol: String, memberCol: String): DataFrame =
     groupPairs(df, groupCol, memberCol).distinct()
@@ -50,19 +48,30 @@ object Graphs {
     groupPairs(df, groupCol, memberCol)
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
 
-  /** One (u, v) row per (group, unordered member pair): collect each
-    * group's distinct members sorted, expand the C(k, 2) pairs in-row
-    * (u < v by the sort). Output is NOT pair-distinct across groups —
-    * callers aggregate or distinct it.
+  /** One (u, v) row per (group, unordered member pair): hash-distinct
+    * the (group, member) rows, self-equi-join on the group, keep the
+    * ordered half. Output is NOT pair-distinct across groups — callers
+    * aggregate or distinct it.
+    *
+    * MEASURED plan note (r12): the tempting alternative — per-group
+    * `collect_set` + in-row pair expansion, one shuffle fewer on paper —
+    * ran 4.9× SLOWER at sf10 (82.7 s vs the 17.0 s floor for the whole
+    * triangle query): collect_set plans as ObjectHashAggregate, which
+    * falls back to SORT-based aggregation once its map passes the
+    * spark.sql.objectHashAggregate.sortBased.fallbackThreshold keys
+    * (default 128), so the "one groupBy" is really a full sort of the
+    * member frame per partition. The codegen'd hash distinct + sort-
+    * merge self-join is the shape that survives scale; raising the
+    * fallback threshold globally would un-guard every posting-list
+    * collect in the dedup family, so it stays default.
     */
   private def groupPairs(df: DataFrame, groupCol: String,
-      memberCol: String): DataFrame =
-    df.select(col(groupCol).as("g"), col(memberCol).as("m"))
-      .groupBy("g").agg(sort_array(collect_set(col("m"))).as("ms"))
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms")) - i - 1),
-          y => struct(x.as("u"), y.as("v")))))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
+      memberCol: String): DataFrame = {
+    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m")).distinct()
+    m.as("a").join(m.as("b"), Seq("g"))
+      .filter(col("a.m") < col("b.m"))
+      .select(col("a.m").as("u"), col("b.m").as("v"))
+  }
 
   /** (node, deg) for a canonical undirected edge list. */
   def degrees(edges: DataFrame): DataFrame =
@@ -92,16 +101,18 @@ object Graphs {
     * ordered vertex: wedge (x→y, x→z with ord(y) < ord(z)) closed by the
     * oriented edge y→z.
     *
-    * The oriented frame is Materialize'd: it feeds BOTH wedge sides and
-    * the closing join (3 references), and its construction (degree agg
-    * + two joins over the caller's edge lineage) would otherwise be
-    * re-executed per reference — on a derived edge frame (e.g. the
-    * co-occurrence build) that re-execution multiplies the whole
-    * upstream pipeline, the Spark-side analog of the re-inlined-CTE
-    * blowup the r12 q_kcore oracle hit in DuckDB.
+    * Deliberately NOT Materialize'd (r12, measured): the oriented frame
+    * is referenced three times, but every reference bottoms out in
+    * IDENTICAL exchange subtrees that ReuseExchange dedups within the
+    * one action — while a localCheckpoint of a data-sized edge frame
+    * pays a full extra write per pass (sf10: 17 s floor unmaterialized
+    * vs 82-138 s with edge/oriented checkpoints). Materialize earns its
+    * keep only where reuse CANNOT fire — across peel rounds whose
+    * subtrees differ (see [[peel]]) — never on a frame the optimizer
+    * already shares.
     */
   def triangles(edges: DataFrame): DataFrame = {
-    val o = Materialize(orientedEdges(edges))
+    val o = orientedEdges(edges)
     val wedges = o.as("e1").join(o.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dord") < col("e2.dord"))
       .select(col("e1.src").as("x"), col("e1.dst").as("y"), col("e2.dst").as("z"))
@@ -131,10 +142,13 @@ object Graphs {
     // Materialize the round's input: it feeds the degree agg AND both
     // semi-joins (3 references), and peel rounds NEST — without the
     // checkpoint each round re-executes the previous rounds' whole
-    // lineage per reference (~3^rounds upstream replays; the r12 sf0.1
-    // board measured q_kcore at 45 s where the sibling one-pass
-    // label-prop build took 2.5 s). Each checkpoint is edge-frame-sized
-    // and freed by the ContextCleaner when the plan drops it.
+    // lineage per reference, and (measured r12) ReuseExchange does NOT
+    // dedup the nested round subtrees the way it shares triangles'
+    // identical oriented-frame references: q_kcore A/B at sf10 ran
+    // 293.5 s lineage-only vs 54.8 s with per-round checkpoints (76.3
+    // vs 3.4 s at sf0.1). Round inputs are post-cut edge frames — small
+    // relative to the pair build — and each checkpoint is freed by the
+    // ContextCleaner when the plan drops it.
     val e = Materialize(edges)
     val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
     e

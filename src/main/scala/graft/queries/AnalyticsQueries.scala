@@ -487,12 +487,12 @@ object AnalyticsQueries {
     //    ordered vertex; no distinct over the wedge output.
     Q("q_triangle_count",
       (s, dir) => {
-        // Materialized: the edge frame feeds orientedEdges' degree agg +
-        // both orientation joins + triangleSupport's node roster — four
-        // references that would each replay the co-occurrence build.
-        val edges = graft.operators.Materialize(
-          graft.operators.Graphs.cooccurrenceEdges(
-            Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
+        // NOT materialized (r12, measured): the four references to the
+        // edge frame all end in identical exchanges that ReuseExchange
+        // shares within the action; a checkpoint of a data-sized edge
+        // frame costs more than it saves (sf10: 17 s vs 82+ s).
+        val edges = graft.operators.Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
         graft.operators.Graphs.triangleSupport(edges)
           .select(col("node").as("suppkey"), col("n_triangles"))
           .orderBy(col("suppkey"))
@@ -536,8 +536,8 @@ object AnalyticsQueries {
     Q("q_clustering_coeff",
       (s, dir) => {
         import graft.operators.Graphs
-        val edges = graft.operators.Materialize(Graphs.cooccurrenceEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
+        val edges = Graphs.cooccurrenceEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
         Graphs.triangleSupport(edges)
           .join(Graphs.degrees(edges), Seq("node"))
           .select(col("node").as("suppkey"), col("deg"), col("n_triangles"),
@@ -604,9 +604,12 @@ object AnalyticsQueries {
     Q("q_kcore",
       (s, dir) => {
         import graft.operators.Graphs
-        // Materialized: pw feeds the weight histogram AND the cut filter.
-        val pw = graft.operators.Materialize(Graphs.cooccurrenceWeightedEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
+        // pw is referenced by the weight histogram AND the cut filter,
+        // but both references share the groupBy(u, v) exchange via
+        // ReuseExchange — checkpointing the data-sized pair frame costs
+        // a full extra write (measured r12, the triangles lesson).
+        val pw = Graphs.cooccurrenceWeightedEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
         val hist = pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val tot = hist.agg(sum(col("c")).as("n"))
         // Histogram-sized frames: the global-order window runs over
@@ -678,9 +681,12 @@ object AnalyticsQueries {
         // shared "co-supply community graph" definition) — the fixed
         // w ≥ 28 cut emptied the graph above sf0.01, making the
         // propagation vacuous exactly where the boards time it.
-        // Materialized: pw feeds the weight histogram AND the cut filter.
-        val pw = graft.operators.Materialize(Graphs.cooccurrenceWeightedEdges(
-          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey"))
+        // pw is referenced by the weight histogram AND the cut filter,
+        // but both references share the groupBy(u, v) exchange via
+        // ReuseExchange — checkpointing the data-sized pair frame costs
+        // a full extra write (measured r12, the triangles lesson).
+        val pw = Graphs.cooccurrenceWeightedEdges(
+          Tables.lineitem(s, dir), "l_orderkey", "l_suppkey")
         val hist = pw.groupBy(col("w")).agg(count(lit(1)).as("c"))
         val tot = hist.agg(sum(col("c")).as("n"))
         val cum = hist.withColumn("cum", sum(col("c")).over(
