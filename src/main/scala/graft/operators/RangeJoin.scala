@@ -149,4 +149,68 @@ object RangeJoin {
       .groupBy(col(groupCol))
       .agg(max(col("__off") + col("__mx")).as("peak"))
   }
+
+  /** Total covered time per group — the union length of a group's
+    * intervals in epoch milliseconds ("busy time": utilization, SLA
+    * coverage, time-under-load). Same distributed ±1 endpoint sweep as
+    * [[peakConcurrency]]: a segment between consecutive endpoints is
+    * covered iff the running interval count is positive, so
+    * busy = Σ gap·[run > 0] over the globally ordered endpoint stream.
+    * The stream spreads over range-ordered slabs; within-slab running
+    * sums and leads compose with a ≤ #partitions slab frame (prefix
+    * totals for the run offset, next-slab min ts for the boundary gap)
+    * — no window ever spans more than one partition, so a dense group
+    * cannot recreate the single-task ordered scan.
+    *
+    * The result is TIE-ORDER INVARIANT, which is what makes it
+    * engine-exact: rows at equal ts contribute gap 0 except the last,
+    * whose running count already includes every same-ts delta whatever
+    * their internal order (sum is commutative) — so any (ts)-stable
+    * sort in any engine, and even range-boundary tie splits across
+    * slabs, produce the identical integer total.
+    *
+    * Like [[countInInterval]] the slabbed frame feeds TWO consumers
+    * (the row window and the slab-stats agg) that must agree on __pid,
+    * hence the Materialize. NULL endpoints drop their interval (the
+    * range-predicate contract shared by the whole family).
+    */
+  def busyTime(
+      intervals: DataFrame, startCol: String, endCol: String,
+      groupCol: String): DataFrame = {
+    val iv = intervals.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val deltas = iv.select(col(groupCol),
+        unix_millis(col(startCol)).as("__ts"), lit(1L).as("__d"))
+      .unionByName(iv.select(col(groupCol),
+        unix_millis(col(endCol)).as("__ts"), lit(-1L).as("__d")))
+    val slabbed = deltas
+      .repartitionByRange(col(groupCol), col("__ts"), col("__d"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val mat = Materialize(slabbed)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol, "__pid").orderBy(col("__ts"), col("__d"))
+    val wRun = wOrd.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val rows = mat.withColumn("__run", sum("__d").over(wRun))
+      .withColumn("__nxt", lead(col("__ts"), 1).over(wOrd))
+    val slabStats = mat.groupBy(col(groupCol), col("__pid"))
+      .agg(sum("__d").as("__tot"), min("__ts").as("__mn"))
+    val wSlab = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("__pid")
+    val offs = slabStats
+      .withColumn("__off", coalesce(sum("__tot").over(
+        wSlab.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      // A group occupies CONTIGUOUS slabs under the range sort, so the
+      // next slab-stats row in pid order is the slab holding the
+      // group's next endpoint; null = the group's stream ends here
+      // (its last row has run 0 anyway — balanced ±1).
+      .withColumn("__nxtmn", lead(col("__mn"), 1).over(wSlab))
+      .select(col(groupCol), col("__pid"), col("__off"), col("__nxtmn"))
+    rows.join(broadcast(offs), Seq(groupCol, "__pid"))
+      .withColumn("__gap", coalesce(col("__nxt"), col("__nxtmn")) - col("__ts"))
+      .filter(col("__gap").isNotNull && (col("__off") + col("__run")) > 0)
+      .groupBy(col(groupCol))
+      .agg(sum("__gap").as("busy_ms"))
+  }
 }

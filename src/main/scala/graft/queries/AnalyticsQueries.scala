@@ -779,6 +779,43 @@ object AnalyticsQueries {
                CAST(n * 1000000 // total AS BIGINT) AS share_e6,
                CAST(cum_n * 1000000 // total AS BIGINT) AS cum_share_e6
         FROM ranked, tot ORDER BY rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // First-order event-transition matrix: per user, each event followed
+    // by the user's next event (ts, then event_id as the deterministic
+    // tiebreak) — the Markov-chain base behind next-action prediction
+    // and funnel-drop analysis. ONE shuffle on user_id feeds the lag
+    // window; the (src,dst) count agg is partial-agg'd map-side down to
+    // ≤ |types|² rows, and the per-src share is floor-ppm integer
+    // division (engine-exact, the q_clustering_coeff discipline).
+    Q("q_event_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val pairs = Tables.events(s, dir)
+          .withColumn("dst", lead(col("event_type"), 1).over(w))
+          .filter(col("dst").isNotNull)
+          .groupBy(col("event_type").as("src"), col("dst"))
+          .agg(count(lit(1)).as("n"))
+        val wSrc = Window.partitionBy(col("src"))
+        pairs
+          .withColumn("tot", sum(col("n")).over(wSrc))
+          .select(col("src"), col("dst"), col("n"),
+            expr("n * 1000000 DIV tot").as("share_ppm"))
+          .orderBy(col("src"), col("dst"))
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type AS src,
+                            LEAD(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+                     FROM events),
+        c AS (SELECT src, dst, COUNT(*) AS n FROM seq
+              WHERE dst IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.src, c.dst, c.n,
+               CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+        FROM c JOIN t USING (src) ORDER BY src, dst
       """))
   )
 }

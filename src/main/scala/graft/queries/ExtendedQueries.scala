@@ -434,6 +434,43 @@ object ExtendedQueries {
                        AS running
               FROM d)
         SELECT CAST(MAX(running) AS BIGINT) AS peak FROM r
+      """)),
+
+    // ------------------------------------------------------------------
+    // Interval-union length ("busy time") per event type: total
+    // milliseconds covered by ≥1 open 30-minute activity window — the
+    // third member of the order-statistics sweep family (peak asks for
+    // max running count, union length for Σ gap·[run > 0]). Same slab
+    // plan: range-ordered slabs, within-slab window, bounded slab-offset
+    // frame — three linear shuffles at any overlap density, and the
+    // total is tie-order INVARIANT (equal-ts rows contribute zero-length
+    // gaps; the last tie row's running count is a commutative sum), so
+    // both engines land the same integer whatever their tie order.
+    Q("q_interval_union",
+      (s, dir) => {
+        val iv = Tables.events(s, dir).select(col("event_type"),
+          col("ts").as("w_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("w_end"))
+        RangeJoin.busyTime(iv, "w_start", "w_end", "event_type")
+          .orderBy(col("event_type"))
+      },
+      Some("""
+        WITH d AS (
+          SELECT event_type, epoch_ms(ts) AS t, 1 AS d FROM events
+          UNION ALL
+          SELECT event_type, epoch_ms(ts + INTERVAL 30 MINUTE) AS t, -1 AS d
+          FROM events),
+        r AS (SELECT event_type, t,
+                     SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS running,
+                     LEAD(t) OVER (PARTITION BY event_type ORDER BY t, d)
+                       AS nxt
+              FROM d)
+        SELECT event_type,
+               CAST(SUM(CASE WHEN running > 0 AND nxt IS NOT NULL
+                             THEN nxt - t ELSE 0 END) AS BIGINT) AS busy_ms
+        FROM r GROUP BY 1 ORDER BY event_type
       """))
   )
 }

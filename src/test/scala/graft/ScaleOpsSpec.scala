@@ -83,6 +83,53 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!out.contains(999L))
   }
 
+  test("busyTime equals a brute-force interval merge (overlaps, ties, gaps)") {
+    // Deterministic pseudo-random layout: overlapping runs, exact
+    // back-to-back intervals (half-open: no double count, no gap),
+    // duplicate intervals, and isolated islands — per group.
+    val t0 = 1700000000000L
+    def ts(ms: Long) = new java.sql.Timestamp(t0 + ms)
+    val iv = (0 until 300).map { i =>
+      val g = s"g${i % 3}"
+      val start = ((i * 7919L) % 97) * 60000L + (i % 5) * 1000L
+      val len = (1 + (i * 104729L) % 7) * 30000L
+      (g, ts(start), ts(start + len))
+    }
+    val df = iv.toDF("g", "w_start", "w_end")
+    val got = RangeJoin.busyTime(df, "w_start", "w_end", "g")
+      .as[(String, Long)].collect().toMap
+    // Brute force: merge sorted intervals per group, sum merged lengths.
+    val want = iv.groupBy(_._1).map { case (g, rows) =>
+      val sorted = rows.map(r => (r._2.getTime, r._3.getTime)).sortBy(identity)
+      val merged = sorted.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, (s0, e0)) => acc match {
+          case (ps, pe) :: rest if s0 <= pe => (ps, math.max(pe, e0)) :: rest
+          case _ => (s0, e0) :: acc
+        }
+      }
+      g -> merged.map { case (s0, e0) => e0 - s0 }.sum
+    }
+    assert(got == want && want.values.forall(_ > 0))
+  }
+
+  test("busyTime: dense identical intervals collapse to one span; NULL endpoints drop") {
+    val t0 = 1700000000000L
+    val dense = Seq.tabulate(1000)(_ =>
+        ("g", new java.sql.Timestamp(t0), new java.sql.Timestamp(t0 + 60000L)))
+      .toDF("g", "w_start", "w_end")
+    val out = RangeJoin.busyTime(dense, "w_start", "w_end", "g")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("g" -> 60000L))
+    val withNulls = Seq(
+      ("h", new java.sql.Timestamp(t0), new java.sql.Timestamp(t0 + 1000L)),
+      ("h", null.asInstanceOf[java.sql.Timestamp], new java.sql.Timestamp(t0 + 99000L)),
+      ("h", new java.sql.Timestamp(t0), null.asInstanceOf[java.sql.Timestamp])
+    ).toDF("g", "w_start", "w_end")
+    val outN = RangeJoin.busyTime(withNulls, "w_start", "w_end", "g")
+      .as[(String, Long)].collect().toMap
+    assert(outN == Map("h" -> 1000L))
+  }
+
   test("bucketed join plans without any shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS graft_bkt_a")
     spark.sql("DROP TABLE IF EXISTS graft_bkt_b")
