@@ -27,15 +27,21 @@ SF100=/root/repo/.scale/sf100
 SF10=/root/repo/.scale/sf10
 # same-day sf10 references (natural 32-partition regime) + controls
 for q in q1_agg q3_shipping q5_local_supplier q18_large_orders \
-         q_triangle_count q_kcore q_label_prop q_peak_concurrency_global; do
+         q_triangle_count q_kcore q_label_prop q_peak_concurrency_global \
+         q_interval_union; do
   run $SF10 $q 32
 done
 # sf100 sized regime (256 partitions ~ 10x the sf10 sizing)
 for q in q5_local_supplier q18_large_orders q_triangle_count \
-         q_kcore q_label_prop q_peak_concurrency_global; do
+         q_kcore q_label_prop q_peak_concurrency_global q_interval_union; do
   run $SF100 $q 256
 done
 # the two residuals ALSO at the old fixed-32 regime for the A/B
 run $SF100 q18_large_orders 32
 run $SF100 q5_local_supplier 32
+# verdict item 5: RunOne-isolate d_dedup_resolve's sf0.1 in-board
+# doubling (1.43 -> 2.99 s r10 -> r11, unadjudicated) + the machinery-
+# sharing x_dedup_eval as its same-host control
+run /root/testdata/sf0.1 d_dedup_resolve 32
+run /root/testdata/sf0.1 x_dedup_eval 32
 log "[probe] r12 sized suite done $(date +%T)"
