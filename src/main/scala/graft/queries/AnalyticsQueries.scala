@@ -816,6 +816,45 @@ object AnalyticsQueries {
         SELECT c.src, c.dst, c.n,
                CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
         FROM c JOIN t USING (src) ORDER BY src, dst
+      """)),
+
+    // ------------------------------------------------------------------
+    // Inter-event gap distribution per user: count, discrete median and
+    // p90 of consecutive-event gaps in ms — the engagement-cadence
+    // profile behind churn/anomaly features. Gaps come from ONE lag
+    // window on the user_id shuffle; the percentiles are DISCRETE
+    // (min value whose cume_dist ≥ q — actual data values, the
+    // t_winsorize cross-engine discipline, no interpolation drift).
+    Q("q_user_gaps",
+      (s, dir) => {
+        val wSeq = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .withColumn("gap",
+            unix_millis(col("ts")) - unix_millis(lag(col("ts"), 1).over(wSeq)))
+          .filter(col("gap").isNotNull)
+        val wCd = Window.partitionBy(col("user_id")).orderBy(col("gap"))
+        gaps.withColumn("cd", cume_dist().over(wCd))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_gaps"),
+            min(when(col("cd") >= 0.5, col("gap"))).as("median_gap_ms"),
+            min(when(col("cd") >= 0.9, col("gap"))).as("p90_gap_ms"))
+          .orderBy(col("user_id"))
+      },
+      Some("""
+        WITH g AS (SELECT user_id,
+                          epoch_ms(ts) - LAG(epoch_ms(ts)) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id) AS gap
+                   FROM events),
+        g2 AS (SELECT user_id, gap,
+                      cume_dist() OVER (PARTITION BY user_id ORDER BY gap) AS cd
+               FROM g WHERE gap IS NOT NULL)
+        SELECT user_id, COUNT(*) AS n_gaps,
+               CAST(MIN(CASE WHEN cd >= 0.5 THEN gap END) AS BIGINT)
+                 AS median_gap_ms,
+               CAST(MIN(CASE WHEN cd >= 0.9 THEN gap END) AS BIGINT)
+                 AS p90_gap_ms
+        FROM g2 GROUP BY 1 ORDER BY user_id
       """))
   )
 }

@@ -1846,6 +1846,49 @@ object DataPipelineQueries {
         SELECT doc_id, bucket, CAST(SUM(sgn) AS BIGINT) AS w
         FROM b GROUP BY 1, 2 HAVING SUM(sgn) <> 0
         ORDER BY doc_id, bucket
+      """)),
+
+    // ------------------------------------------------------------------
+    // Corpus novelty curve: per doc, how many of its distinct 3-gram
+    // shingles appear in NO earlier (lower doc_id) document — the
+    // contribution-ordering metric behind dataset dedup ROI and
+    // curriculum ordering (a late doc with novelty ~0 is pure repeat).
+    // One partial-agg'd min(doc_id) per shingle; the attribution join
+    // reuses the explode's exchange (same subtree, same key), so the
+    // whole query is ONE logical shuffle of the shingle stream plus the
+    // per-doc agg — no pair join, flood shingles cost one row each.
+    Q("x_shingle_novelty",
+      (s, dir) => {
+        val sh = Tables.documents(s, dir).select(col("doc_id"),
+          explode(TextDedup.wordShingles(col("text"), 3)).as("shingle"))
+        val firsts = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+        sh.join(firsts, Seq("shingle"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .withColumn("novelty_ppm",
+            expr("n_novel * 1000000 DIV n_shingles"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')]
+                           ELSE list_distinct(list_transform(range(1, len(t) - 1),
+                                  i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                      END AS sh
+               FROM toks),
+        ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh),
+        f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM ex GROUP BY 1)
+        SELECT e.doc_id, COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                    * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+        FROM ex e JOIN f USING (shingle)
+        GROUP BY e.doc_id ORDER BY e.doc_id
       """))
   )
 }

@@ -471,6 +471,38 @@ object ExtendedQueries {
                CAST(SUM(CASE WHEN running > 0 AND nxt IS NOT NULL
                              THEN nxt - t ELSE 0 END) AS BIGINT) AS busy_ms
         FROM r GROUP BY 1 ORDER BY event_type
+      """)),
+
+    // ------------------------------------------------------------------
+    // Numeric band-join COUNT: how many parts price within [p−5, p+5) of
+    // each part — the |a−b| ≤ δ self-join every pricing/anomaly pipeline
+    // wants, and the classic quadratic trap (the naive inequality
+    // self-join is O(n²) pairs even when only counts are needed). The
+    // order-statistics plan is axis-agnostic: countInInterval never
+    // converts to time, it range-partitions whatever orderable key it's
+    // given, so count(band) = C(<hi) − C(<lo) in three linear shuffles
+    // at ANY price-cluster density (a million same-priced parts cannot
+    // recreate the pair blowup). IEEE ±5.0 offsets and the half-open
+    // boundary are bit-identical in both engines; self-inclusion keeps
+    // every part in the output (inner-join contract never empties it).
+    Q("q_price_band",
+      (s, dir) => {
+        val parts = Tables.part(s, dir)
+        val points = parts.select(col("p_retailprice").as("price"))
+        val bands = parts.select(col("p_partkey"),
+          (col("p_retailprice") - lit(5.0)).as("lo"),
+          (col("p_retailprice") + lit(5.0)).as("hi"))
+        RangeJoin.countInInterval(points, "price", bands, "lo", "hi",
+            "p_partkey")
+          .withColumnRenamed("n_points", "n_band")
+          .orderBy(col("p_partkey"))
+      },
+      Some("""
+        SELECT a.p_partkey, COUNT(*) AS n_band
+        FROM part a JOIN part b
+          ON b.p_retailprice >= a.p_retailprice - 5.0
+         AND b.p_retailprice <  a.p_retailprice + 5.0
+        GROUP BY 1 ORDER BY a.p_partkey
       """))
   )
 }
