@@ -83,6 +83,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(!out.contains(999L))
   }
 
+  test("countInInterval is axis-agnostic: numeric band self-count under a same-value flood") {
+    // Every point at ONE price and every band covering it — the regime
+    // where a pair join builds n*m rows for an n-row count output. The
+    // numeric axis also pins that no time conversion hides in the plan
+    // (q_price_band's contract): half-open [lo, hi) on raw doubles.
+    val pts = Seq.tabulate(2000)(i => (i.toLong, 100.0)).toDF("pid", "price")
+    val bands = Seq.tabulate(1000)(i => (i.toLong, 95.0, 105.0))
+      .toDF("bid", "lo", "hi")
+    val out = RangeJoin.countInInterval(pts, "price", bands, "lo", "hi", "bid")
+      .as[(Long, Long)].collect().toMap
+    assert(out.size == 1000 && out.values.forall(_ == 2000L))
+    // Boundary exactness on the numeric axis: points AT lo in, AT hi out.
+    val edge = Seq((1L, 95.0), (2L, 105.0), (3L, 104.999999)).toDF("pid", "price")
+    val one = Seq((7L, 95.0, 105.0)).toDF("bid", "lo", "hi")
+    val n = RangeJoin.countInInterval(edge, "price", one, "lo", "hi", "bid")
+      .as[(Long, Long)].collect().toMap
+    assert(n == Map(7L -> 2L))
+  }
+
   test("busyTime equals a brute-force interval merge (overlaps, ties, gaps)") {
     // Deterministic pseudo-random layout: overlapping runs, exact
     // back-to-back intervals (half-open: no double count, no gap),
