@@ -53,6 +53,16 @@ object StreamQueries {
     root
   }
 
+  /** Scratch slot for the stateful streaming transition gate (same
+    * discipline as [[upsertScratch]]). */
+  private lazy val transGateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-trans-gate-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   /** Build-once cache for a streaming query's input DROPS: `build`
     * writes the drop files the first time a (slot, sfDir) pair is seen
     * in this JVM; later invocations reuse them. Staging the stream's
@@ -410,6 +420,58 @@ object StreamQueries {
         JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON c.ts >= s.ts AND c.ts < s.ts + INTERVAL 1 HOUR
         GROUP BY 1 ORDER BY signup_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // STATEFUL streaming transition matrix end-to-end (ORACLED, r12):
+    // events stream through a real readStream in two TIME-split drops
+    // (split at the median ts — a pure event-time cut, so each user's
+    // drop-1 events precede their drop-2 events and the cross-batch
+    // transition is real). Each micro-batch counts its intra-batch
+    // consecutive pairs plus the boundary pair against the per-user
+    // last-event STATE snapshot of the PREVIOUS batch; state is
+    // batchId-versioned so an at-least-once replay recomputes against
+    // exactly what it saw the first time (StreamOps.transitionsSink).
+    // Accumulated increments == ONE batch q_event_transitions whatever
+    // the batch boundaries — the oracle is its SQL verbatim.
+    Q("st_event_transitions",
+      (s, dir) => {
+        val drop = cachedDrops("st_event_transitions", dir) { d =>
+          val ev = Tables.events(s, dir).select(
+            col("event_id"), col("ts"), col("user_id"), col("event_type"))
+          // Deterministic harness threshold (exact interpolated median;
+          // need not match any oracle — it only places the batch cut).
+          val m = ev.agg(expr("percentile(unix_millis(ts), 0.5)"))
+            .head().getDouble(0)
+          ev.filter(unix_millis(col("ts")) <= m)
+            .repartition(8).write.mode("append").parquet(s"$d/drop")
+          ev.filter(unix_millis(col("ts")) > m)
+            .coalesce(1).write.mode("append").parquet(s"$d/drop")
+        } + "/drop"
+        deleteRec(transGateScratch)
+        val tmp = java.nio.file.Files.createDirectories(transGateScratch)
+        phase("st_event_transitions", "stream") {
+          val src = s.readStream.schema(
+            "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+            .option("maxFilesPerTrigger", 8).parquet(drop)
+          StreamOps.transitionsSink(src, s"$tmp/out", s"$tmp/ckpt")
+            .awaitTermination()
+        }
+        StreamOps.transitionsRead(s, s"$tmp/out")
+          .orderBy(col("src"), col("dst"))
+          .localCheckpoint() // materialize before the scratch is re-wiped
+      },
+      Some("""
+        WITH seq AS (SELECT user_id, event_type AS src,
+                            LEAD(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS dst
+                     FROM events),
+        c AS (SELECT src, dst, COUNT(*) AS n FROM seq
+              WHERE dst IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT src, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.src, c.dst, c.n,
+               CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
+        FROM c JOIN t USING (src) ORDER BY src, dst
       """))
   )
 }

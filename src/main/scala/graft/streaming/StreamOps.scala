@@ -392,6 +392,85 @@ object StreamOps {
     spark.read.parquet(s"$targetDir/batch_*")
       .groupBy(col(idCol)).agg(sum(col("n_points")).as("n_points"))
 
+  /** foreachBatch per-user event-transition sink — STATEFUL streaming:
+    * the per-user LAST EVENT must survive micro-batch boundaries so the
+    * transition that straddles two batches (user's last event of batch
+    * N → first event of batch N+1) is counted exactly once. State lives
+    * as a batchId-VERSIONED user-cardinality snapshot
+    * (`state_<batchId>` = prior snapshot overridden by this batch's
+    * per-user lasts), and the boundary join always reads
+    * `state_<batchId-1>` — NOT "the latest" — so an at-least-once
+    * REPLAY of batch N recomputes against exactly the state it saw the
+    * first time (a mutate-in-place state table would feed the replay
+    * its own output: the stateful twin of the double-count hazard the
+    * range sink documents). Increments are batchId-keyed overwrites,
+    * idempotent as in [[rangeCountSink]].
+    *
+    * Requires the stream to deliver each user's events in
+    * (ts, event_id) order ACROSS batches (within a batch any order is
+    * fine — the lag window sorts); a time-split file source satisfies
+    * this, matching the replay/backfill regime the batch operator runs
+    * in. Scale shape: state is user-cardinality (one row per user seen
+    * so far), increments are ≤ |types|² per batch, the per-batch lag
+    * window shuffles only the batch.
+    */
+  def transitionsSink(
+      events: DataFrame,
+      targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // 3 consumers: pairs/firsts/lasts
+        val wAsc = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        val intra = b.withColumn("dst", lead(col("event_type"), 1).over(wAsc))
+          .filter(col("dst").isNotNull)
+          .select(col("event_type").as("src"), col("dst"))
+        val firsts = b.withColumn("rn", row_number().over(wAsc))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("first_type"))
+        val lasts = b.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+              .orderBy(col("ts").desc, col("event_id").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type").as("last_type"))
+        val statePath = new Path(s"$targetDir/state_${batchId - 1}")
+        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (batchId > 0 && fs.exists(statePath))
+            spark.read.parquet(statePath.toString)
+          else lasts.limit(0)
+        val boundary = prev.join(firsts, Seq("user_id"))
+          .select(col("last_type").as("src"), col("first_type").as("dst"))
+        intra.unionByName(boundary)
+          .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$targetDir/inc_$batchId")
+        prev.join(lasts, Seq("user_id"), "left_anti")
+          .unionByName(lasts)
+          .write.mode("overwrite").parquet(s"$targetDir/state_$batchId")
+        ()
+      }
+      .start()
+
+  /** Publish step for [[transitionsSink]]: sum the per-batch increments
+    * and derive the per-src floor-ppm share — column-identical to the
+    * batch `q_event_transitions`, so the batch oracle replays verbatim.
+    */
+  def transitionsRead(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame = {
+    val counts = spark.read.parquet(s"$targetDir/inc_*")
+      .groupBy("src", "dst").agg(sum(col("n")).as("n"))
+    counts
+      .withColumn("tot", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+      .select(col("src"), col("dst"), col("n"),
+        expr("n * 1000000 DIV tot").as("share_ppm"))
+  }
+
   /** Shared merge-and-swap skeleton: heal a half-finished previous swap,
     * build the merged frame (given whether a target exists), write it to
     * staging, then swap. Swap order is crash-recoverable: target → .old,

@@ -227,6 +227,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.except(batch).count() == 0, "stream emitted a pair the batch twin lacks")
   }
 
+  test("stateful transitions sink: versioned state makes a full replay byte-identical") {
+    // Two TIME-split drops so a real cross-batch boundary transition
+    // exists; run the stream, then wipe ONLY the checkpoint and run it
+    // again over the SAME target (every batch replays against existing
+    // state_N / inc_N files — the at-least-once crash window, maximally
+    // widened). The published matrix must not move: batch 0 re-reads the
+    // nonexistent state_-1 (empty, as the first time) and batch 1
+    // re-reads the re-written state_0, so replays never see their own
+    // output.
+    val dir = Files.createTempDirectory("graft-trans").toString
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+    val m = ev.agg(expr("percentile(unix_millis(ts), 0.5)")).head().getDouble(0)
+    ev.filter(unix_millis(col("ts")) <= m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    ev.filter(unix_millis(col("ts")) > m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream.schema(
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop")
+      StreamOps.transitionsSink(src, s"$dir/out", ckpt).awaitTermination()
+    }
+    runStream(s"$dir/ckpt1")
+    val first = StreamOps.transitionsRead(spark, s"$dir/out")
+      .orderBy("src", "dst").collect().toSeq
+    runStream(s"$dir/ckpt2") // full replay over the intact target
+    val second = StreamOps.transitionsRead(spark, s"$dir/out")
+      .orderBy("src", "dst").collect().toSeq
+    assert(first == second && first.nonEmpty)
+    // And the published matrix equals the one-shot batch operator.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batchPairs = ev.withColumn("dst", lead(col("event_type"), 1).over(w))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("src", "dst")
+      .select("src", "dst", "n").as[(String, String, Long)].collect().toSeq
+    val streamed = first.map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(streamed == batchPairs)
+  }
+
   test("foreachBatch upsert sink merges drops into the parquet target by key") {
     val dropDir = Files.createTempDirectory("graft-upsert-in").toString
     val target = Files.createTempDirectory("graft-upsert-t").toString + "/table"
