@@ -389,8 +389,22 @@ object StreamOps {
     */
   def rangeCountRead(spark: org.apache.spark.sql.SparkSession,
       targetDir: String, idCol: String): DataFrame =
-    spark.read.parquet(s"$targetDir/batch_*")
+    spark.read.parquet(increments(spark, targetDir, "batch_"): _*)
       .groupBy(col(idCol)).agg(sum(col("n_points")).as("n_points"))
+
+  /** Concrete batchId-keyed subdirectories of a sink target. Globbing
+    * (`targetDir/batch_*`) works but makes every publish read stat the
+    * literal glob string for a `_spark_metadata` dir (FileStreamSink
+    * .hasMetadata), logging a spurious FileNotFoundException WARN stack
+    * per read — explicit paths keep probe/ops logs exception-free.
+    */
+  private def increments(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String, prefix: String): Seq[String] = {
+    val dir = new Path(targetDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).map(_.getPath)
+      .filter(_.getName.startsWith(prefix)).map(_.toString).toSeq
+  }
 
   /** foreachBatch per-user event-transition sink — STATEFUL streaming:
     * the per-user LAST EVENT must survive micro-batch boundaries so the
@@ -462,7 +476,7 @@ object StreamOps {
     */
   def transitionsRead(spark: org.apache.spark.sql.SparkSession,
       targetDir: String): DataFrame = {
-    val counts = spark.read.parquet(s"$targetDir/inc_*")
+    val counts = spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
       .groupBy("src", "dst").agg(sum(col("n")).as("n"))
     counts
       .withColumn("tot", sum(col("n")).over(
