@@ -855,6 +855,93 @@ object AnalyticsQueries {
                CAST(MIN(CASE WHEN cd >= 0.9 THEN gap END) AS BIGINT)
                  AS p90_gap_ms
         FROM g2 GROUP BY 1 ORDER BY user_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Sequential pattern mining, order 3: each user's consecutive
+    // event-type trigrams (ts, then event_id as the deterministic
+    // tiebreak), counted corpus-wide — the path-mining step above
+    // q_event_transitions' bigram matrix ("what do users do next, two
+    // steps out"). ONE shuffle on user_id feeds BOTH lead windows (same
+    // partitioning and sort, one Window operator); the count agg is
+    // partial-agg'd map-side down to ≤ |types|³ rows, so the top-20 is
+    // a TakeOrdered merge, never a global sort of event-cardinality.
+    Q("q_path_trigrams",
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("s2", lead(col("event_type"), 1).over(w))
+          .withColumn("s3", lead(col("event_type"), 2).over(w))
+          .filter(col("s3").isNotNull)
+          .groupBy(col("event_type").as("s1"), col("s2"), col("s3"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+          .limit(20)
+      },
+      Some("""
+        WITH seq AS (SELECT event_type AS s1,
+                            LEAD(event_type, 1) OVER w AS s2,
+                            LEAD(event_type, 2) OVER w AS s3
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT s1, s2, s3, COUNT(*) AS n
+        FROM seq WHERE s3 IS NOT NULL
+        GROUP BY 1, 2, 3 ORDER BY n DESC, s1, s2, s3 LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // Market-basket affinity over co-ordered part brands: support counts
+    // and integer-ppm lift (n_xy·N·1e6)/(n_x·n_y) for every brand pair
+    // sharing an order — the association-rule base behind cross-sell and
+    // assortment analyses. The pair build is the audited co-occurrence
+    // plan (distinct (order, brand) + self-join on the order key):
+    // output is bounded by |brands|², per-order fan-out by the basket's
+    // DISTINCT-BRAND count (≤ 25) — the bound that held q_triangle_count
+    // linear at factor 1000. Marginals are |brands| rows and broadcast;
+    // lift arithmetic is decimal so n_xy·N·1e6 cannot overflow long at
+    // corpus scale. Lift > 1e6 means the pair co-occurs MORE than
+    // independence predicts.
+    Q("q_basket_affinity",
+      (s, dir) => {
+        val ob = Tables.lineitem(s, dir)
+          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+          .distinct()
+        val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_b"))
+        val tot = ob.select(col("okey")).distinct()
+          .agg(count(lit(1)).as("n_orders"))
+        ob.toDF("okey", "brand_x")
+          .join(ob.toDF("okey", "brand_y"), Seq("okey"))
+          .filter(col("brand_x") < col("brand_y"))
+          .groupBy(col("brand_x"), col("brand_y"))
+          .agg(count(lit(1)).as("n_xy"))
+          .join(broadcast(marg.toDF("brand_x", "n_x")), Seq("brand_x"))
+          .join(broadcast(marg.toDF("brand_y", "n_y")), Seq("brand_y"))
+          .crossJoin(broadcast(tot))
+          .select(col("brand_x"), col("brand_y"), col("n_xy"),
+            col("n_x"), col("n_y"),
+            expr("""CAST((CAST(n_xy AS DECIMAL(38,0)) * n_orders * 1000000)
+                    DIV (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)""")
+              .as("lift_ppm"))
+          .orderBy(col("brand_x"), col("brand_y"))
+      },
+      Some("""
+        WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+        m AS (SELECT brand, COUNT(*) AS n_b FROM ob GROUP BY 1),
+        t AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM ob),
+        p AS (SELECT a.brand AS brand_x, b.brand AS brand_y,
+                     COUNT(*) AS n_xy
+              FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+              GROUP BY 1, 2)
+        SELECT brand_x, brand_y, n_xy, mx.n_b AS n_x, my.n_b AS n_y,
+               CAST(CAST(n_xy AS HUGEINT) * n_orders * 1000000
+                    // (CAST(mx.n_b AS HUGEINT) * my.n_b) AS BIGINT)
+                 AS lift_ppm
+        FROM p JOIN m mx ON p.brand_x = mx.brand
+               JOIN m my ON p.brand_y = my.brand, t
+        ORDER BY brand_x, brand_y
       """))
   )
 }

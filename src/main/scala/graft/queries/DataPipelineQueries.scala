@@ -1889,6 +1889,66 @@ object DataPipelineQueries {
                     * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
         FROM ex e JOIN f USING (shingle)
         GROUP BY e.doc_id ORDER BY e.doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Corpus bigram association (PMI-style lift): for adjacent token
+    // pairs, occurrence count and integer-ppm lift vs the unigram
+    // marginals — (n_xy·N·1e6)/(n_x·n_y), the collocation detector
+    // behind phrase mining and tokenizer merge candidates (a lift far
+    // above 1e6 = the pair co-occurs far beyond independence). The
+    // integer ratio is rank-equivalent to log-PMI and engine-exact —
+    // the x_tfidf discipline (ln() is libm-dependent). Positional
+    // bigrams come straight off the token array (zip_with of two
+    // slices, zero shuffle); then ONE vocabulary-sized groupBy each for
+    // pairs and marginals and two vocabulary-keyed joins — nothing is
+    // ever document-pair shaped, flood tokens cost one row each.
+    // Decimal/HUGEINT arithmetic keeps n_xy·N·1e6 exact at corpus
+    // scale; min-support 5 bounds the reported tail.
+    Q("x_token_pmi",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(split(graft.functions.normText(col("text")), " ").as("t0"))
+          .select(expr("filter(t0, x -> x <> '')").as("toks"))
+        val uni = t.select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        val tot = uni.agg(sum(col("n")).as("n_tot"))
+        val bi = t.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """zip_with(slice(toks, 1, size(toks) - 1),
+                        slice(toks, 2, size(toks) - 1),
+                        (a, b) -> named_struct('x', a, 'y', b))""")).as("p"))
+          .select(col("p.x").as("x"), col("p.y").as("y"))
+          .groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 5)
+        bi.join(uni.toDF("x", "n_x"), Seq("x"))
+          .join(uni.toDF("y", "n_y"), Seq("y"))
+          .crossJoin(broadcast(tot))
+          .select(col("x"), col("y"), col("n_xy"), col("n_x"), col("n_y"),
+            expr("""CAST((CAST(n_xy AS DECIMAL(38,0)) * n_tot * 1000000)
+                    DIV (CAST(n_x AS DECIMAL(38,0)) * n_y) AS BIGINT)""")
+              .as("lift_ppm"))
+          .orderBy(col("lift_ppm").desc, col("x"), col("y"))
+          .limit(20)
+      },
+      Some(s"""
+        WITH t AS (SELECT list_filter($Toks, x -> x <> '') AS toks
+                   FROM documents),
+        uni AS (SELECT unnest(toks) AS tok FROM t),
+        u AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM u),
+        bg AS (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS b
+               FROM t WHERE len(toks) >= 2),
+        p AS (SELECT string_split(b, ' ')[1] AS x,
+                     string_split(b, ' ')[2] AS y, COUNT(*) AS n_xy
+              FROM bg GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        SELECT x, y, n_xy, ux.n AS n_x, uy.n AS n_y,
+               CAST(CAST(n_xy AS HUGEINT) * n_tot * 1000000
+                    // (CAST(ux.n AS HUGEINT) * uy.n) AS BIGINT)
+                 AS lift_ppm
+        FROM p JOIN u ux ON p.x = ux.tok JOIN u uy ON p.y = uy.tok, tot
+        ORDER BY lift_ppm DESC, x, y LIMIT 20
       """))
   )
 }

@@ -63,6 +63,16 @@ object StreamQueries {
     root
   }
 
+  /** Scratch slot for the stateful streaming quota gate (same
+    * discipline as [[upsertScratch]]). */
+  private lazy val quotaGateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-quota-gate-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   /** Build-once cache for a streaming query's input DROPS: `build`
     * writes the drop files the first time a (slot, sfDir) pair is seen
     * in this JVM; later invocations reuse them. Staging the stream's
@@ -472,6 +482,56 @@ object StreamQueries {
         SELECT c.src, c.dst, c.n,
                CAST(c.n * 1000000 // t.tot AS BIGINT) AS share_ppm
         FROM c JOIN t USING (src) ORDER BY src, dst
+      """)),
+
+    // ------------------------------------------------------------------
+    // STATEFUL streaming source-quota gate (ORACLED): documents stream
+    // in two doc_id-split drops (a pure key-ordered cut, so each
+    // source's drop-1 docs precede its drop-2 docs and the quota
+    // genuinely fills ACROSS the batch boundary); each micro-batch
+    // admits rows whose global per-source rank — batch rank plus the
+    // batchId-VERSIONED per-source seen-count of the previous batch —
+    // is within the quota (StreamOps.quotaSink, the transitionsSink
+    // replay discipline). Admitted increments are disjoint by
+    // construction, so the union == ONE batch first-10-per-source
+    // answer whatever the batch boundaries — the oracle is that window
+    // SQL verbatim. Quota 10 < the 25 docs/source the generator emits,
+    // so the gate genuinely REJECTS at every tested SF (a quota ≥ the
+    // per-source count would verify a filter that never fires — the
+    // q_kcore vacuous-at-scale lesson).
+    Q("st_quota_gate",
+      (s, dir) => {
+        val drop = cachedDrops("st_quota_gate", dir) { d =>
+          val docs = Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"))
+          // Deterministic harness threshold (exact interpolated median;
+          // it only places the batch cut, no oracle contact).
+          val m = docs.agg(expr("percentile(doc_id, 0.5)"))
+            .head().getDouble(0)
+          docs.filter(col("doc_id") <= m)
+            .repartition(8).write.mode("append").parquet(s"$d/drop")
+          docs.filter(col("doc_id") > m)
+            .coalesce(1).write.mode("append").parquet(s"$d/drop")
+        } + "/drop"
+        deleteRec(quotaGateScratch)
+        val tmp = java.nio.file.Files.createDirectories(quotaGateScratch)
+        phase("st_quota_gate", "stream") {
+          val src = s.readStream.schema("doc_id LONG, source STRING")
+            .option("maxFilesPerTrigger", 8).parquet(drop)
+          StreamOps.quotaSink(src, 10, s"$tmp/out", s"$tmp/ckpt")
+            .awaitTermination()
+        }
+        StreamOps.quotaRead(s, s"$tmp/out")
+          .orderBy(col("doc_id"))
+          .localCheckpoint() // materialize before the scratch is re-wiped
+      },
+      Some("""
+        SELECT doc_id, source, rk FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rk
+          FROM documents)
+        WHERE rk <= 10 ORDER BY doc_id
       """))
   )
 }

@@ -485,6 +485,71 @@ object StreamOps {
         expr("n * 1000000 DIV tot").as("share_ppm"))
   }
 
+  /** foreachBatch per-source admission-quota sink — STATEFUL streaming:
+    * admit each source's first `quota` documents by doc_id order across
+    * ALL batches (the streaming twin of a batch
+    * `row_number() OVER (PARTITION BY source ORDER BY doc_id) <= quota`
+    * — the canonical "cap any one domain at ingest" gate). State is the
+    * per-source SEEN count so far, batchId-VERSIONED like
+    * [[transitionsSink]]: batch N's admission ranks are offset by
+    * `state_<N-1>` — never "the latest" — so an at-least-once replay of
+    * batch N recomputes against exactly the counts it saw the first
+    * time; admitted rows land in a batchId-keyed overwrite (idempotent
+    * as in [[rangeCountSink]]).
+    *
+    * Requires the stream to deliver each source's docs in doc_id order
+    * ACROSS batches (a doc_id-split file source satisfies this — the
+    * backfill regime); within a batch any order is fine, the rank
+    * window sorts. Scale shape: state is source-cardinality, the
+    * per-batch rank window shuffles only the batch, and published
+    * increments total ≤ quota·|sources| rows.
+    */
+  def quotaSink(
+      docs: DataFrame,
+      quota: Int,
+      targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // 2 consumers: ranks + counts
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("doc_id"))
+        val counts = b.groupBy(col("source")).agg(count(lit(1)).as("n_new"))
+        val statePath = new Path(s"$targetDir/state_${batchId - 1}")
+        val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val prev =
+          if (batchId > 0 && fs.exists(statePath))
+            spark.read.parquet(statePath.toString)
+          else counts.select(col("source"), col("n_new").as("n_seen")).limit(0)
+        b.withColumn("rn", row_number().over(w))
+          .join(prev, Seq("source"), "left")
+          .withColumn("rk",
+            col("rn").cast("long") + coalesce(col("n_seen"), lit(0L)))
+          .filter(col("rk") <= quota)
+          .select(col("doc_id"), col("source"), col("rk"))
+          .write.mode("overwrite").parquet(s"$targetDir/inc_$batchId")
+        prev.join(counts, Seq("source"), "full_outer")
+          .select(col("source"),
+            (coalesce(col("n_seen"), lit(0L)) +
+              coalesce(col("n_new"), lit(0L))).as("n_seen"))
+          .write.mode("overwrite").parquet(s"$targetDir/state_$batchId")
+        ()
+      }
+      .start()
+
+  /** Publish step for [[quotaSink]]: the admitted rows are disjoint
+    * across batchId-keyed increments by construction (ranks are offset
+    * by the versioned seen-counts), so publishing is a plain union —
+    * no re-aggregation needed.
+    */
+  def quotaRead(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
+
   /** Shared merge-and-swap skeleton: heal a half-finished previous swap,
     * build the merged frame (given whether a target exists), write it to
     * staging, then swap. Swap order is crash-recoverable: target → .old,

@@ -271,6 +271,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batchPairs)
   }
 
+  test("stateful quota sink: versioned seen-counts fill the per-source " +
+      "quota across batches, replay byte-identical") {
+    // Two doc_id-split drops (each source straddles the cut), so the
+    // quota genuinely fills across the batch boundary: batch 1 must
+    // REJECT rows because of state written by batch 0. Then wipe only
+    // the checkpoint and re-run over the intact target — the versioned
+    // state (batch N joins state_<N-1>, never "the latest") must make
+    // the replay byte-identical.
+    val dir = Files.createTempDirectory("graft-quota").toString
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("source"))
+    val m = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    docs.filter(col("doc_id") <= m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    docs.filter(col("doc_id") > m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, source STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop")
+      StreamOps.quotaSink(src, 10, s"$dir/out", ckpt).awaitTermination()
+    }
+    runStream(s"$dir/ckpt1")
+    val first = StreamOps.quotaRead(spark, s"$dir/out")
+      .orderBy("doc_id").select("doc_id", "source", "rk").collect().toSeq
+    runStream(s"$dir/ckpt2") // full replay over the intact target
+    val second = StreamOps.quotaRead(spark, s"$dir/out")
+      .orderBy("doc_id").select("doc_id", "source", "rk").collect().toSeq
+    assert(first == second && first.nonEmpty)
+    // == the one-shot batch window cap, and the gate genuinely rejects.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    val batchCap = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10).orderBy("doc_id")
+      .select("doc_id", "source", "rk")
+      .as[(Long, String, Long)].collect().toSeq
+    val streamed = first.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(streamed == batchCap)
+    assert(first.size < docs.count(), "quota never rejected — vacuous gate")
+  }
+
   test("foreachBatch upsert sink merges drops into the parquet target by key") {
     val dropDir = Files.createTempDirectory("graft-upsert-in").toString
     val target = Files.createTempDirectory("graft-upsert-t").toString + "/table"
