@@ -942,6 +942,96 @@ object AnalyticsQueries {
         FROM p JOIN m mx ON p.brand_x = mx.brand
                JOIN m my ON p.brand_y = my.brand, t
         ORDER BY brand_x, brand_y
+      """)),
+
+    // ------------------------------------------------------------------
+    // RFM customer segmentation: recency (days since the customer's last
+    // order vs the corpus max date), frequency (order count), monetary
+    // (decimal-exact spend) — each scored into quintiles by comparison
+    // against percentile_disc(0.2/0.4/0.6/0.8) thresholds (the
+    // t_winsorize discipline: DISCRETE data values, cross-engine exact —
+    // never ntile over a global sort, which would put the whole customer
+    // frame in one window task). One orders shuffle on custkey builds
+    // the per-customer frame; thresholds are ONE tiny agg broadcast
+    // back; segments aggregate to ≤ 5³ rows map-side. Recency scores
+    // INVERT (5 = most recent); decimal spend compares exactly against
+    // the decimal threshold.
+    Q("q_rfm_segments",
+      (s, dir) => {
+        val rfm = Tables.orders(s, dir)
+          .groupBy(col("o_custkey"))
+          .agg(max(col("o_orderdate").cast("date")).as("last_d"),
+            count(lit(1)).as("f"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("m"))
+        val mx = rfm.agg(max(col("last_d")).as("max_d"))
+        val r = rfm.crossJoin(broadcast(mx))
+          .withColumn("r", datediff(col("max_d"), col("last_d")))
+        val cuts = r.agg(
+          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY r)").as("r1"),
+          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY r)").as("r2"),
+          expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY r)").as("r3"),
+          expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY r)").as("r4"),
+          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY f)").as("f1"),
+          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY f)").as("f2"),
+          expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY f)").as("f3"),
+          expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY f)").as("f4"),
+          expr("percentile_disc(0.2) WITHIN GROUP (ORDER BY m)").as("m1"),
+          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY m)").as("m2"),
+          expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY m)").as("m3"),
+          expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY m)").as("m4"))
+        r.crossJoin(broadcast(cuts))
+          .select(
+            (lit(5L) - (col("r") > col("r1")).cast("long")
+              - (col("r") > col("r2")).cast("long")
+              - (col("r") > col("r3")).cast("long")
+              - (col("r") > col("r4")).cast("long")).as("r_score"),
+            (lit(1L) + (col("f") > col("f1")).cast("long")
+              + (col("f") > col("f2")).cast("long")
+              + (col("f") > col("f3")).cast("long")
+              + (col("f") > col("f4")).cast("long")).as("f_score"),
+            (lit(1L) + (col("m") > col("m1")).cast("long")
+              + (col("m") > col("m2")).cast("long")
+              + (col("m") > col("m3")).cast("long")
+              + (col("m") > col("m4")).cast("long")).as("m_score"),
+            col("m"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("m")).cast("double").as("sum_monetary"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      },
+      Some("""
+        WITH rfm AS (SELECT o_custkey,
+                            MAX(CAST(o_orderdate AS DATE)) AS last_d,
+                            COUNT(*) AS f,
+                            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m
+                     FROM orders GROUP BY 1),
+        r AS (SELECT o_custkey, f, m,
+                     date_diff('day', last_d, (SELECT MAX(last_d) FROM rfm))
+                       AS r
+              FROM rfm),
+        cuts AS (SELECT
+            quantile_disc(r, 0.2) AS r1, quantile_disc(r, 0.4) AS r2,
+            quantile_disc(r, 0.6) AS r3, quantile_disc(r, 0.8) AS r4,
+            quantile_disc(f, 0.2) AS f1, quantile_disc(f, 0.4) AS f2,
+            quantile_disc(f, 0.6) AS f3, quantile_disc(f, 0.8) AS f4,
+            quantile_disc(m, 0.2) AS m1, quantile_disc(m, 0.4) AS m2,
+            quantile_disc(m, 0.6) AS m3, quantile_disc(m, 0.8) AS m4
+          FROM r),
+        scored AS (SELECT
+            5 - (r > r1)::INT - (r > r2)::INT - (r > r3)::INT
+              - (r > r4)::INT AS r_score,
+            1 + (f > f1)::INT + (f > f2)::INT + (f > f3)::INT
+              + (f > f4)::INT AS f_score,
+            1 + (m > m1)::INT + (m > m2)::INT + (m > m3)::INT
+              + (m > m4)::INT AS m_score,
+            m
+          FROM r, cuts)
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(m) AS DOUBLE) AS sum_monetary
+        FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
       """))
   )
 }

@@ -1912,7 +1912,14 @@ object DataPipelineQueries {
           .select(expr("filter(t0, x -> x <> '')").as("toks"))
         val uni = t.select(explode(col("toks")).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        val tot = uni.agg(sum(col("n")).as("n_tot"))
+        // Σ n over uni ≡ Σ size(toks) over t — but the narrow-scan form
+        // needs no explode and no shuffle, and (unlike a third `uni`
+        // consumer) cannot re-execute the vocabulary aggregation: the
+        // single-partition total-agg exchange can't reuse uni's hash
+        // exchange, so deriving the total from uni would run the
+        // explode+groupBy a third time (measured at factor 1000).
+        val tot = t.agg(
+          sum(size(col("toks")).cast("long")).as("n_tot"))
         val bi = t.filter(size(col("toks")) >= 2)
           .select(explode(expr(
             """zip_with(slice(toks, 1, size(toks) - 1),
@@ -1949,6 +1956,51 @@ object DataPipelineQueries {
                  AS lift_ppm
         FROM p JOIN u ux ON p.x = ux.tok JOIN u uy ON p.y = uy.tok, tot
         ORDER BY lift_ppm DESC, x, y LIMIT 20
+      """)),
+
+    // ------------------------------------------------------------------
+    // Vocabulary coverage curve: the top-100 tokens by occurrence with
+    // cumulative corpus coverage in ppm — the tokenizer-budget planning
+    // readout ("how much of the token stream do the first k vocabulary
+    // entries absorb"). ONE vocabulary-sized groupBy; the top-100 is a
+    // TakeOrdered merge (per-partition heaps, never a global sort), and
+    // the ordered cum-sum window runs AFTER the 100-row truncation, so
+    // its single partition holds exactly 100 rows at ANY corpus size.
+    // Decimal cum·1e6 arithmetic cannot overflow long at 100 TB token
+    // counts (the q_basket_affinity discipline).
+    Q("x_vocab_coverage",
+      (s, dir) => {
+        val t = Tables.documents(s, dir)
+          .select(split(graft.functions.normText(col("text")), " ").as("t0"))
+          .select(expr("filter(t0, x -> x <> '')").as("toks"))
+        val uni = t.select(explode(col("toks")).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        // Narrow-scan total (the x_token_pmi discipline): a second `uni`
+        // consumer would re-run the explode+vocabulary groupBy.
+        val tot = t.agg(
+          sum(size(col("toks")).cast("long")).as("n_tot"))
+        val w = Window.orderBy(col("n").desc, col("tok"))
+        uni.orderBy(col("n").desc, col("tok")).limit(100)
+          .crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("cum_n", sum(col("n")).over(w))
+          .select(col("rk"), col("tok"), col("n"),
+            expr("""CAST((CAST(cum_n AS DECIMAL(38,0)) * 1000000)
+                    DIV n_tot AS BIGINT)""").as("cum_share_ppm"))
+          .orderBy(col("rk"))
+      },
+      Some(s"""
+        WITH uni AS (SELECT unnest(list_filter($Toks, x -> x <> '')) AS tok
+                     FROM documents),
+        u AS (SELECT tok, COUNT(*) AS n FROM uni GROUP BY 1),
+        tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot FROM u),
+        top AS (SELECT tok, n,
+                       ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk
+                FROM u ORDER BY n DESC, tok LIMIT 100)
+        SELECT rk, tok, n,
+               CAST(CAST(SUM(n) OVER (ORDER BY rk) AS HUGEINT) * 1000000
+                    // n_tot AS BIGINT) AS cum_share_ppm
+        FROM top, tot ORDER BY rk
       """))
   )
 }
