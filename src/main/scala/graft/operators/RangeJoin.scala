@@ -100,6 +100,75 @@ object RangeJoin {
       .filter(col("n_points") > 0)
   }
 
+  /** Per-probe rank count: for each probe value t, the number of points
+    * strictly below t (`inclusive = false`, C(<t)) or at-or-below t
+    * (`inclusive = true`, C(≤t)) — the 1-D order-statistics primitive
+    * the interval counts are built from, exposed for composition
+    * ([[overlapCount]] subtracts two of these). Same slab plan as
+    * [[countInInterval]]: one range partition orders points and probes
+    * together, a within-slab running sum plus [[Pack.exclusivePrefix]]
+    * slab offsets make the count global with no single-task scan. The
+    * sort key (__ts, __o) places a probe BEFORE same-value points for
+    * strict counts and AFTER them for inclusive counts; sort-key ties
+    * may split across range-partition boundaries, but identical keys
+    * are interchangeable under the running sum, so C is exact anyway.
+    * Every probe row survives (n_below can be 0); NULL values drop on
+    * either side (the family's range-predicate contract).
+    */
+  def countBelow(
+      points: DataFrame, valueCol: String,
+      probes: DataFrame, probeCol: String, idCol: String,
+      inclusive: Boolean): DataFrame = {
+    val pr = probes.filter(col(probeCol).isNotNull)
+      .select(col(idCol), col(probeCol).as("__ts"),
+        lit(if (inclusive) 2L else 0L).as("__o"), lit(0L).as("__c"))
+    val pts = points.filter(col(valueCol).isNotNull)
+      .select(lit(null).cast(probes.schema(idCol).dataType).as(idCol),
+        col(valueCol).as("__ts"), lit(1L).as("__o"), lit(1L).as("__c"))
+    val slabbed = pts.unionByName(pr)
+      .repartitionByRange(col("__ts"), col("__o"))
+      .withColumn("__pid", spark_partition_id().cast("long"))
+    val mat = Materialize(slabbed) // two consumers must agree on __pid
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(col("__ts"), col("__o"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val run = mat.withColumn("__run", coalesce(sum("__c").over(w), lit(0L)))
+    val slabOff = Pack.exclusivePrefix(
+      mat.groupBy("__pid").agg(sum("__c").as("__n")), "__pid", "__n",
+      fanout = 1024)
+    run.filter(col("__c") === 0)
+      .join(slabOff.withColumnRenamed("off", "__off"), Seq("__pid"))
+      .select(col(idCol), (col("__off") + col("__run")).as("n_below"))
+  }
+
+  /** Interval-OVERLAP count join — per probe interval, how many base
+    * intervals intersect it (half-open on both sides: overlap iff
+    * b.start < p.end AND b.end > p.start) WITHOUT materializing the
+    * pair join. The two "miss" sets (b entirely after p, b entirely
+    * before p) are disjoint for well-formed intervals, so
+    * n_overlap = C_starts(< p.end) − C_ends(≤ p.start): two
+    * [[countBelow]] passes (strict on base starts, inclusive on base
+    * ends) and one probe-keyed join — six linear shuffles at ANY
+    * overlap density, where the naive inequality join is O(n·m) pairs.
+    * Probes overlapping nothing are dropped (the family's inner-join
+    * contract). Both endpoint columns NULL-filter their row.
+    */
+  def overlapCount(
+      base: DataFrame, bStart: String, bEnd: String,
+      probes: DataFrame, pStart: String, pEnd: String,
+      idCol: String): DataFrame = {
+    val bv = base.filter(col(bStart).isNotNull && col(bEnd).isNotNull)
+    val pv = probes.filter(col(pStart).isNotNull && col(pEnd).isNotNull)
+    val nStarts = countBelow(bv.select(col(bStart).as("__v")), "__v",
+      pv, pEnd, idCol, inclusive = false)
+    val nEnds = countBelow(bv.select(col(bEnd).as("__v")), "__v",
+      pv, pStart, idCol, inclusive = true)
+    nStarts.withColumnRenamed("n_below", "__ns")
+      .join(nEnds.withColumnRenamed("n_below", "__ne"), Seq(idCol))
+      .select(col(idCol), (col("__ns") - col("__ne")).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
+  }
+
   /** Peak number of concurrently open intervals per group — the classic
     * ±1 endpoint sweep (max running sum over interval starts/ends),
     * distributed the same way as [[countInInterval]]: one range

@@ -503,6 +503,38 @@ object ExtendedQueries {
           ON b.p_retailprice >= a.p_retailprice - 5.0
          AND b.p_retailprice <  a.p_retailprice + 5.0
         GROUP BY 1 ORDER BY a.p_partkey
+      """)),
+
+    // ------------------------------------------------------------------
+    // Interval-OVERLAP count join — the fourth sweep-family member
+    // (point-in-interval asks C(<e)−C(<s); overlap asks how many BASE
+    // INTERVALS intersect each probe interval). Per signup's 1-hour
+    // window, how many 30-minute click-activity windows overlap it:
+    // n = C_clickstarts(< s.end) − C_clickends(≤ s.start) — the two
+    // miss sets are disjoint, so two rank probes and one id join
+    // replace the O(n·m) inequality pair join; six linear shuffles at
+    // ANY overlap density (RangeJoin.overlapCount). The oracle is the
+    // honest quadratic overlap join.
+    Q("q_overlap_join",
+      (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("ts").as("c_start"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("c_end"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("ts").as("s_start"),
+            (col("ts") + expr("INTERVAL 1 HOUR")).as("s_end"))
+        RangeJoin.overlapCount(clicks, "c_start", "c_end",
+            signups, "s_start", "s_end", "signup_id")
+          .orderBy(col("signup_id"))
+      },
+      Some("""
+        SELECT s.event_id AS signup_id, COUNT(*) AS n_overlap
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.ts < s.ts + INTERVAL 1 HOUR
+         AND c.ts + INTERVAL 30 MINUTE > s.ts
+        GROUP BY 1 ORDER BY signup_id
       """))
   )
 }

@@ -102,6 +102,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(n == Map(7L -> 2L))
   }
 
+  test("countBelow: strict vs inclusive tie semantics, zero counts kept") {
+    val pts = Seq(1.0, 2.0, 2.0, 3.0).map(Tuple1(_)).toDF("v")
+    val probes = Seq((10L, 0.5), (11L, 2.0), (12L, 3.5)).toDF("id", "t")
+    val strict = RangeJoin.countBelow(pts, "v", probes, "t", "id",
+      inclusive = false).as[(Long, Long)].collect().toMap
+    assert(strict == Map(10L -> 0L, 11L -> 1L, 12L -> 4L))
+    val incl = RangeJoin.countBelow(pts, "v", probes, "t", "id",
+      inclusive = true).as[(Long, Long)].collect().toMap
+    assert(incl == Map(10L -> 0L, 11L -> 3L, 12L -> 4L))
+  }
+
+  test("overlapCount equals the brute-force overlap join; touching " +
+      "intervals never overlap; same-value flood stays count-shaped") {
+    // Deterministic layout with exact back-to-back pairs (half-open:
+    // [a,b) and [b,c) do NOT overlap), containment, and duplicates.
+    val base = (0 until 200).map { i =>
+      val s0 = ((i * 7919L) % 89) * 10.0
+      (s0, s0 + (1 + (i * 104729L) % 5) * 7.0)
+    }
+    val probes = (0 until 150).map { i =>
+      val s0 = ((i * 6007L) % 101) * 9.0
+      (i.toLong, s0, s0 + (1 + (i * 31L) % 4) * 11.0)
+    }
+    val got = RangeJoin.overlapCount(
+        base.toDF("bs", "be"), "bs", "be",
+        probes.toDF("id", "ps", "pe"), "ps", "pe", "id")
+      .as[(Long, Long)].collect().toMap
+    val want = probes.map { case (id, ps, pe) =>
+      id -> base.count { case (bs, be) => bs < pe && be > ps }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(got == want && want.nonEmpty)
+    // Exact touch: [0,10) vs [10,20) — no overlap either direction.
+    val t1 = Seq((0.0, 10.0)).toDF("bs", "be")
+    val t2 = Seq((1L, 10.0, 20.0), (2L, 9.999999, 20.0)).toDF("id", "ps", "pe")
+    val touch = RangeJoin.overlapCount(t1, "bs", "be", t2, "ps", "pe", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(touch == Map(2L -> 1L))
+    // Same-value flood: 1000 identical base intervals × 500 identical
+    // probes — a pair join would build 500k rows for a 500-row count.
+    val fb = Seq.tabulate(1000)(_ => (100.0, 200.0)).toDF("bs", "be")
+    val fp = Seq.tabulate(500)(i => (i.toLong, 150.0, 160.0)).toDF("id", "ps", "pe")
+    val flood = RangeJoin.overlapCount(fb, "bs", "be", fp, "ps", "pe", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(flood.size == 500 && flood.values.forall(_ == 1000L))
+  }
+
   test("busyTime equals a brute-force interval merge (overlaps, ties, gaps)") {
     // Deterministic pseudo-random layout: overlapping runs, exact
     // back-to-back intervals (half-open: no double count, no gap),
