@@ -2001,6 +2001,69 @@ object DataPipelineQueries {
                CAST(CAST(SUM(n) OVER (ORDER BY rk) AS HUGEINT) * 1000000
                     // n_tot AS BIGINT) AS cum_share_ppm
         FROM top, tot ORDER BY rk
+      """)),
+
+    // ------------------------------------------------------------------
+    // Corpus drift monitor: per source, the total-variation distance
+    // between the source's token distribution and the corpus-wide one,
+    // in ppm — the distribution-shift readout behind "did this domain's
+    // content change / does this slice skew the mix". TV = ½ Σ_t
+    // |p_t − q_t| is chosen over KL/JS because it is EXACT in integer
+    // arithmetic (no logs): with common denominators,
+    // Σ = Σ_present |c_st·N − c_t·n_s| + (N − Σ_present c_t)·n_s
+    // (the absent-token mass folds into one closed term), and
+    // tv_ppm = Σ·1e6 DIV (2·n_s·N). Σ ≤ 2·n_s·N by construction, so
+    // Σ·1e6 stays inside decimal(38)/HUGEINT at ANY corpus size. One
+    // (source, tok) shuffle; the vocab and per-source marginals re-agg
+    // from that small frame, never rescan; join keyed on vocab.
+    Q("x_dist_drift",
+      (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(split(graft.functions.normText(col("text")), " "))
+              .as("tok"))
+          .filter(col("tok") =!= "")
+        val st = tok.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).as("c_st"))
+        val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+        val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+        val n = ns.agg(sum(col("n_s")).as("n_tot"))
+        st.join(ct, Seq("tok"))
+          .join(broadcast(ns), Seq("source"))
+          .crossJoin(broadcast(n))
+          .groupBy(col("source"), col("n_s"), col("n_tot"))
+          .agg(
+            sum(expr("""abs(CAST(c_st AS DECIMAL(38,0)) * n_tot
+                        - CAST(c_t AS DECIMAL(38,0)) * n_s)"""))
+              .as("present_dev"),
+            sum(col("c_t")).as("present_ct"))
+          .select(col("source"), col("n_s").as("n_tokens"),
+            expr("""CAST(((present_dev
+                     + (CAST(n_tot AS DECIMAL(38,0)) - present_ct) * n_s)
+                    * 1000000)
+                    DIV (2 * CAST(n_s AS DECIMAL(38,0)) * n_tot)
+                    AS BIGINT)""").as("tv_ppm"))
+          .orderBy(col("source"))
+      },
+      Some(s"""
+        WITH tok AS (SELECT source, unnest(list_filter($Toks, x -> x <> ''))
+                            AS tok
+                     FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns),
+        dev AS (SELECT st.source, ns.n_s, n.n_tot,
+                       SUM(abs(CAST(c_st AS HUGEINT) * n_tot
+                               - CAST(c_t AS HUGEINT) * n_s)) AS present_dev,
+                       CAST(SUM(c_t) AS HUGEINT) AS present_ct
+                FROM st JOIN ct USING (tok) JOIN ns USING (source), n
+                GROUP BY 1, 2, 3)
+        SELECT source, n_s AS n_tokens,
+               CAST((present_dev + (n_tot - present_ct) * CAST(n_s AS HUGEINT))
+                    * 1000000 // (2 * CAST(n_s AS HUGEINT) * n_tot)
+                 AS BIGINT) AS tv_ppm
+        FROM dev ORDER BY source
       """))
   )
 }
