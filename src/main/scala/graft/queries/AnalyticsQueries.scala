@@ -904,6 +904,14 @@ object AnalyticsQueries {
     // independence predicts.
     Q("q_basket_affinity",
       (s, dir) => {
+        // NOT Materialize'd (A/B at BOTH factors, r12 s4): ob has four
+        // consumers and 0 ReusedExchange, so the lineitem⋈part scan runs
+        // 4× — and checkpointing it won at sf10 (52.5 → 19.8 s) but ob is
+        // FACT-cardinality (~0.6B rows at factor 1000) and the sf100
+        // probe crashed the JVM storing it. Re-scanning is scan-bound
+        // and measured 0.67× sub-linear at sf100; the checkpoint trade
+        // only pays for BOUNDED frames (see x_dist_drift, where it
+        // stays).
         val ob = Tables.lineitem(s, dir)
           .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
           .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
@@ -958,6 +966,13 @@ object AnalyticsQueries {
     // the decimal threshold.
     Q("q_rfm_segments",
       (s, dir) => {
+        // NOT Materialize'd (A/B at both factors, r12 s4): rfm/r each
+        // have two consumers, and checkpointing both won at sf10
+        // (6.15 → 4.65 s) but LOST at factor 1000 (34.4 s plain vs
+        // 40.5/74.0 s checkpointed across two isolated runs) — two
+        // customer-cardinality block stores churn the heap harder than
+        // re-running the orders shuffle. Same bounded-frame-only rule
+        // as q_basket_affinity.
         val rfm = Tables.orders(s, dir)
           .groupBy(col("o_custkey"))
           .agg(max(col("o_orderdate").cast("date")).as("last_d"),
