@@ -117,4 +117,50 @@ object TextStats {
         expr("(n_chars * 1000000) DIV nullif(n_bpe_tokens, 0)"))
       .withColumn("toks_per_word_ppm",
         expr("(n_bpe_tokens * 1000000) DIV nullif(n_words, 0)"))
+
+  /** Per-source (source, tok) occurrence counts of normalized tokens —
+    * the sufficient statistic for [[tvDrift]]. Counts are distributive
+    * over ANY document split, which is what lets the streaming gate
+    * accumulate them per micro-batch and re-aggregate at publish.
+    */
+  def sourceTokenCounts(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(sourceCol).as("source"),
+        explode(split(normText(col(textCol)), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("c_st"))
+
+  /** Total-variation drift per source from a (source, tok, c_st) count
+    * frame: tv_ppm = (Σ_present |c_st·N − c_t·n_s| + absent-mass term)
+    * ·1e6 DIV (2·n_s·N) — exact in decimal arithmetic (no libm logs),
+    * with Σ ≤ 2·n_s·N by construction so the ·1e6 product fits
+    * decimal(38) at any corpus size. The input frame is Materialize'd:
+    * it feeds the vocab marginal, the per-source marginal and the
+    * deviation join — three downstream partitionings, nothing reuses
+    * (A/B'd at both factors, r12 s4: the frame is BOUNDED at
+    * |sources|·|vocab| rows, the regime where the checkpoint wins —
+    * sf10 2.94 → 1.56 s, sf100 17.73 → 6.82 s).
+    */
+  def tvDrift(counts: DataFrame): DataFrame = {
+    val st = Materialize(counts)
+    val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
+    val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val n = ns.agg(sum(col("n_s")).as("n_tot"))
+    st.join(ct, Seq("tok"))
+      .join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_s"), col("n_tot"))
+      .agg(
+        sum(expr("""abs(CAST(c_st AS DECIMAL(38,0)) * n_tot
+                    - CAST(c_t AS DECIMAL(38,0)) * n_s)"""))
+          .as("present_dev"),
+        sum(col("c_t")).as("present_ct"))
+      .select(col("source"), col("n_s").as("n_tokens"),
+        expr("""CAST(((present_dev
+                 + (CAST(n_tot AS DECIMAL(38,0)) - present_ct) * n_s)
+                * 1000000)
+                DIV (2 * CAST(n_s AS DECIMAL(38,0)) * n_tot)
+                AS BIGINT)""").as("tv_ppm"))
+  }
 }

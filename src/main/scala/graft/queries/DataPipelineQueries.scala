@@ -2017,44 +2017,9 @@ object DataPipelineQueries {
     // (source, tok) shuffle; the vocab and per-source marginals re-agg
     // from that small frame, never rescan; join keyed on vocab.
     Q("x_dist_drift",
-      (s, dir) => {
-        val tok = Tables.documents(s, dir)
-          .select(col("source"),
-            explode(split(graft.functions.normText(col("text")), " "))
-              .as("tok"))
-          .filter(col("tok") =!= "")
-        // Materialize'd (A/B at both factors, r12 s4): st feeds the
-        // vocab marginal, the per-source marginal AND the deviation join
-        // — three downstream partitionings, nothing reuses, so the
-        // explode+agg would run three times. Unlike the fact-cardinality
-        // frames where the checkpoint LOST at factor 1000
-        // (q_basket_affinity crash, q_rfm_segments regression), st is
-        // BOUNDED — |sources|·|vocab| aggregated rows — and the
-        // checkpoint wins at both factors (sf10 2.94 → 1.56 s, sf100
-        // 17.73 → 6.82 s = 0.44×).
-        val st = graft.operators.Materialize(
-          tok.groupBy(col("source"), col("tok"))
-            .agg(count(lit(1)).as("c_st")))
-        val ct = st.groupBy(col("tok")).agg(sum(col("c_st")).as("c_t"))
-        val ns = st.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
-        val n = ns.agg(sum(col("n_s")).as("n_tot"))
-        st.join(ct, Seq("tok"))
-          .join(broadcast(ns), Seq("source"))
-          .crossJoin(broadcast(n))
-          .groupBy(col("source"), col("n_s"), col("n_tot"))
-          .agg(
-            sum(expr("""abs(CAST(c_st AS DECIMAL(38,0)) * n_tot
-                        - CAST(c_t AS DECIMAL(38,0)) * n_s)"""))
-              .as("present_dev"),
-            sum(col("c_t")).as("present_ct"))
-          .select(col("source"), col("n_s").as("n_tokens"),
-            expr("""CAST(((present_dev
-                     + (CAST(n_tot AS DECIMAL(38,0)) - present_ct) * n_s)
-                    * 1000000)
-                    DIV (2 * CAST(n_s AS DECIMAL(38,0)) * n_tot)
-                    AS BIGINT)""").as("tv_ppm"))
-          .orderBy(col("source"))
-      },
+      (s, dir) => TextStats.tvDrift(
+          TextStats.sourceTokenCounts(Tables.documents(s, dir)))
+        .orderBy(col("source")),
       Some(s"""
         WITH tok AS (SELECT source, unnest(list_filter($Toks, x -> x <> ''))
                             AS tok

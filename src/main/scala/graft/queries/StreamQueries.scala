@@ -63,6 +63,16 @@ object StreamQueries {
     root
   }
 
+  /** Scratch slot for the streaming drift gate (same discipline as
+    * [[upsertScratch]]). */
+  private lazy val driftGateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-drift-gate-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   /** Scratch slot for the stateful streaming quota gate (same
     * discipline as [[upsertScratch]]). */
   private lazy val quotaGateScratch: java.nio.file.Path = {
@@ -532,6 +542,70 @@ object StreamQueries {
                                     ORDER BY doc_id) AS rk
           FROM documents)
         WHERE rk <= 10 ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Streaming corpus-drift gate (ORACLED): documents stream in two
+    // doc_id-split drops; each micro-batch lands its (source, tok)
+    // occurrence counts as a batchId-keyed increment
+    // (StreamOps.distDriftSink — idempotent under at-least-once
+    // replay), and publish re-aggregates the increments through the
+    // SHARED TextStats.tvDrift — the same code the batch x_dist_drift
+    // runs, so the oracle is its SQL verbatim. Token counts are
+    // distributive over any document split: stateless,
+    // order-insensitive, increments vocabulary-bounded. This is the
+    // drift monitor as an INGEST fence — the mix report updates with
+    // every arriving batch without ever re-reading the corpus.
+    Q("st_drift_gate",
+      (s, dir) => {
+        val drop = cachedDrops("st_drift_gate", dir) { d =>
+          val docs = Tables.documents(s, dir)
+            .select(col("doc_id"), col("source"), col("text"))
+          val m = docs.agg(expr("percentile(doc_id, 0.5)"))
+            .head().getDouble(0)
+          // Both drops multi-file: the file-stream source assigns one
+          // scan task per file, so a coalesce(1) TEXT-heavy drop makes
+          // its whole micro-batch a single-task explode (the sf100 probe
+          // measured the 1-file layout at 1.36× linear; 4 files restore
+          // sub-linearity). The doc_id cut, not file order, defines the
+          // split — counts are distributive, any layout oracles the same.
+          docs.filter(col("doc_id") <= m)
+            .repartition(8).write.mode("append").parquet(s"$d/drop")
+          docs.filter(col("doc_id") > m)
+            .repartition(4).write.mode("append").parquet(s"$d/drop")
+        } + "/drop"
+        deleteRec(driftGateScratch)
+        val tmp = java.nio.file.Files.createDirectories(driftGateScratch)
+        phase("st_drift_gate", "stream") {
+          val src = s.readStream
+            .schema("doc_id LONG, source STRING, text STRING")
+            .option("maxFilesPerTrigger", 8).parquet(drop)
+          StreamOps.distDriftSink(src, s"$tmp/out", s"$tmp/ckpt")
+            .awaitTermination()
+        }
+        StreamOps.distDriftRead(s, s"$tmp/out")
+          .orderBy(col("source"))
+          .localCheckpoint() // materialize before the scratch is re-wiped
+      },
+      Some(s"""
+        WITH tok AS (SELECT source, unnest(list_filter(${Q.duckToks},
+                            x -> x <> '')) AS tok
+                     FROM documents),
+        st AS (SELECT source, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        ct AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        ns AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        n AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM ns),
+        dev AS (SELECT st.source, ns.n_s, n.n_tot,
+                       SUM(abs(CAST(c_st AS HUGEINT) * n_tot
+                               - CAST(c_t AS HUGEINT) * n_s)) AS present_dev,
+                       CAST(SUM(c_t) AS HUGEINT) AS present_ct
+                FROM st JOIN ct USING (tok) JOIN ns USING (source), n
+                GROUP BY 1, 2, 3)
+        SELECT source, n_s AS n_tokens,
+               CAST((present_dev + (n_tot - present_ct) * CAST(n_s AS HUGEINT))
+                    * 1000000 // (2 * CAST(n_s AS HUGEINT) * n_tot)
+                 AS BIGINT) AS tv_ppm
+        FROM dev ORDER BY source
       """))
   )
 }

@@ -550,6 +550,46 @@ object StreamOps {
       targetDir: String): DataFrame =
     spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
 
+  /** foreachBatch corpus-drift sink — the streaming twin of
+    * x_dist_drift's sufficient statistic: each micro-batch lands its
+    * (source, tok) occurrence counts
+    * ([[graft.operators.TextStats.sourceTokenCounts]]) in a
+    * batchId-keyed increment file (idempotent under at-least-once
+    * replay, as in [[rangeCountSink]]). Token counts are distributive
+    * over ANY document split, so the publish-time re-aggregation +
+    * [[graft.operators.TextStats.tvDrift]] equals ONE batch
+    * x_dist_drift whatever the micro-batch boundaries — stateless and
+    * order-insensitive by construction. Increments are
+    * vocabulary-bounded (≤ |sources|·|vocab| rows/batch), never
+    * document-cardinality.
+    */
+  def distDriftSink(
+      docs: DataFrame,
+      targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.TextStats.sourceTokenCounts(batch)
+          .write.mode("overwrite").parquet(s"$targetDir/inc_$batchId")
+        ()
+      }
+      .start()
+
+  /** Publish step for [[distDriftSink]]: re-aggregate the per-batch
+    * count increments (one groupBy over #batches × vocab rows) and run
+    * the shared TV computation — column-identical to the batch
+    * x_dist_drift, so the batch oracle replays verbatim.
+    */
+  def distDriftRead(spark: org.apache.spark.sql.SparkSession,
+      targetDir: String): DataFrame =
+    graft.operators.TextStats.tvDrift(
+      spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
+        .groupBy(col("source"), col("tok"))
+        .agg(sum(col("c_st")).as("c_st")))
+
   /** Shared merge-and-swap skeleton: heal a half-finished previous swap,
     * build the merged frame (given whether a target exists), write it to
     * staging, then swap. Swap order is crash-recoverable: target → .old,

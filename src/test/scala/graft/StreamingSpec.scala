@@ -311,6 +311,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(first.size < docs.count(), "quota never rejected — vacuous gate")
   }
 
+  test("drift sink: accumulated count increments reproduce the batch TV " +
+      "report; replay byte-identical") {
+    val dir = Files.createTempDirectory("graft-drift").toString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val m = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    docs.filter(col("doc_id") <= m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    docs.filter(col("doc_id") > m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, source STRING, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop")
+      StreamOps.distDriftSink(src, s"$dir/out", ckpt).awaitTermination()
+    }
+    runStream(s"$dir/ckpt1")
+    val first = StreamOps.distDriftRead(spark, s"$dir/out")
+      .orderBy("source").collect().toSeq
+    runStream(s"$dir/ckpt2") // replay over the intact target
+    val second = StreamOps.distDriftRead(spark, s"$dir/out")
+      .orderBy("source").collect().toSeq
+    assert(first == second && first.nonEmpty)
+    val batch = graft.operators.TextStats.tvDrift(
+        graft.operators.TextStats.sourceTokenCounts(docs))
+      .orderBy("source").collect().toSeq
+    assert(first == batch)
+  }
+
   test("foreachBatch upsert sink merges drops into the parquet target by key") {
     val dropDir = Files.createTempDirectory("graft-upsert-in").toString
     val target = Files.createTempDirectory("graft-upsert-t").toString + "/table"
