@@ -1047,6 +1047,48 @@ object AnalyticsQueries {
                COUNT(*) AS n_customers,
                CAST(SUM(m) AS DOUBLE) AS sum_monetary
         FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+      """)),
+
+    // ------------------------------------------------------------------
+    // Order-to-ship latency distribution per priority: count, min,
+    // discrete median/p90, max of (shipdate − orderdate) days — the SLA
+    // readout every fulfillment pipeline tracks. percentile_disc is an
+    // AGGREGATE (the t_winsorize discipline), not a per-group ordered
+    // window: a cume_dist window here would sort each of the 5 fat
+    // priority partitions in one task, while the aggregate buffers a
+    // value→count map whose size is the ~hundreds of DISTINCT day
+    // values, exact and map-side-combinable at any row count. One join
+    // shuffle + one bounded agg.
+    Q("q_ship_latency",
+      (s, dir) => {
+        val lat = Tables.lineitem(s, dir)
+          .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_orderpriority").as("priority"),
+            datediff(col("l_shipdate").cast("date"),
+              col("o_orderdate").cast("date")).cast("long").as("lat_days"))
+        lat.groupBy(col("priority"))
+          .agg(count(lit(1)).as("n_items"),
+            min(col("lat_days")).as("min_days"),
+            expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days)")
+              .as("median_days"),
+            expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days)")
+              .as("p90_days"),
+            max(col("lat_days")).as("max_days"))
+          .orderBy(col("priority"))
+      },
+      Some("""
+        WITH lat AS (
+          SELECT o_orderpriority AS priority,
+                 CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                CAST(l_shipdate AS DATE)) AS BIGINT)
+                   AS lat_days
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        SELECT priority, COUNT(*) AS n_items,
+               MIN(lat_days) AS min_days,
+               quantile_disc(lat_days, 0.5) AS median_days,
+               quantile_disc(lat_days, 0.9) AS p90_days,
+               MAX(lat_days) AS max_days
+        FROM lat GROUP BY 1 ORDER BY priority
       """))
   )
 }

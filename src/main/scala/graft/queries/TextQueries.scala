@@ -1483,6 +1483,59 @@ object TextQueries {
       }),
 
     // ------------------------------------------------------------------
+    // Language-label audit: the DECLARED lang column crossed with the
+    // heuristic prediction — the label-quality confusion matrix behind
+    // "can I trust this corpus's metadata" (row share in floor-ppm per
+    // declared lang). One narrow projection + one agg to ≤ |langs|²
+    // rows; the share window runs on that bounded aggregate, never on
+    // document-cardinality.
+    Q("x_lang_confusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val g = Tables.documents(s, dir)
+          .select(col("lang"), TextStats.langId(col("text")).as("lang_guess"))
+          .groupBy(col("lang"), col("lang_guess"))
+          .agg(count(lit(1)).as("n"))
+        g.withColumn("tot",
+            sum(col("n")).over(Window.partitionBy(col("lang"))))
+          .select(col("lang"), col("lang_guess"), col("n"),
+            expr("n * 1000000 DIV tot").as("share_ppm"))
+          .orderBy(col("lang"), col("lang_guess"))
+      },
+      Some {
+        val langs = Seq("en", "es", "fr", "de")
+        val hitCols = langs.map { l =>
+          val words = TextStats.stopwords(l).map(w => s"'$w'").mkString(",")
+          s"len(list_filter(toks, x -> list_contains([$words], x))) AS ${l}_hits"
+        }.mkString(",\n                 ")
+        val whens = langs.map(l =>
+          s"WHEN ${l}_hits = best AND ${l}_hits > 0 THEN '$l'").mkString("\n                      ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 ${Q.duckToks} AS toks
+          FROM documents),
+        h AS (SELECT doc_id, lang,
+                 $hitCols
+              FROM t),
+        g AS (SELECT doc_id, lang,
+                     greatest(en_hits, es_hits, fr_hits, de_hits) AS best,
+                     en_hits, es_hits, fr_hits, de_hits
+              FROM h),
+        c AS (SELECT lang,
+                     CASE $whens
+                          ELSE 'und' END AS lang_guess,
+                     COUNT(*) AS n
+              FROM g GROUP BY 1, 2),
+        tl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+        SELECT c.lang, c.lang_guess, c.n,
+               CAST(c.n * 1000000 // tl.tot AS BIGINT) AS share_ppm
+        FROM c JOIN tl USING (lang)
+        ORDER BY lang, lang_guess
+      """
+      }),
+
+    // ------------------------------------------------------------------
     // 40: content fingerprint (sha256-prefix hex, engine-stable)
     Q("x_fingerprint",
       (s, dir) => Tables.documents(s, dir)
