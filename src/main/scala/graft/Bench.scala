@@ -30,7 +30,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.harness(cpus)
+    val spark = GraftSession.harness(cpus, sfDir)
     // Warmup pass (untimed) over EVERY query: primes JVM/janino codegen
     // per query shape, parquet footers, the FS cache and the cache-manager
     // entries for persisted sketch frames. The timed pass below therefore

@@ -46,6 +46,34 @@ object GraftSession {
     spark
   }
 
+  /** One shuffle partition per scan split, clamped to [floor, 8192]:
+    * the input-sized INITIAL shuffle-partition count. Passed to AQE's
+    * `coalescePartitions.initialPartitionNum`, so it is a starting
+    * grain, not a final count — AQE coalesces every small shuffle back
+    * to the advisory size (i.e. tiny inputs behave exactly like the
+    * fixed-cores regime), while shuffles that genuinely carry the
+    * input's volume keep enough partitions to stay out of the
+    * single-partition spill regime. This is what a cluster deployment
+    * configures: initialPartitionNum high (sized by data), AQE sizes
+    * down at runtime.
+    */
+  def sizedInitialPartitions(inputBytes: Long, partitionBytes: Long,
+      floor: Int): Int =
+    math.min(8192L,
+      math.max(floor.toLong, inputBytes / math.max(1L, partitionBytes))).toInt
+
+  /** Recursive byte size of a local directory tree (0 if missing). */
+  private def dirBytes(path: String): Long = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) 0L
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(java.nio.file.Files.size(_)).sum
+    }
+  }
+
   /** Local-harness session (Bench/Verify/RunOne): GraftSession confs +
     * finer scan splits (tiny test parquet — clusters keep the 128 MB
     * default), no UI, WARN logs, and the SQL surface registered. One
@@ -53,20 +81,32 @@ object GraftSession {
     * (e.g. an `s.sql` query using strip_accents/minhash_sig failing
     * only under the harness).
     *
-    * `SPARK_GRAFT_SHUFFLE` overrides the shuffle-partition count
-    * (default = cpus). A cluster sizes shuffle partitions by input
-    * volume (~2-3x total cores, or bytes/128MB); the fixed-32 default
-    * at factor-1000 probe scale forces ~19M rows/partition into a
-    * single hash-agg spill that a real deployment never sees (the r11
-    * q18_large_orders 2.55x residual was exactly this). The knob lets
-    * scale probes run in the partition regime the data size calls for,
-    * so plan cost and harness regime can be separated by measurement.
+    * Shuffle sizing (r13 — promoted from the r12 `SPARK_GRAFT_SHUFFLE`
+    * probe knob to the DEFAULT): `spark.sql.shuffle.partitions` stays
+    * at cpus (non-AQE surfaces), but AQE's initialPartitionNum is
+    * derived from `sfDir`'s on-disk bytes via
+    * [[sizedInitialPartitions]] — one initial partition per 4 MB scan
+    * split. A fixed-cores count at probe scale forces ~19M
+    * rows/partition into hash-agg/sort spills a real deployment never
+    * sees (r11 q18_large_orders 2.55x; r12 q_geo_nearest_grid 27x were
+    * exactly this); AQE coalescing makes the sized start free for
+    * small boards (sf0.1's 17 MB sizes to the cpus floor — bit-for-bit
+    * the old regime). `SPARK_GRAFT_SHUFFLE` still overrides BOTH
+    * values for fixed-partition A/B probes.
     */
-  def harness(cpus: Int): SparkSession = {
-    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
-      .map(_.trim.toInt).filter(_ > 0).getOrElse(cpus)
+  def harness(cpus: Int, sfDir: String = ""): SparkSession = {
+    val partitionBytes = 4L << 20
+    val env = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.trim.toInt).filter(_ > 0)
+    val shuffle = env.getOrElse(cpus)
+    val initial = env.getOrElse(
+      if (sfDir.nonEmpty)
+        sizedInitialPartitions(dirBytes(sfDir), partitionBytes, shuffle)
+      else shuffle)
     val spark = builder(s"local[$cpus]", shuffle)
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        initial.toString)
+      .config("spark.sql.files.maxPartitionBytes", partitionBytes.toString)
       .config("spark.ui.enabled", "false")
       // Probe-scale heaps (64 GB) see full-GC pauses past the 10 s
       // heartbeat default; in local mode the "lost" executor is the

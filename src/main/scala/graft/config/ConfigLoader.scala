@@ -6,17 +6,27 @@ import org.json4s.{DefaultFormats, JValue}
 import org.json4s.jackson.JsonMethods
 
 /** Data-driven config loading — the analog of the reference's YAML loader
-  * (reference etl/yaml_config_loader.py), in JSON (json4s ships with
-  * Spark; YAML parsers do not). The JSON shape mirrors the reference
-  * config key-for-key (snake_case keys); a reference YAML transcribes to
-  * this JSON mechanically.
+  * (reference etl/yaml_config_loader.py). Two front-ends, one extraction
+  * path: JSON (json4s ships with Spark) and a YAML-subset parser
+  * ([[Yaml]]) that loads the reference's actual `configs YAML files`
+  * unmodified. The key shape mirrors the reference config key-for-key
+  * (snake_case keys).
   */
 object ConfigLoader {
 
   private implicit val formats: DefaultFormats.type = DefaultFormats
 
-  def fromJsonString(json: String): DatasetConfig = {
-    val j = JsonMethods.parse(json)
+  def fromJsonString(json: String): DatasetConfig =
+    fromJValue(JsonMethods.parse(json))
+
+  /** Load a reference-shaped YAML config (the reference's own
+    * `configs YAML files` parse unmodified — ConfigLoaderSpec proves it
+    * against the JSON transcription).
+    */
+  def fromYamlString(yaml: String): DatasetConfig =
+    fromJValue(Yaml.parse(yaml))
+
+  private def fromJValue(j: JValue): DatasetConfig = {
     def sel(v: JValue, path: String): JValue =
       path.split('.').foldLeft(v)((acc, k) => acc \ k)
     def str(path: String, default: String = ""): String =
@@ -113,7 +123,20 @@ object ConfigLoader {
   }
 
   /** Load from any Hadoop-visible path. */
-  def fromJsonFile(spark: SparkSession, path: String): DatasetConfig = {
+  def fromJsonFile(spark: SparkSession, path: String): DatasetConfig =
+    fromJsonString(readFile(spark, path))
+
+  /** Load a YAML config from any Hadoop-visible path. */
+  def fromYamlFile(spark: SparkSession, path: String): DatasetConfig =
+    fromYamlString(readFile(spark, path))
+
+  /** Load by extension: `.yaml`/`.yml` → YAML, anything else JSON. */
+  def fromFile(spark: SparkSession, path: String): DatasetConfig =
+    if (path.endsWith(".yaml") || path.endsWith(".yml"))
+      fromYamlFile(spark, path)
+    else fromJsonFile(spark, path)
+
+  private def readFile(spark: SparkSession, path: String): String = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val in = fs.open(p)
@@ -122,7 +145,7 @@ object ConfigLoader {
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      fromJsonString(bytes.toString("UTF-8"))
+      bytes.toString("UTF-8")
     } finally in.close()
   }
 }

@@ -1,0 +1,237 @@
+package graft.config
+
+import org.json4s._
+
+/** Minimal YAML-subset parser covering the reference's `configs YAML files`
+  * (the reference loads them with PyYAML safe_load —
+  * etl/yaml_config_loader.py:36): block mappings and sequences by
+  * indentation, flow sequences `[a, b]` and mappings `{k: v}`,
+  * single/double-quoted and plain scalars with the safe_load typing
+  * rules (null/bool/int/float), `#` comments. Not covered (the
+  * reference configs use none of them): anchors/aliases, multi-doc
+  * streams, block scalars (`|`/`>`), tags, tab indentation. Produces a
+  * json4s JValue so [[ConfigLoader]]'s JSON extraction applies
+  * unchanged — YAML and JSON configs are one code path from the parse
+  * boundary on.
+  */
+private[config] object Yaml {
+
+  private case class Line(indent: Int, text: String, no: Int)
+
+  def parse(text: String): JValue = {
+    val lines = text.linesIterator.toVector
+      .map(stripComment)
+      .zipWithIndex
+      .collect { case (l, i) if l.trim.nonEmpty =>
+        require(!l.takeWhile(c => c == ' ' || c == '\t').contains('\t'),
+          s"yaml: tab indentation at line ${i + 1}")
+        Line(l.takeWhile(_ == ' ').length, l.trim, i + 1)
+      }
+    if (lines.isEmpty) JNothing
+    else {
+      val (v, rest) = parseBlock(lines)
+      require(rest.isEmpty,
+        s"yaml: unexpected dedented content at line ${rest.head.no}")
+      v
+    }
+  }
+
+  /** Remove a trailing comment: `#` outside quotes, at line start or
+    * preceded by whitespace (the YAML rule — `a#b` is a plain scalar).
+    */
+  private def stripComment(l: String): String = {
+    var i = 0; var q: Char = 0
+    while (i < l.length) {
+      val c = l.charAt(i)
+      if (q != 0) { if (c == q) q = 0 }
+      else if (c == '\'' || c == '"') q = c
+      else if (c == '#' && (i == 0 || l.charAt(i - 1) == ' ' ||
+          l.charAt(i - 1) == '\t'))
+        return l.substring(0, i)
+      i += 1
+    }
+    l
+  }
+
+  /** Parse one block node starting at `lines.head`'s indent; returns the
+    * node plus the lines after it (strictly less indented).
+    */
+  private def parseBlock(lines: Vector[Line]): (JValue, Vector[Line]) = {
+    val at = lines.head.indent
+    val (body, rest) = lines.span(_.indent >= at)
+    val v =
+      if (body.head.text == "-" || body.head.text.startsWith("- "))
+        parseSeq(body, at)
+      else parseMap(body, at)
+    (v, rest)
+  }
+
+  private def parseSeq(body: Vector[Line], at: Int): JArray = {
+    val items = Vector.newBuilder[JValue]
+    var ls = body
+    while (ls.nonEmpty) {
+      val l = ls.head
+      require(l.indent == at && (l.text == "-" || l.text.startsWith("- ")),
+        s"yaml: expected sequence item at line ${l.no}")
+      val inline = if (l.text == "-") "" else l.text.drop(2).trim
+      val (nested, after) = ls.tail.span(_.indent > at)
+      if (inline.isEmpty) {
+        items += (if (nested.isEmpty) JNull else parseBlock(nested)._1)
+        ls = after
+      } else if (isMapStart(inline)) {
+        // `- key: v` compact mapping: the dash line's remainder is the
+        // mapping's first entry, two columns in.
+        items += parseBlock(Line(at + 2, inline, l.no) +: nested)._1
+        ls = after
+      } else {
+        require(nested.isEmpty,
+          s"yaml: scalar item with nested block at line ${l.no}")
+        items += scalarOrFlow(inline, l.no)
+        ls = after
+      }
+    }
+    JArray(items.result().toList)
+  }
+
+  private def parseMap(body: Vector[Line], at: Int): JObject = {
+    val fields = Vector.newBuilder[JField]
+    var ls = body
+    while (ls.nonEmpty) {
+      val l = ls.head
+      require(l.indent == at, s"yaml: bad indentation at line ${l.no}")
+      val (key, after) = splitKey(l.text, l.no)
+      val (nested, restLines) = ls.tail.span(_.indent > at)
+      if (after.nonEmpty) {
+        require(nested.isEmpty,
+          s"yaml: inline value with nested block at line ${l.no}")
+        fields += JField(key, scalarOrFlow(after, l.no))
+      } else {
+        fields += JField(key,
+          if (nested.isEmpty) JNull else parseBlock(nested)._1)
+      }
+      ls = restLines
+    }
+    JObject(fields.result().toList)
+  }
+
+  /** Does a dash line's remainder start a compact mapping (`key: v`)? */
+  private def isMapStart(s: String): Boolean =
+    !s.startsWith("[") && !s.startsWith("{") && !s.startsWith("\"") &&
+      !s.startsWith("'") &&
+      (s.endsWith(":") || s.contains(": "))
+
+  /** Split `key: value` / `key:`; the key may be quoted. Returns
+    * (key, trimmed value or "").
+    */
+  private def splitKey(s: String, no: Int): (String, String) = {
+    if (s.startsWith("\"") || s.startsWith("'")) {
+      val q = s.charAt(0)
+      val end = s.indexOf(q, 1)
+      require(end > 0 && end + 1 < s.length && s.charAt(end + 1) == ':',
+        s"yaml: malformed quoted key at line $no")
+      (s.substring(1, end), s.substring(end + 2).trim)
+    } else {
+      val i =
+        if (s.endsWith(":")) s.length - 1
+        else s.indexOf(": ")
+      require(i > 0, s"yaml: expected 'key:' at line $no")
+      (s.substring(0, i).trim, s.substring(i + 1).trim)
+    }
+  }
+
+  private def scalarOrFlow(s: String, no: Int): JValue = {
+    if (s.startsWith("[") || s.startsWith("{")) {
+      val (v, end) = parseFlow(s, 0, no)
+      require(s.substring(end).trim.isEmpty,
+        s"yaml: trailing content after flow value at line $no")
+      v
+    } else scalar(s)
+  }
+
+  /** Flow-style value at `s(i)`; returns (node, index just past it). */
+  private def parseFlow(s: String, i0: Int, no: Int): (JValue, Int) = {
+    var i = skipWs(s, i0)
+    s.charAt(i) match {
+      case '[' =>
+        i = skipWs(s, i + 1)
+        val items = List.newBuilder[JValue]
+        while (s.charAt(i) != ']') {
+          val (v, j) = parseFlow(s, i, no)
+          items += v
+          i = skipWs(s, j)
+          if (s.charAt(i) == ',') i = skipWs(s, i + 1)
+          else require(s.charAt(i) == ']', s"yaml: bad flow seq at line $no")
+        }
+        (JArray(items.result()), i + 1)
+      case '{' =>
+        i = skipWs(s, i + 1)
+        val fields = List.newBuilder[JField]
+        while (s.charAt(i) != '}') {
+          val (k, j) = parseFlowScalarRaw(s, i, no, stopColon = true)
+          i = skipWs(s, j)
+          require(s.charAt(i) == ':', s"yaml: bad flow map at line $no")
+          val (v, j2) = parseFlow(s, i + 1, no)
+          fields += JField(keyString(k), v)
+          i = skipWs(s, j2)
+          if (s.charAt(i) == ',') i = skipWs(s, i + 1)
+          else require(s.charAt(i) == '}', s"yaml: bad flow map at line $no")
+        }
+        (JObject(fields.result()), i + 1)
+      case _ =>
+        val (v, j) = parseFlowScalarRaw(s, i, no, stopColon = false)
+        (v, j)
+    }
+  }
+
+  private def keyString(v: JValue): String = v match {
+    case JString(s) => s
+    case JInt(n) => n.toString
+    case JBool(b) => b.toString
+    case other => other.toString
+  }
+
+  /** A scalar inside flow context: quoted, or plain up to , ] } (and
+    * optionally :).
+    */
+  private def parseFlowScalarRaw(s: String, i0: Int, no: Int,
+      stopColon: Boolean): (JValue, Int) = {
+    var i = skipWs(s, i0)
+    val c = s.charAt(i)
+    if (c == '"' || c == '\'') {
+      val end = s.indexOf(c, i + 1)
+      require(end > 0, s"yaml: unterminated quote at line $no")
+      (JString(s.substring(i + 1, end)), end + 1)
+    } else {
+      var j = i
+      while (j < s.length && !",]}".contains(s.charAt(j)) &&
+          !(stopColon && s.charAt(j) == ':')) j += 1
+      (scalar(s.substring(i, j).trim), j)
+    }
+  }
+
+  private def skipWs(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s.charAt(i) == ' ') i += 1
+    i
+  }
+
+  private val IntRe = "^[-+]?[0-9]+$".r
+  private val FloatRe = "^[-+]?(\\.[0-9]+|[0-9]+(\\.[0-9]*)?)([eE][-+]?[0-9]+)?$".r
+
+  /** Plain-scalar typing (PyYAML safe_load resolution subset). */
+  private def scalar(raw: String): JValue = {
+    val s = raw.trim
+    if (s.startsWith("\"") || s.startsWith("'")) {
+      val q = s.charAt(0)
+      require(s.length >= 2 && s.last == q, s"yaml: unterminated quote: $s")
+      JString(s.substring(1, s.length - 1))
+    } else s match {
+      case "" | "~" | "null" | "Null" | "NULL" => JNull
+      case "true" | "True" | "TRUE" => JBool(true)
+      case "false" | "False" | "FALSE" => JBool(false)
+      case IntRe() => JInt(BigInt(s))
+      case FloatRe(_*) => JDouble(s.toDouble)
+      case _ => JString(s)
+    }
+  }
+}

@@ -904,26 +904,44 @@ object AnalyticsQueries {
     // independence predicts.
     Q("q_basket_affinity",
       (s, dir) => {
-        // NOT Materialize'd (A/B at BOTH factors, r12 s4): ob has four
-        // consumers and 0 ReusedExchange, so the lineitem⋈part scan runs
-        // 4× — and checkpointing it won at sf10 (52.5 → 19.8 s) but ob is
-        // FACT-cardinality (~0.6B rows at factor 1000) and the sf100
-        // probe crashed the JVM storing it. Re-scanning is scan-bound
-        // and measured 0.67× sub-linear at sf100; the checkpoint trade
-        // only pays for BOUNDED frames (see x_dist_drift, where it
-        // stays).
-        val ob = Tables.lineitem(s, dir)
-          .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
-          .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-          .distinct()
-        val marg = ob.groupBy(col("brand")).agg(count(lit(1)).as("n_b"))
-        val tot = ob.select(col("okey")).distinct()
-          .agg(count(lit(1)).as("n_orders"))
-        ob.toDF("okey", "brand_x")
-          .join(ob.toDF("okey", "brand_y"), Seq("okey"))
-          .filter(col("brand_x") < col("brand_y"))
-          .groupBy(col("brand_x"), col("brand_y"))
-          .agg(count(lit(1)).as("n_xy"))
+        // r13 (verdict item 4): single-consumer pipeline replacing the
+        // 4×-re-scanned ob plan. ONE groupBy(okey) builds the bounded
+        // per-order distinct-brand set (≤ |brands| = 25 elements,
+        // collect_set partial-aggregates map-side), ONE explode emits
+        // per basket its brand pairs + singles + an order marker
+        // (fan-out ≤ C(25,2)+25+1 — the q_triangle_count bound), and
+        // ONE count agg collapses that to ≤ |brands|²+|brands|+1 rows
+        // carrying pairs (x,y), marginals (x,null) and the order total
+        // (null,null) TOGETHER — so the fact join runs once and only
+        // this brands²-bounded frame is materialized (the
+        // bounded-frame-only checkpoint rule from the r12 A/B: the
+        // fact-cardinality ob checkpoint crashed the JVM at factor
+        // 1000). Map-side combine makes the explode's shuffle
+        // ≤ brands²/partition regardless of row count.
+        val stats = graft.operators.Materialize(
+          Tables.lineitem(s, dir)
+            .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+            .groupBy(col("l_orderkey"))
+            .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+            .select(explode(expr(
+              """concat(
+                   flatten(transform(bs, (x, i) ->
+                     transform(slice(bs, i + 2, size(bs)), y ->
+                       named_struct('x', x, 'y', y)))),
+                   transform(bs, x ->
+                     named_struct('x', x, 'y', CAST(NULL AS STRING))),
+                   array(named_struct('x', CAST(NULL AS STRING),
+                                      'y', CAST(NULL AS STRING))))"""))
+              .as("pk"))
+            .groupBy(col("pk.x").as("bx"), col("pk.y").as("by"))
+            .agg(count(lit(1)).as("n")))
+        val marg = stats.filter(col("bx").isNotNull && col("by").isNull)
+          .select(col("bx").as("brand"), col("n").as("n_b"))
+        val tot = stats.filter(col("bx").isNull)
+          .select(col("n").as("n_orders"))
+        stats.filter(col("by").isNotNull)
+          .select(col("bx").as("brand_x"), col("by").as("brand_y"),
+            col("n").as("n_xy"))
           .join(broadcast(marg.toDF("brand_x", "n_x")), Seq("brand_x"))
           .join(broadcast(marg.toDF("brand_y", "n_y")), Seq("brand_y"))
           .crossJoin(broadcast(tot))
@@ -1069,10 +1087,14 @@ object AnalyticsQueries {
         lat.groupBy(col("priority"))
           .agg(count(lit(1)).as("n_items"),
             min(col("lat_days")).as("min_days"),
+            // Spark publishes percentile_disc as DOUBLE even over BIGINT
+            // input; the discrete quantile of a BIGINT column IS a BIGINT,
+            // so cast back to the input type (DuckDB's quantile_disc
+            // agrees).
             expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lat_days)")
-              .as("median_days"),
+              .cast("long").as("median_days"),
             expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lat_days)")
-              .as("p90_days"),
+              .cast("long").as("p90_days"),
             max(col("lat_days")).as("max_days"))
           .orderBy(col("priority"))
       },

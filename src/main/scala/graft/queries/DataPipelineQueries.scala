@@ -39,6 +39,17 @@ object DataPipelineQueries {
     root
   }
 
+  /** Per-JVM scratch slot for the xlsx ingest round trip (the
+    * [[wetScratch]] discipline).
+    */
+  private lazy val xlsxScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-xlsx-e2e-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   private val EnStop = TextStats.stopwords("en")
 
   /** Leakage-safe split from an arbitrary near-dup EDGE frame
@@ -907,6 +918,93 @@ object DataPipelineQueries {
                COALESCE(u.n_chars_kept, 0) AS n_chars_kept
         FROM raw LEFT JOIN gg USING (host) LEFT JOIN u USING (host)
         ORDER BY raw.host
+      """)),
+
+    // ------------------------------------------------------------------
+    // XLSX ingest END-TO-END — the reference's ACTUAL ingest format
+    // (multi-sheet spreadsheets with messy headers and junk sheets,
+    // extract.py:240-289) driven through the full library stack over a
+    // REAL xlsx round trip: a 3-file landing zone is synthesized IN
+    // PARALLEL (one executor task per workbook via Xlsx.write — zips
+    // are unsplittable, so file-level fan-out is the distributed
+    // shape), each file carrying two data sheets + a blacklisted
+    // "Notas" sheet, with per-file header chaos (accented/cased/spaced
+    // names, a REORDERED column layout, a file MISSING a column, a
+    // numeric-preamble file whose header must be DETECTED below junk
+    // rows). Ingest = the graft-xlsx DSv2 connector (one partition per
+    // (file, sheet), FixHeader-scored header detection, by-name column
+    // alignment) → canonical transform (na-token nulling + defensive
+    // numeric casts). Every cell derives from doc_id alone, so the
+    // oracle re-derives the entire landing zone analytically — sheet
+    // selection, blacklist, header normalization/alignment, the
+    // missing column, inline strings, numeric cells — and the per-row
+    // output must come back bit-exact.
+    Q("x_xlsx_ingest_e2e",
+      (s, dir) => {
+        import graft.sources.Xlsx
+        xlsxScratch.synchronized {
+          deleteRec(xlsxScratch)
+          val landing = java.nio.file.Files
+            .createDirectories(xlsxScratch.resolve("landing")).toString
+          import s.implicits._
+          Tables.documents(s, dir).select(col("doc_id")).as[Long]
+            .rdd.keyBy(_ % 3)
+            .partitionBy(new org.apache.spark.HashPartitioner(3))
+            .foreachPartition { it =>
+              val ids = it.map(_._2).toArray.sorted
+              if (ids.nonEmpty) {
+                val fid = (ids.head % 3).toInt
+                def codigo(id: Long) = "C" + "%012d".format(id)
+                def edad(id: Long): Any =
+                  if (id % 11 == 0) "n/a"
+                  else java.lang.Long.valueOf(id % 80 + 10)
+                def monto(id: Long): Any = java.lang.Long.valueOf(id * 37 % 10000)
+                def row(id: Long): Seq[Any] = fid match {
+                  case 0 => Seq(codigo(id), edad(id), monto(id))
+                  case 1 => Seq(monto(id), codigo(id), edad(id)) // reordered
+                  case _ => Seq(codigo(id), edad(id)) // monto column absent
+                }
+                val header: Seq[Any] = fid match {
+                  case 0 => Seq("Código", "Edad", "Monto Total")
+                  case 1 => Seq("monto total", "CÓDIGO", "edad")
+                  case _ => Seq("codigo", "Edad")
+                }
+                // fid 2 carries a preamble the header scorer must skip
+                // (the second row is numeric-heavy, so it scores below
+                // the real header — the reference's _fix_header case).
+                val pre: Seq[Seq[Any]] =
+                  if (fid == 2) Seq(Seq("Reporte mensual"),
+                    Seq("Generado", java.lang.Long.valueOf(45321L)))
+                  else Nil
+                def grid(parity: Int): Seq[Seq[Any]] =
+                  pre ++ (header +: ids.iterator
+                    .filter(id => id / 3 % 2 == parity)
+                    .map(row).toSeq)
+                Xlsx.write(new org.apache.hadoop.conf.Configuration(),
+                  s"$landing/drop_$fid.xlsx", Seq(
+                    "1" -> grid(0), "2" -> grid(1),
+                    "Notas" -> Seq(Seq("junk"),
+                      Seq("do not ingest", java.lang.Long.valueOf(99L)))))
+              }
+            }
+          val raw = s.read.format("graft-xlsx")
+            .option("path", landing)
+            .option("sheetBlacklist", "notas").load()
+          graft.operators.Transform.applyNaTokens(raw, Seq("n/a"))
+            .select(col("codigo"),
+              expr("try_cast(edad AS BIGINT)").as("edad"),
+              expr("try_cast(monto_total AS BIGINT)").as("monto_cents"))
+            .orderBy(col("codigo"))
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
+      },
+      Some("""
+        SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS codigo,
+               CASE WHEN doc_id % 11 = 0 THEN NULL
+                    ELSE doc_id % 80 + 10 END AS edad,
+               CASE WHEN doc_id % 3 = 2 THEN NULL
+                    ELSE doc_id * 37 % 10000 END AS monto_cents
+        FROM documents ORDER BY codigo
       """)),
 
     // ------------------------------------------------------------------

@@ -73,6 +73,16 @@ object StreamQueries {
     root
   }
 
+  /** Scratch slot for the streaming LSH append gate (same discipline
+    * as [[upsertScratch]]). */
+  private lazy val lshGateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-lsh-gate-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   /** Scratch slot for the stateful streaming quota gate (same
     * discipline as [[upsertScratch]]). */
   private lazy val quotaGateScratch: java.nio.file.Path = {
@@ -115,6 +125,29 @@ object StreamQueries {
       Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
     }
     root.toString
+  }
+
+  /** Run `second` (the writer of a drop directory's SECOND file drop)
+    * and then stamp every file it created strictly later than the first
+    * drop's max mtime. FileStreamSource batches by modification time; on
+    * filesystems with coarse mtime granularity a back-to-back write can
+    * TIE with the first drop's files and interleave into micro-batch 1 —
+    * silently breaking the cross-batch ordering precondition of the
+    * order-SENSITIVE gates (substr: first-occurrence-in-earliest-drop;
+    * quota: per-source doc_id order; transitions: per-user ts order).
+    * Within a batch any order is fine (the sinks sort); the stamp only
+    * pins the BATCH boundary. Also used by the order-insensitive gates
+    * so every slot measures the same deterministic two-batch shape.
+    */
+  private def pinnedSecondDrop(dropD: String)(second: => Unit): Unit = {
+    val dropDir = new java.io.File(dropD)
+    def partFiles() = Option(dropDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val firstNames = partFiles().map(_.getName).toSet
+    val firstMax = partFiles().map(_.lastModified).max
+    second
+    partFiles().filterNot(f => firstNames(f.getName))
+      .foreach(_.setLastModified(firstMax + 60000L))
   }
 
   /** Stamp a phase's wall time to stderr and pass the value through. */
@@ -336,30 +369,17 @@ object StreamQueries {
           val withThr = docs.crossJoin(broadcast(thr))
           withThr.filter(col("doc_id") < col("thr")).select("doc_id", "text")
             .repartition(8).write.mode("append").parquet(dropD)
-          // FileStreamSource batches by modification time; on
-          // filesystems with coarse mtime granularity the second drop's
-          // file can TIE with the first drop's 8 and interleave into
-          // micro-batch 1 — breaking the "first occurrence lives in the
-          // earliest drop" precondition the oracle depends on (this
-          // query is order-sensitive, unlike st_upsert_merge). Stamp
-          // the second drop's files strictly later to pin the batch
-          // order.
-          val dropDir = new java.io.File(dropD)
-          def partFiles() = Option(dropDir.listFiles()).getOrElse(Array.empty)
-            .filter(_.getName.endsWith(".parquet"))
-          val firstNames = partFiles().map(_.getName).toSet
-          val firstMax = partFiles().map(_.lastModified).max
           // Multi-file second drop (r12 s4, the st_drift_gate lesson):
           // the file-stream source assigns one scan task per file, so a
           // coalesce(1) text drop made micro-batch 2 a single-task scan.
-          // The mtime stamp below pins ALL of them after batch 1, so
-          // the order-sensitivity precondition is unchanged (within a
-          // batch the sink sorts by id itself). A/B at sf10:
-          // 46.0 → 34.5 s same-day.
-          withThr.filter(col("doc_id") >= col("thr")).select("doc_id", "text")
-            .repartition(4).write.mode("append").parquet(dropD)
-          partFiles().filterNot(f => firstNames(f.getName))
-            .foreach(_.setLastModified(firstMax + 60000L))
+          // pinnedSecondDrop stamps ALL of them after batch 1, so the
+          // order-sensitivity precondition ("first occurrence lives in
+          // the earliest drop") is unchanged — within a batch the sink
+          // sorts by id itself. A/B at sf10: 46.0 → 34.5 s same-day.
+          pinnedSecondDrop(dropD) {
+            withThr.filter(col("doc_id") >= col("thr")).select("doc_id", "text")
+              .repartition(4).write.mode("append").parquet(dropD)
+          }
         } + "/drop"
         deleteRec(substrGateScratch)
         val tmp = java.nio.file.Files.createDirectories(substrGateScratch)
@@ -409,9 +429,9 @@ object StreamQueries {
     // are distributive over any split of the points, the accumulated
     // output equals ONE batch q_range_join over all clicks — so the
     // oracle IS q_range_join's SQL: the stream must reproduce the batch
-    // operator bit-for-bit, whatever the micro-batch boundaries (no
-    // mtime pinning needed — unlike the substring gate, this pipeline
-    // is order-insensitive by construction).
+    // operator bit-for-bit, whatever the micro-batch boundaries
+    // (order-insensitive by construction — the mtime pin below is for
+    // a deterministic bench shape, not correctness).
     Q("st_range_gate",
       (s, dir) => {
         val drop = cachedDrops("st_range_gate", dir) { d =>
@@ -420,8 +440,13 @@ object StreamQueries {
             .select(col("event_id").as("click_id"), col("ts"))
           clicks.filter(col("click_id") % 2 === 0)
             .repartition(8).write.mode("append").parquet(s"$d/drop")
-          clicks.filter(col("click_id") % 2 =!= 0)
-            .coalesce(1).write.mode("append").parquet(s"$d/drop")
+          // Multi-file second drop (the st_drift_gate lesson: one file =
+          // one scan task = a single-task micro-batch); order-insensitive
+          // pipeline, but the pin keeps the two-batch shape deterministic.
+          pinnedSecondDrop(s"$d/drop") {
+            clicks.filter(col("click_id") % 2 =!= 0)
+              .repartition(4).write.mode("append").parquet(s"$d/drop")
+          }
         } + "/drop"
         deleteRec(rangeGateScratch)
         val tmp = java.nio.file.Files.createDirectories(rangeGateScratch)
@@ -472,8 +497,15 @@ object StreamQueries {
             .head().getDouble(0)
           ev.filter(unix_millis(col("ts")) <= m)
             .repartition(8).write.mode("append").parquet(s"$d/drop")
-          ev.filter(unix_millis(col("ts")) > m)
-            .coalesce(1).write.mode("append").parquet(s"$d/drop")
+          // Multi-file second drop + mtime pin: transitionsSink is
+          // order-SENSITIVE across batches (per-user ts order), so the
+          // second drop must land strictly after the first in mtime
+          // order — a coarse-mtime tie would interleave drop-2 events
+          // into micro-batch 1 and miscount the boundary transitions.
+          pinnedSecondDrop(s"$d/drop") {
+            ev.filter(unix_millis(col("ts")) > m)
+              .repartition(4).write.mode("append").parquet(s"$d/drop")
+          }
         } + "/drop"
         deleteRec(transGateScratch)
         val tmp = java.nio.file.Files.createDirectories(transGateScratch)
@@ -527,8 +559,15 @@ object StreamQueries {
             .head().getDouble(0)
           docs.filter(col("doc_id") <= m)
             .repartition(8).write.mode("append").parquet(s"$d/drop")
-          docs.filter(col("doc_id") > m)
-            .coalesce(1).write.mode("append").parquet(s"$d/drop")
+          // Multi-file second drop + mtime pin: quotaSink is
+          // order-SENSITIVE across batches (per-source doc_id order —
+          // each source's drop-1 docs must precede its drop-2 docs), so
+          // a coarse-mtime tie interleaving drop 2 into micro-batch 1
+          // would silently break the rank-offset precondition.
+          pinnedSecondDrop(s"$d/drop") {
+            docs.filter(col("doc_id") > m)
+              .repartition(4).write.mode("append").parquet(s"$d/drop")
+          }
         } + "/drop"
         deleteRec(quotaGateScratch)
         val tmp = java.nio.file.Files.createDirectories(quotaGateScratch)
@@ -549,6 +588,85 @@ object StreamQueries {
                                     ORDER BY doc_id) AS rk
           FROM documents)
         WHERE rk <= 10 ORDER BY doc_id
+      """)),
+
+    // ------------------------------------------------------------------
+    // Streaming MinHash-LSH append gate (ORACLED, r13): documents stream
+    // in two doc_id-split drops through a REAL readStream +
+    // StreamOps.lshPairsSink — each micro-batch appends its portable
+    // signatures and pb-partitioned band postings as batchId-keyed
+    // idempotent overwrites, probes ONLY the posting partitions its own
+    // band keys touch (the LshIndex partition-pruning discipline — the
+    // standing corpus is never rescanned), and emits its new candidate
+    // pairs (new×old + new×new per bucket). Pair emission is symmetric
+    // and the occupancy cap is applied against FINAL occupancy at
+    // publish, so the accumulated pairs == the ONE-SHOT banded pair
+    // query over the whole corpus for ANY batch boundaries — the oracle
+    // is d_minhash_portable's sha256-portable CTE chain publishing the
+    // FULL capped pair set (not top-20), bit-exact end to end.
+    Q("st_lsh_gate",
+      (s, dir) => {
+        val drop = cachedDrops("st_lsh_gate", dir) { d =>
+          val docs = Tables.documents(s, dir)
+            .select(col("doc_id"), col("text"))
+          val m = docs.agg(expr("percentile(doc_id, 0.5)"))
+            .head().getDouble(0)
+          docs.filter(col("doc_id") <= m)
+            .repartition(8).write.mode("append").parquet(s"$d/drop")
+          // Order-insensitive (pairs emit whenever the LATER side
+          // arrives); multi-file + pin for the deterministic two-batch
+          // shape, as in st_range_gate.
+          pinnedSecondDrop(s"$d/drop") {
+            docs.filter(col("doc_id") > m)
+              .repartition(4).write.mode("append").parquet(s"$d/drop")
+          }
+        } + "/drop"
+        deleteRec(lshGateScratch)
+        val tmp = java.nio.file.Files.createDirectories(lshGateScratch)
+        phase("st_lsh_gate", "stream") {
+          val src = s.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 8).parquet(drop)
+          StreamOps.lshPairsSink(src, s"$tmp/out", s"$tmp/ckpt")
+            .awaitTermination()
+        }
+        StreamOps.lshPairsRead(s, s"$tmp/out")
+          .orderBy(col("id_a"), col("id_b"))
+          .localCheckpoint() // materialize before the scratch is re-wiped
+      },
+      Some("""
+        WITH base AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> x <> '') AS ts
+          FROM documents),
+        sh AS (SELECT doc_id,
+                 CASE WHEN len(ts) < 3 THEN [array_to_string(ts, ' ')]
+                      ELSE list_distinct(list_transform(range(0, len(ts) - 2),
+                             i -> ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3]))
+                 END AS shs
+               FROM base),
+        hx AS (SELECT doc_id, seed,
+                 MIN(('0x' || substr(sha256(CAST(seed // 8 AS VARCHAR) || '|' || shingle),
+                                     CAST(1 + 8 * (seed % 8) AS INT), 8))::BIGINT) AS mh
+               FROM (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+                    (SELECT unnest(range(0, 32)) AS seed)
+               GROUP BY doc_id, seed),
+        sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM hx GROUP BY doc_id),
+        bands AS (SELECT doc_id, b, sig[2*b+1] AS k1, sig[2*b+2] AS k2
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        keepb AS (SELECT b, k1, k2 FROM bands
+                  GROUP BY b, k1, k2 HAVING COUNT(*) BETWEEN 2 AND 100),
+        cb AS (SELECT bands.* FROM bands JOIN keepb USING (b, k1, k2)),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM cb a JOIN cb b
+                    ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
+                   AND a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
+                 AS BIGINT) AS n_eq
+        FROM pairs
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        ORDER BY id_a, id_b
       """)),
 
     // ------------------------------------------------------------------

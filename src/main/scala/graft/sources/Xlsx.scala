@@ -157,6 +157,75 @@ object Xlsx {
   }
 
   // ------------------------------------------------------------------
+  // Writer
+  // ------------------------------------------------------------------
+
+  /** Write one workbook to any Hadoop-visible path, at the fidelity the
+    * reader consumes: inline-string cells, raw numeric cells, one
+    * worksheet part per sheet, rels indirection — no styles, no shared
+    * strings (both optional parts the reader tolerates). Serves as the
+    * landing-zone synthesizer for ingest drills (x_xlsx_ingest_e2e) and
+    * a minimal export utility. One workbook is one unsplittable zip, so
+    * call this from ONE task per file — a partitionBy(fileKey) fan-out
+    * writes a whole landing zone in parallel; the per-sheet buffering
+    * is the format's own constraint, not a plan choice.
+    *
+    * Cell mapping (the [[graft]] fixture convention): null → omitted
+    * cell, String → inlineStr, anything else → numeric `<v>` via
+    * toString.
+    */
+  def write(conf: org.apache.hadoop.conf.Configuration, path: String,
+      sheets: Seq[(String, Seq[Seq[Any]])]): Unit = {
+    def esc(s: String): String =
+      s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    def colRef(i: Int): String = {
+      var n = i + 1; val sb = new StringBuilder
+      while (n > 0) { sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26 }
+      sb.toString
+    }
+    val workbook = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<workbook xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\" " +
+      "xmlns:r=\"http://schemas.openxmlformats.org/officeDocument/2006/relationships\"><sheets>" +
+      sheets.zipWithIndex.map { case ((name, _), i) =>
+        s"""<sheet name="${esc(name)}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+      }.mkString + "</sheets></workbook>"
+    val rels = "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+      "<Relationships xmlns=\"http://schemas.openxmlformats.org/package/2006/relationships\">" +
+      sheets.indices.map { i =>
+        s"""<Relationship Id="rId${i + 1}" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet${i + 1}.xml"/>"""
+      }.mkString + "</Relationships>"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val zos = new java.util.zip.ZipOutputStream(fs.create(p, true))
+    def put(name: String, content: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8")); zos.closeEntry()
+    }
+    try {
+      put("xl/workbook.xml", workbook)
+      put("xl/_rels/workbook.xml.rels", rels)
+      sheets.zipWithIndex.foreach { case ((_, rows), si) =>
+        val rowsXml = rows.iterator.zipWithIndex.map { case (cells, ri) =>
+          val cellsXml = cells.iterator.zipWithIndex.collect {
+            case (v, ci) if v != null =>
+              val ref = s"${colRef(ci)}${ri + 1}"
+              v match {
+                case s: String =>
+                  s"""<c r="$ref" t="inlineStr"><is><t>${esc(s)}</t></is></c>"""
+                case n => s"""<c r="$ref"><v>$n</v></c>"""
+              }
+          }.mkString
+          s"""<row r="${ri + 1}">$cellsXml</row>"""
+        }.mkString
+        put(s"xl/worksheets/sheet${si + 1}.xml",
+          "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+            "<worksheet xmlns=\"http://schemas.openxmlformats.org/spreadsheetml/2006/main\">" +
+            s"<sheetData>$rowsXml</sheetData></worksheet>")
+      }
+    } finally zos.close()
+  }
+
+  // ------------------------------------------------------------------
   // XML part parsers
   // ------------------------------------------------------------------
 

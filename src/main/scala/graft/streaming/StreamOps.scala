@@ -454,9 +454,18 @@ object StreamOps {
           .select(col("user_id"), col("event_type").as("last_type"))
         val statePath = new Path(s"$targetDir/state_${batchId - 1}")
         val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // batchId > 0 with a missing prior snapshot means the target dir
+        // was wiped or partially lost while the checkpoint survived —
+        // defaulting to empty state would silently publish wrong
+        // boundary transitions. Fail loudly; recovery is wiping the
+        // checkpoint too and replaying from the source.
+        if (batchId > 0 && !fs.exists(statePath))
+          throw new IllegalStateException(
+            s"transitionsSink: state snapshot $statePath missing for batch " +
+              s"$batchId — target dir lost while checkpoint survived; wipe " +
+              "the checkpoint and replay")
         val prev =
-          if (batchId > 0 && fs.exists(statePath))
-            spark.read.parquet(statePath.toString)
+          if (batchId > 0) spark.read.parquet(statePath.toString)
           else lasts.limit(0)
         val boundary = prev.join(firsts, Seq("user_id"))
           .select(col("last_type").as("src"), col("first_type").as("dst"))
@@ -521,9 +530,16 @@ object StreamOps {
         val counts = b.groupBy(col("source")).agg(count(lit(1)).as("n_new"))
         val statePath = new Path(s"$targetDir/state_${batchId - 1}")
         val fs = statePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // Same discipline as transitionsSink: a missing prior snapshot at
+        // batchId > 0 is a lost target dir, not a cold start — empty
+        // seen-counts would silently over-admit. Fail loudly.
+        if (batchId > 0 && !fs.exists(statePath))
+          throw new IllegalStateException(
+            s"quotaSink: state snapshot $statePath missing for batch " +
+              s"$batchId — target dir lost while checkpoint survived; wipe " +
+              "the checkpoint and replay")
         val prev =
-          if (batchId > 0 && fs.exists(statePath))
-            spark.read.parquet(statePath.toString)
+          if (batchId > 0) spark.read.parquet(statePath.toString)
           else counts.select(col("source"), col("n_new").as("n_seen")).limit(0)
         b.withColumn("rn", row_number().over(w))
           .join(prev, Seq("source"), "left")
@@ -589,6 +605,130 @@ object StreamOps {
       spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
         .groupBy(col("source"), col("tok"))
         .agg(sum(col("c_st")).as("c_st")))
+
+  /** foreachBatch MinHash-LSH candidate-pair sink — the streaming twin
+    * of the banded near-dup detector (d_minhash_portable's pair stage),
+    * maintaining a persisted band index incrementally the way
+    * [[graft.operators.LshIndex.append]] does: each micro-batch writes
+    * its portable signatures and band postings as batchId-keyed
+    * OVERWRITES (idempotent under at-least-once replay — a plain
+    * `append` to one index tree would double postings on a batch
+    * re-run), the posting files hive-partitioned by
+    * `pb = band·keyBuckets + (k1 mod keyBuckets)` so the probe against
+    * the standing corpus reads ONLY the partitions the batch's own band
+    * keys touch (a static `pb IN (...)` filter — the standing corpus is
+    * never rescanned; the LshIndex partition-pruning discipline).
+    *
+    * Pair emission is EXACT against the one-shot batch query over the
+    * union, for any batch boundaries and any arrival order (pairs are
+    * symmetric — the later-arriving side emits new×old plus new×new per
+    * bucket): a bucket whose occupancy-so-far already exceeds
+    * `maxBucket` is skipped in-flight, which cannot diverge because
+    * occupancy only grows — the publish step ([[lshPairsRead]]) applies
+    * the cap against FINAL occupancy, exactly the batch twin's
+    * `HAVING COUNT(*) BETWEEN 2 AND maxBucket`, and drops those pairs
+    * either way. In-flight emission is therefore bounded by
+    * maxBucket² per bucket lifetime, never duplicate-family².
+    */
+  def lshPairsSink(
+      docs: DataFrame,
+      targetDir: String,
+      checkpointDir: String,
+      maxBucket: Int = 100,
+      keyBuckets: Int = 64): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val bkt = Seq("b", "k1", "k2")
+        val sigs = graft.operators.Materialize(
+          graft.queries.TextQueries.portableMinhashSig(batch))
+        sigs.write.mode("overwrite").parquet(s"$targetDir/sigs_$batchId")
+        val bands = graft.operators.Materialize(
+          graft.queries.TextQueries.portableBands(sigs)
+            .withColumn("pb", (col("b").cast("long") * keyBuckets +
+              pmod(col("k1"), lit(keyBuckets.toLong))).cast("int")))
+        bands.repartition(col("pb"))
+          .write.mode("overwrite").partitionBy("pb")
+          .parquet(s"$targetDir/bands_$batchId")
+        // Standing-corpus postings, partition-pruned to the batch's own
+        // band keys (≤ numBands·keyBuckets distinct pb values, collected
+        // as static literals). Missing prior snapshots at batchId > 0 =
+        // lost target dir, not a cold start (the quotaSink discipline).
+        val fs = new Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val priorDirs = (0L until batchId).map { i =>
+          val p = new Path(s"$targetDir/bands_$i")
+          if (!fs.exists(p))
+            throw new IllegalStateException(
+              s"lshPairsSink: posting snapshot $p missing for batch " +
+                s"$batchId — wipe the checkpoint and replay")
+          p.toString
+        }
+        val pbs = bands.select("pb").distinct().collect()
+          .map(_.getInt(0)).sorted
+        // Per-root reads + union (multiple hive-partitioned roots in one
+        // read call break partition inference); the static pb filter
+        // prunes each root's directory listing independently.
+        val prior =
+          if (priorDirs.isEmpty)
+            bands.select(col("doc_id"), col("b"), col("k1"), col("k2")).limit(0)
+          else priorDirs.map(spark.read.parquet(_)
+              .filter(col("pb").isin(pbs.map(Int.box): _*))
+              .select("doc_id", "b", "k1", "k2"))
+            .reduce(_.unionByName(_))
+        val bn = bands.select("doc_id", "b", "k1", "k2")
+        val occOk = bn.unionByName(prior)
+          .groupBy(bkt.map(col): _*).agg(count(lit(1)).as("occ"))
+          .filter(col("occ") <= maxBucket)
+          .select(bkt.map(col): _*)
+        val nn = bn.toDF("id_a", "b", "k1", "k2")
+          .join(bn.toDF("id_b", "b", "k1", "k2"), bkt)
+          .filter(col("id_a") < col("id_b"))
+        val no = bn.toDF("id_x", "b", "k1", "k2")
+          .join(prior.toDF("id_y", "b", "k1", "k2"), bkt)
+          .select(col("b"), col("k1"), col("k2"),
+            least(col("id_x"), col("id_y")).as("id_a"),
+            greatest(col("id_x"), col("id_y")).as("id_b"))
+        nn.select(col("b"), col("k1"), col("k2"), col("id_a"), col("id_b"))
+          .unionByName(no)
+          .join(occOk, bkt)
+          .distinct()
+          .write.mode("overwrite").parquet(s"$targetDir/inc_$batchId")
+        ()
+      }
+      .start()
+
+  /** Publish step for [[lshPairsSink]]: apply the occupancy cap against
+    * FINAL bucket occupancy (the batch twin's HAVING clause — pairs
+    * already imply occupancy ≥ 2), dedup pairs across buckets and
+    * batches, and score signature agreement from the persisted
+    * signatures — column-identical to the one-shot banded-pair query,
+    * so its SQL replays verbatim as the oracle.
+    */
+  def lshPairsRead(spark: SparkSession, targetDir: String,
+      maxBucket: Int = 100): DataFrame = {
+    val bkt = Seq("b", "k1", "k2")
+    val occOk = increments(spark, targetDir, "bands_")
+      .map(spark.read.parquet(_).select(bkt.map(col): _*))
+      .reduce(_.unionByName(_))
+      .groupBy(bkt.map(col): _*).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxBucket)
+      .select(bkt.map(col): _*)
+    val pairs = spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
+      .join(occOk, bkt)
+      .select("id_a", "id_b").distinct()
+    val sigs = spark.read.parquet(increments(spark, targetDir, "sigs_"): _*)
+    pairs
+      .join(sigs.toDF("id_a", "sa"), "id_a")
+      .join(sigs.toDF("id_b", "sb"), "id_b")
+      .withColumn("n_eq",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          p => p)).cast("long"))
+      .select("id_a", "id_b", "n_eq")
+  }
 
   /** Shared merge-and-swap skeleton: heal a half-finished previous swap,
     * build the merged frame (given whether a target exists), write it to

@@ -105,6 +105,123 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(rows.forall(_.getInt(2) == 2024))
   }
 
+  test("the reference YAML loads unmodified == its JSON transcription") {
+    // The reference's actual config (configs/detenidos_aprehendidos.yaml,
+    // loaded there by etl/yaml_config_loader.py:36 via PyYAML) must parse
+    // through the YAML front-end with NO transcription step and produce
+    // the exact DatasetConfig its mechanical JSON transcription does —
+    // the last porting gap from the reference closed (r13).
+    val refPath = java.nio.file.Paths.get(
+      "/root/reference/configs/detenidos_aprehendidos.yaml")
+    assume(java.nio.file.Files.exists(refPath), "reference yaml not present")
+    val fromYaml = ConfigLoader.fromYamlString(
+      java.nio.file.Files.readString(refPath))
+    val categoryCols = Seq("tipo", "estado_civil", "estatus_migratorio",
+      "sexo", "genero", "nacionalidad", "autoidentificacion_etnica",
+      "nivel_de_instruccion", "condicion", "movilizacion", "tipo_arma",
+      "arma", "lugar", "tipo_lugar", "nombre_zona", "nombre_subzona",
+      "nombre_distrito", "nombre_circuito", "nombre_subcircuito",
+      "nombre_provincia", "nombre_canton", "nombre_parroquia",
+      "presunta_infraccion", "grupo_edad")
+    val codeCols = Seq("codigo_iccs", "codigo_distrito", "codigo_circuito",
+      "codigo_subcircuito", "codigo_provincia", "codigo_canton",
+      "codigo_parroquia", "hora_detencion_aprehension")
+    val orderCols = Seq("codigo_iccs", "fecha_detencion_aprehension",
+      "hora_detencion_aprehension", "tipo", "presunta_infraccion",
+      "estado_civil", "estatus_migratorio", "edad", "sexo", "genero",
+      "nacionalidad", "autoidentificacion_etnica", "nivel_de_instruccion",
+      "condicion", "movilizacion", "tipo_arma", "arma", "lugar",
+      "tipo_lugar", "nombre_zona", "nombre_subzona", "codigo_distrito",
+      "codigo_circuito", "codigo_subcircuito", "codigo_provincia",
+      "codigo_canton", "codigo_parroquia", "nombre_distrito",
+      "nombre_circuito", "nombre_subcircuito", "nombre_provincia",
+      "nombre_canton", "nombre_parroquia", "latitud", "longitud",
+      "grupo_edad", "ano")
+    def arr(xs: Seq[String]) = xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fromJson = ConfigLoader.fromJsonString(s"""{
+      "dataset": "detenidos_aprehendidos",
+      "allowed_schema_diffs": 0,
+      "schema": {"pad_missing": true},
+      "promote_policy": {"on_critical_fail": "error",
+        "fail_on_missing_expected": true, "fail_on_extra_columns": false,
+        "fail_on_schema_drift": false},
+      "normalize": {"na_values": ["", "NA", "N/A", "na", "null", "None",
+          "none", "Nan", "NaN"],
+        "drop_all_null_rows": true, "drop_all_null_cols": false},
+      "rename": {},
+      "types": {"datetime": ["fecha_detencion_aprehension"],
+        "numeric": ["edad", "latitud", "longitud", "ano"],
+        "category": ${arr(categoryCols)},
+        "string_codes": ${arr(codeCols)}},
+      "order": ${arr(orderCols)},
+      "critical": {"all": ["fecha_detencion_aprehension", "presunta_infraccion"],
+        "any_of": [["codigo_provincia", "codigo_canton", "codigo_parroquia"],
+                   ["nombre_provincia", "nombre_canton", "nombre_parroquia"]]},
+      "recommended": [["latitud", "longitud"]],
+      "categories": {"sexo": {
+        "map": {"m": "Masculino", "masculino": "Masculino",
+                "f": "Femenino", "femenino": "Femenino"},
+        "allowed": ["Masculino", "Femenino"], "coerce_to": null}},
+      "numeric_rules": {"edad": {"min": 0, "max": 120},
+        "latitud": {"min": -5.5, "max": 2.5},
+        "longitud": {"min": -92.5, "max": -74.5}},
+      "id_strategy": {"mode": "composite_first",
+        "single_key": ["codigo_iccs"],
+        "composite_key": ["codigo_iccs", "fecha_detencion_aprehension",
+          "codigo_provincia", "codigo_canton"],
+        "composite_allow_nulls": true,
+        "surrogate": {"enabled": true, "method": "uuid5",
+          "namespace": "https://tu-org.ec/mdi/detenidos_aprehendidos",
+          "fields": ["codigo_iccs", "fecha_detencion_aprehension",
+            "codigo_provincia", "codigo_canton"]}},
+      "integrity": {"enforce_unique_business_key": true,
+        "on_duplicate": "keep_latest_by_fecha"},
+      "derive": {"ano_from_fecha": true},
+      "load": {"table": "detenidos_aprehendidos",
+        "upsert_key": "surrogate_id", "extras_json_column": "extras"}
+    }""")
+    assert(fromYaml == fromJson)
+    // Spot-check the YAML parser actually saw the non-trivial shapes.
+    assert(fromYaml.categories("sexo").map("masculino") == "Masculino")
+    assert(fromYaml.categories("sexo").coerceTo.isEmpty) // coerce_to: null
+    assert(fromYaml.numericRules("longitud") ==
+      NumericRule(Some(-92.5), Some(-74.5)))
+    assert(fromYaml.deriveYear.contains(
+      ("fecha_detencion_aprehension", "ano")))
+    assert(fromYaml.order.size == 37)
+  }
+
+  test("YAML front-end: flow/quoted/null/comment edge shapes") {
+    val cfg = ConfigLoader.fromYamlString(
+      """# leading comment
+        |dataset: ds1   # trailing comment
+        |normalize:
+        |  na_values: ["", 'NA', "a # not-comment"]
+        |rename: {}
+        |types:
+        |  numeric: [edad]
+        |categories:
+        |  "sexo":
+        |    map:
+        |      "m": "Masculino"
+        |    coerce_to: null
+        |recommended:
+        |  - [latitud, longitud]
+        |  - observaciones
+        |numeric_rules:
+        |  lat: {min: -5.5, max: 2.5}
+        |""".stripMargin)
+    assert(cfg.dataset == "ds1")
+    assert(cfg.normalize.naValues == Seq("", "NA", "a # not-comment"))
+    assert(cfg.rename.isEmpty)
+    assert(cfg.types.numeric == Seq("edad"))
+    assert(cfg.categories("sexo").map == Map("m" -> "Masculino"))
+    assert(cfg.categories("sexo").coerceTo.isEmpty)
+    assert(cfg.recommended == Seq(Seq("latitud", "longitud"),
+      Seq("observaciones")))
+    assert(cfg.numericRules("lat") == NumericRule(Some(-5.5), Some(2.5)))
+  }
+
   test("ingest blacklist skips matching resources") {
     val dir = Files.createTempDirectory("graft-bl").toString
     Seq((1, "a")).toDF("id", "v").coalesce(1).write.parquet(dir + "/keep_data")

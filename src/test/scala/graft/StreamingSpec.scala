@@ -27,6 +27,24 @@ class StreamingSpec extends AnyFunSuite {
     dir
   }
 
+  /** Run `second` (the writer of a drop dir's second file drop), then
+    * stamp its files strictly later than the first drop's max mtime.
+    * FileStreamSource batches by modification time — on coarse-mtime
+    * filesystems a back-to-back write can tie with the first drop and
+    * interleave into micro-batch 1, breaking the cross-batch ordering
+    * the order-sensitive sinks (quota, transitions) depend on.
+    */
+  private def pinnedSecondDrop(dropD: String)(second: => Unit): Unit = {
+    val dropDir = new java.io.File(dropD)
+    def partFiles() = Option(dropDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val firstNames = partFiles().map(_.getName).toSet
+    val firstMax = partFiles().map(_.lastModified).max
+    second
+    partFiles().filterNot(f => firstNames(f.getName))
+      .foreach(_.setLastModified(firstMax + 60000L))
+  }
+
   test("streaming Count-Min sketch equals the batch sketch over all drops") {
     val dir = stageDrops(3)
     val stream = StreamOps.countMinStream(
@@ -242,8 +260,10 @@ class StreamingSpec extends AnyFunSuite {
     val m = ev.agg(expr("percentile(unix_millis(ts), 0.5)")).head().getDouble(0)
     ev.filter(unix_millis(col("ts")) <= m)
       .coalesce(1).write.mode("append").parquet(s"$dir/drop")
-    ev.filter(unix_millis(col("ts")) > m)
-      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    pinnedSecondDrop(s"$dir/drop") {
+      ev.filter(unix_millis(col("ts")) > m)
+        .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    }
     def runStream(ckpt: String): Unit = {
       val src = spark.readStream.schema(
         "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING")
@@ -284,8 +304,10 @@ class StreamingSpec extends AnyFunSuite {
     val m = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
     docs.filter(col("doc_id") <= m)
       .coalesce(1).write.mode("append").parquet(s"$dir/drop")
-    docs.filter(col("doc_id") > m)
-      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    pinnedSecondDrop(s"$dir/drop") {
+      docs.filter(col("doc_id") > m)
+        .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    }
     def runStream(ckpt: String): Unit = {
       val src = spark.readStream.schema("doc_id LONG, source STRING")
         .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop")
@@ -309,6 +331,54 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = first.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(streamed == batchCap)
     assert(first.size < docs.count(), "quota never rejected — vacuous gate")
+  }
+
+  test("LSH append gate: accumulated pairs == one-shot banded pairs over " +
+      "the union; cross-batch pairs exist; replay byte-identical") {
+    val dir = Files.createTempDirectory("graft-lsh").toString
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val m = docs.agg(expr("percentile(doc_id, 0.5)")).head().getDouble(0)
+    docs.filter(col("doc_id") <= m)
+      .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    pinnedSecondDrop(s"$dir/drop") {
+      docs.filter(col("doc_id") > m)
+        .coalesce(1).write.mode("append").parquet(s"$dir/drop")
+    }
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/drop")
+      StreamOps.lshPairsSink(src, s"$dir/out", ckpt).awaitTermination()
+    }
+    runStream(s"$dir/ckpt1")
+    val first = StreamOps.lshPairsRead(spark, s"$dir/out")
+      .orderBy("id_a", "id_b").collect().toSeq
+    runStream(s"$dir/ckpt2") // full replay over the intact target
+    val second = StreamOps.lshPairsRead(spark, s"$dir/out")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(first == second && first.nonEmpty)
+    // == the one-shot banded pair query over the whole corpus.
+    val sig = graft.queries.TextQueries.portableMinhashSig(docs)
+    val bands = graft.queries.TextQueries.portableBands(sig)
+    val capped = bands.join(
+      bands.groupBy("b", "k1", "k2").agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > 1 && col("occ") <= 100).select("b", "k1", "k2"),
+      Seq("b", "k1", "k2"))
+    val batchPairs = capped.toDF("b", "k1", "k2", "id_a")
+      .join(capped.toDF("b", "k1", "k2", "id_b"), Seq("b", "k1", "k2"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .join(sig.toDF("id_a", "sa"), "id_a")
+      .join(sig.toDF("id_b", "sb"), "id_b")
+      .withColumn("n_eq",
+        size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+          p => p)).cast("long"))
+      .select("id_a", "id_b", "n_eq")
+      .orderBy("id_a", "id_b").collect().toSeq
+    assert(first == batchPairs)
+    // The gate genuinely crossed the batch boundary: some pair straddles
+    // the doc_id split (else the test verifies two independent runs).
+    assert(first.exists(r => r.getLong(0) <= m && r.getLong(1) > m),
+      "no cross-batch pair — vacuous gate")
   }
 
   test("drift sink: accumulated count increments reproduce the batch TV " +

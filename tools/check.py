@@ -48,10 +48,28 @@ def main(sfdir, outdir):
         keys = _scalar_cols(sp) or list(sp.columns)
         sp2 = sp.sort_values(keys).reset_index(drop=True)
         du2 = du.sort_values(keys).reset_index(drop=True)
+        # Dtype drift gate: the driver's compare hashes TYPED values, so a
+        # DOUBLE vs BIGINT drift fails there even when every value matches
+        # (r12's q_ship_latency). Never coerce before comparing — fail on
+        # any dtype KIND mismatch (float vs int vs object vs datetime).
+        # Width-only differences (int32 vs int64) are driver-accepted
+        # (12 rounds of passing rank()/length() int32 columns prove it) —
+        # reported as a note, not a failure.
+        def kind(dt):
+            k = getattr(dt, "kind", "O")
+            return "i" if k in "iu" else k
+        drift = [(c, str(sp2[c].dtype), str(du2[c].dtype))
+                 for c in sp.columns
+                 if kind(sp2[c].dtype) != kind(du2[c].dtype)]
+        if drift:
+            print(f"FAIL {name}: dtype drift {drift}")
+            n_fail += 1; continue
+        widths = [(c, str(sp2[c].dtype), str(du2[c].dtype))
+                  for c in sp.columns if sp2[c].dtype != du2[c].dtype]
+        wnote = f" [width-only dtype diffs: {widths}]" if widths else ""
         bad = None
         for c in sp.columns:
-            a, b = sp2[c], du2[c].astype(sp2[c].dtype, errors="ignore") \
-                if hasattr(du2[c], "astype") else du2[c]
+            a, b = sp2[c], du2[c]
             try:
                 eq = (a.fillna("§") == b.fillna("§")) if a.dtype == object else \
                      ((a.isna() & b.isna()) | (a == b))
@@ -64,7 +82,7 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: col {bad[0]} spark={bad[1]!r} duck={bad[2]!r}")
             n_fail += 1
         else:
-            print(f"PASS {name} ({len(sp)} rows)"); n_pass += 1
+            print(f"PASS {name} ({len(sp)} rows){wnote}"); n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
     return 1 if n_fail else 0
 
