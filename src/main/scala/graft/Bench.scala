@@ -25,12 +25,14 @@ object Bench {
     "d_minhash_portable", "q_ntile", "m_multimodal_meta", "m_audio_meta",
     "m_video_frames", "d_dedup_containment", "d_dedup_cdc",
     "q_triangle_count", "s_kmeans_lloyd", "m_image_phash", "x_leakage_split",
-    "x_leakage_split_banded", "q_geo_density", "x_dedup_eval")
+    "x_leakage_split_banded", "q_geo_density", "x_dedup_eval",
+    "q_geo_nearest_grid", "q_basket_affinity", "st_lsh_gate",
+    "x_xlsx_ingest_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val spark = GraftSession.harness(cpus, sfDir)
+    val spark = GraftSession.harness(cpus)
     // Warmup pass (untimed) over EVERY query: primes JVM/janino codegen
     // per query shape, parquet footers, the FS cache and the cache-manager
     // entries for persisted sketch frames. The timed pass below therefore

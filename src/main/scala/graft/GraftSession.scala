@@ -46,34 +46,6 @@ object GraftSession {
     spark
   }
 
-  /** One shuffle partition per scan split, clamped to [floor, 8192]:
-    * the input-sized INITIAL shuffle-partition count. Passed to AQE's
-    * `coalescePartitions.initialPartitionNum`, so it is a starting
-    * grain, not a final count — AQE coalesces every small shuffle back
-    * to the advisory size (i.e. tiny inputs behave exactly like the
-    * fixed-cores regime), while shuffles that genuinely carry the
-    * input's volume keep enough partitions to stay out of the
-    * single-partition spill regime. This is what a cluster deployment
-    * configures: initialPartitionNum high (sized by data), AQE sizes
-    * down at runtime.
-    */
-  def sizedInitialPartitions(inputBytes: Long, partitionBytes: Long,
-      floor: Int): Int =
-    math.min(8192L,
-      math.max(floor.toLong, inputBytes / math.max(1L, partitionBytes))).toInt
-
-  /** Recursive byte size of a local directory tree (0 if missing). */
-  private def dirBytes(path: String): Long = {
-    val root = java.nio.file.Paths.get(path)
-    if (!java.nio.file.Files.exists(root)) 0L
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala
-        .filter(java.nio.file.Files.isRegularFile(_))
-        .map(java.nio.file.Files.size(_)).sum
-    }
-  }
-
   /** Local-harness session (Bench/Verify/RunOne): GraftSession confs +
     * finer scan splits (tiny test parquet — clusters keep the 128 MB
     * default), no UI, WARN logs, and the SQL surface registered. One
@@ -81,32 +53,27 @@ object GraftSession {
     * (e.g. an `s.sql` query using strip_accents/minhash_sig failing
     * only under the harness).
     *
-    * Shuffle sizing (r13 — promoted from the r12 `SPARK_GRAFT_SHUFFLE`
-    * probe knob to the DEFAULT): `spark.sql.shuffle.partitions` stays
-    * at cpus (non-AQE surfaces), but AQE's initialPartitionNum is
-    * derived from `sfDir`'s on-disk bytes via
-    * [[sizedInitialPartitions]] — one initial partition per 4 MB scan
-    * split. A fixed-cores count at probe scale forces ~19M
-    * rows/partition into hash-agg/sort spills a real deployment never
-    * sees (r11 q18_large_orders 2.55x; r12 q_geo_nearest_grid 27x were
-    * exactly this); AQE coalescing makes the sized start free for
-    * small boards (sf0.1's 17 MB sizes to the cpus floor — bit-for-bit
-    * the old regime). `SPARK_GRAFT_SHUFFLE` still overrides BOTH
-    * values for fixed-partition A/B probes.
+    * Shuffle sizing (r13, measured — both global input-sizing variants
+    * REJECTED by A/B): raising `spark.sql.shuffle.partitions` to the
+    * input-sized count regressed every iterative operator (q_kcore
+    * 36 → 165 s at 298 partitions — a driver loop pays the partition
+    * count per round), and the softer AQE
+    * `initialPartitionNum`-only variant regressed them too (q_label_prop
+    * 24 → 80 s) while NOT fixing the one real fixed-count spill
+    * (q_geo_nearest_grid stayed at 129 s). The partition regime a hot
+    * exchange needs is a property of the OPERATOR's own input, so the
+    * operators that need more than the cores grain size their own
+    * exchange from their own cardinality (Geo.nearestFacilityGrid's
+    * ring join repartitions to ~5k points/partition — 129 s → 10.1 s
+    * at sf10 with no knob); everything else keeps the cpus default.
+    * `SPARK_GRAFT_SHUFFLE` still overrides for fixed-partition A/B
+    * probes (the sf100 suites run at 256).
     */
-  def harness(cpus: Int, sfDir: String = ""): SparkSession = {
-    val partitionBytes = 4L << 20
-    val env = sys.env.get("SPARK_GRAFT_SHUFFLE")
-      .map(_.trim.toInt).filter(_ > 0)
-    val shuffle = env.getOrElse(cpus)
-    val initial = env.getOrElse(
-      if (sfDir.nonEmpty)
-        sizedInitialPartitions(dirBytes(sfDir), partitionBytes, shuffle)
-      else shuffle)
+  def harness(cpus: Int): SparkSession = {
+    val shuffle = sys.env.get("SPARK_GRAFT_SHUFFLE")
+      .map(_.trim.toInt).filter(_ > 0).getOrElse(cpus)
     val spark = builder(s"local[$cpus]", shuffle)
-      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        initial.toString)
-      .config("spark.sql.files.maxPartitionBytes", partitionBytes.toString)
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       // Probe-scale heaps (64 GB) see full-GC pauses past the 10 s
       // heartbeat default; in local mode the "lost" executor is the

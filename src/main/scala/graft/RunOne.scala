@@ -11,7 +11,7 @@ object RunOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt
     // Same conf source as Bench/Verify: GraftSession.harness.
-    val spark = GraftSession.harness(cpus, sfDir)
+    val spark = GraftSession.harness(cpus)
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (args.contains("explain")) df.explain("formatted")
     // Warm pass (codegen/footers), then the timed steady-state pass —

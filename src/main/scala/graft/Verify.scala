@@ -13,7 +13,7 @@ object Verify {
     // Same conf source as Bench/RunOne (Verify previously drifted: it
     // never enabled AQE, so the verified plans differed from the benched
     // ones). harness() also registers the SQL surface.
-    val spark = GraftSession.harness(cpus, sfDir)
+    val spark = GraftSession.harness(cpus)
     new java.io.File(outDir).mkdirs()
     // A query that throws would otherwise just vanish from the round's
     // correctness report (r5: three NTZ-broken queries were silently

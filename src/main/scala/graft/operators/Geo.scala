@@ -311,7 +311,22 @@ object Geo {
         .select(col("id"), col("lat_e6"), col("lon_e6"), col("by"), col("bx"),
           explode(sequence(lit(0), coalesce(col("nsplit"), lit(1)) - 1))
             .as("salt"))
-      val best = probes.join(fcells, Seq("by", "bx", "salt"))
+      // Size the ring join's exchange from the CURRENT unresolved-point
+      // count (r13 — the r12 27x find made default, operator-side):
+      // the probe side explodes (2·ring+1)² blocks per point, so at a
+      // conf-sized fixed partition count a large point frame sorts/
+      // spills pathologically (measured 129-258 s at 32 partitions vs
+      // 9.6 s sized at sf10's 1.5M points). An explicit repartition on
+      // the join keys pins the join's parallelism to ~5k points per
+      // partition — the other side aligns to it, AQE never coalesces a
+      // user-numbered repartition, and late rings (few survivors)
+      // shrink back to the cores grain. The count is an O(1)-ish
+      // action on the checkpointed frame.
+      val nProbe = math.min(8192L, math.max(
+        pts.sparkSession.sparkContext.defaultParallelism.toLong,
+        remaining.count() / 5000L)).toInt
+      val best = probes.repartition(nProbe, col("by"), col("bx"), col("salt"))
+        .join(fcells, Seq("by", "bx", "salt"))
         .select(col("id"), d2.as("d2"), col("fid"))
         .groupBy(col("id"))
         .agg(min(col("d2")).as("dist2"),

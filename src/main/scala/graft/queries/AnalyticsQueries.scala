@@ -918,9 +918,19 @@ object AnalyticsQueries {
         // fact-cardinality ob checkpoint crashed the JVM at factor
         // 1000). Map-side combine makes the explode's shuffle
         // ≤ brands²/partition regardless of row count.
+        // NOT broadcast (A/B at both factors, r13): forcing the
+        // two-column part projection broadcast won sf10 runs (22.8 vs
+        // 37.9 s, within the swing band) but LOST at factor 1000
+        // (233-299 s vs 211 s plain) — part is sf-PROPORTIONAL in this
+        // schema, so its hash relation grows with the fact side and the
+        // broadcast does not survive a 100× scale-up. The plain join
+        // leaves the choice to AQE, which broadcasts exactly when the
+        // dim side is genuinely small at runtime.
         val stats = graft.operators.Materialize(
           Tables.lineitem(s, dir)
-            .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+            .join(Tables.part(s, dir)
+              .select(col("p_partkey"), col("p_brand")),
+              col("l_partkey") === col("p_partkey"))
             .groupBy(col("l_orderkey"))
             .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
             .select(explode(expr(

@@ -947,41 +947,55 @@ object DataPipelineQueries {
           val landing = java.nio.file.Files
             .createDirectories(xlsxScratch.resolve("landing")).toString
           import s.implicits._
-          Tables.documents(s, dir).select(col("doc_id")).as[Long]
-            .rdd.keyBy(_ % 3)
-            .partitionBy(new org.apache.spark.HashPartitioner(3))
+          val docs = Tables.documents(s, dir).select(col("doc_id")).as[Long]
+          // Workbook count scales with the corpus (~50k rows/file,
+          // min 3): zips are unsplittable, so a FIXED file count made
+          // both the write and the parse 3-way-parallel forever — the
+          // sf100 probe measured 1.66× super-linear. A real landing
+          // zone has many resources; file-level fan-out is the scale
+          // axis. The count is replayed by the oracle (greatest(3,
+          // ceil(n/50000))), and the three header variants cycle over
+          // files via fid mod 3.
+          val nFiles = math.max(3L, (docs.count() + 49999L) / 50000L).toInt
+          docs.rdd.keyBy(_ % nFiles)
+            .partitionBy(new org.apache.spark.HashPartitioner(nFiles))
             .foreachPartition { it =>
               val ids = it.map(_._2).toArray.sorted
               if (ids.nonEmpty) {
-                val fid = (ids.head % 3).toInt
+                val fid = (ids.head % nFiles).toInt
+                val variant = fid % 3
                 def codigo(id: Long) = "C" + "%012d".format(id)
                 def edad(id: Long): Any =
                   if (id % 11 == 0) "n/a"
                   else java.lang.Long.valueOf(id % 80 + 10)
                 def monto(id: Long): Any = java.lang.Long.valueOf(id * 37 % 10000)
-                def row(id: Long): Seq[Any] = fid match {
+                def row(id: Long): Seq[Any] = variant match {
                   case 0 => Seq(codigo(id), edad(id), monto(id))
                   case 1 => Seq(monto(id), codigo(id), edad(id)) // reordered
                   case _ => Seq(codigo(id), edad(id)) // monto column absent
                 }
-                val header: Seq[Any] = fid match {
+                val header: Seq[Any] = variant match {
                   case 0 => Seq("Código", "Edad", "Monto Total")
                   case 1 => Seq("monto total", "CÓDIGO", "edad")
                   case _ => Seq("codigo", "Edad")
                 }
-                // fid 2 carries a preamble the header scorer must skip
-                // (the second row is numeric-heavy, so it scores below
-                // the real header — the reference's _fix_header case).
+                // variant 2 carries a preamble the header scorer must
+                // skip (the second row is numeric-heavy, so it scores
+                // below the real header — the reference's _fix_header
+                // case).
                 val pre: Seq[Seq[Any]] =
-                  if (fid == 2) Seq(Seq("Reporte mensual"),
+                  if (variant == 2) Seq(Seq("Reporte mensual"),
                     Seq("Generado", java.lang.Long.valueOf(45321L)))
                   else Nil
                 def grid(parity: Int): Seq[Seq[Any]] =
                   pre ++ (header +: ids.iterator
                     .filter(id => id / 3 % 2 == parity)
                     .map(row).toSeq)
+                // Zero-padded name: files sort lexically and schema
+                // inference reads files.head, which must be a
+                // variant-0 (full-schema) workbook.
                 Xlsx.write(new org.apache.hadoop.conf.Configuration(),
-                  s"$landing/drop_$fid.xlsx", Seq(
+                  f"$landing%s/drop_$fid%05d.xlsx", Seq(
                     "1" -> grid(0), "2" -> grid(1),
                     "Notas" -> Seq(Seq("junk"),
                       Seq("do not ingest", java.lang.Long.valueOf(99L)))))
@@ -999,12 +1013,14 @@ object DataPipelineQueries {
         }
       },
       Some("""
+        WITH nf AS (SELECT greatest(3, CAST(ceil(COUNT(*) / 50000.0) AS BIGINT)) AS n
+                    FROM documents)
         SELECT 'C' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS codigo,
                CASE WHEN doc_id % 11 = 0 THEN NULL
                     ELSE doc_id % 80 + 10 END AS edad,
-               CASE WHEN doc_id % 3 = 2 THEN NULL
+               CASE WHEN (doc_id % nf.n) % 3 = 2 THEN NULL
                     ELSE doc_id * 37 % 10000 END AS monto_cents
-        FROM documents ORDER BY codigo
+        FROM documents, nf ORDER BY codigo
       """)),
 
     // ------------------------------------------------------------------

@@ -600,10 +600,14 @@ object StreamQueries {
     // standing corpus is never rescanned), and emits its new candidate
     // pairs (new×old + new×new per bucket). Pair emission is symmetric
     // and the occupancy cap is applied against FINAL occupancy at
-    // publish, so the accumulated pairs == the ONE-SHOT banded pair
-    // query over the whole corpus for ANY batch boundaries — the oracle
-    // is d_minhash_portable's sha256-portable CTE chain publishing the
-    // FULL capped pair set (not top-20), bit-exact end to end.
+    // publish, so the accumulated result == the ONE-SHOT banded query
+    // over the whole corpus for ANY batch boundaries. Published
+    // contract is PER-DOC dedup flags (id, n_matches, best_match,
+    // best_n_eq vs lower-id partners at agreement ≥ 16/32 — the
+    // minhashIncremental shape): corpus-cardinality output; the raw
+    // scored pair set is Σ occ² and OOM'd the sf100 publish. Oracle =
+    // d_minhash_portable's sha256 CTE chain + the same per-doc
+    // packed-argmax aggregation, bit-exact end to end.
     Q("st_lsh_gate",
       (s, dir) => {
         val drop = cachedDrops("st_lsh_gate", dir) { d =>
@@ -630,7 +634,7 @@ object StreamQueries {
             .awaitTermination()
         }
         StreamOps.lshPairsRead(s, s"$tmp/out")
-          .orderBy(col("id_a"), col("id_b"))
+          .orderBy(col("id"))
           .localCheckpoint() // materialize before the scratch is re-wiped
       },
       Some("""
@@ -659,14 +663,20 @@ object StreamQueries {
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM cb a JOIN cb b
                     ON a.b = b.b AND a.k1 = b.k1 AND a.k2 = b.k2
-                   AND a.doc_id < b.doc_id)
-        SELECT id_a, id_b,
-               CAST(len(list_filter(range(1, 33), i -> sa.sig[i] = sb.sig[i]))
-                 AS BIGINT) AS n_eq
-        FROM pairs
-        JOIN sig sa ON sa.doc_id = id_a
-        JOIN sig sb ON sb.doc_id = id_b
-        ORDER BY id_a, id_b
+                   AND a.doc_id < b.doc_id),
+        hits AS (SELECT id_b AS id, id_a,
+                        CAST(len(list_filter(range(1, 33),
+                          i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_eq
+                 FROM pairs
+                 JOIN sig sa ON sa.doc_id = id_a
+                 JOIN sig sb ON sb.doc_id = id_b)
+        SELECT id, COUNT(*) AS n_matches,
+               CAST(MAX(n_eq * 10000000000 + id_a) % 10000000000 AS BIGINT)
+                 AS best_match,
+               CAST(MAX(n_eq * 10000000000 + id_a) // 10000000000 AS BIGINT)
+                 AS best_n_eq
+        FROM hits WHERE n_eq >= 16
+        GROUP BY id ORDER BY id
       """)),
 
     // ------------------------------------------------------------------

@@ -704,12 +704,20 @@ object StreamOps {
   /** Publish step for [[lshPairsSink]]: apply the occupancy cap against
     * FINAL bucket occupancy (the batch twin's HAVING clause — pairs
     * already imply occupancy ≥ 2), dedup pairs across buckets and
-    * batches, and score signature agreement from the persisted
-    * signatures — column-identical to the one-shot banded-pair query,
-    * so its SQL replays verbatim as the oracle.
+    * batches, score signature agreement from the persisted signatures,
+    * and aggregate to PER-DOC dedup flags — the minhashIncremental
+    * contract: for each doc, the count of LOWER-id partners whose
+    * agreement clears `minAgree`, plus the best partner by (n_eq, id)
+    * packed argmax (the Geo packed-argmin trick, decimal-free since
+    * n_eq·10¹⁰ + id fits a long at any realistic corpus id width).
+    * Per-doc output keeps the publish CORPUS-cardinality — the raw
+    * scored pair set is Σ_buckets occ² and publishing it verbatim
+    * OOM'd the sf100 single-JVM probe; the pair volume still flows
+    * through the scoring join (the exact tier's cost), but it
+    * aggregates away immediately instead of materializing.
     */
   def lshPairsRead(spark: SparkSession, targetDir: String,
-      maxBucket: Int = 100): DataFrame = {
+      maxBucket: Int = 100, minAgree: Int = 16): DataFrame = {
     val bkt = Seq("b", "k1", "k2")
     val occOk = increments(spark, targetDir, "bands_")
       .map(spark.read.parquet(_).select(bkt.map(col): _*))
@@ -721,13 +729,20 @@ object StreamOps {
       .join(occOk, bkt)
       .select("id_a", "id_b").distinct()
     val sigs = spark.read.parquet(increments(spark, targetDir, "sigs_"): _*)
+    val pk = lit(10000000000L)
     pairs
       .join(sigs.toDF("id_a", "sa"), "id_a")
       .join(sigs.toDF("id_b", "sb"), "id_b")
       .withColumn("n_eq",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           p => p)).cast("long"))
-      .select("id_a", "id_b", "n_eq")
+      .filter(col("n_eq") >= minAgree)
+      .groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("n_eq") * pk + col("id_a")).as("best"))
+      .select(col("id"), col("n_matches"),
+        pmod(col("best"), pk).as("best_match"),
+        expr("best DIV 10000000000").as("best_n_eq"))
   }
 
   /** Shared merge-and-swap skeleton: heal a half-finished previous swap,

@@ -351,19 +351,20 @@ class StreamingSpec extends AnyFunSuite {
     }
     runStream(s"$dir/ckpt1")
     val first = StreamOps.lshPairsRead(spark, s"$dir/out")
-      .orderBy("id_a", "id_b").collect().toSeq
+      .orderBy("id").collect().toSeq
     runStream(s"$dir/ckpt2") // full replay over the intact target
     val second = StreamOps.lshPairsRead(spark, s"$dir/out")
-      .orderBy("id_a", "id_b").collect().toSeq
+      .orderBy("id").collect().toSeq
     assert(first == second && first.nonEmpty)
-    // == the one-shot banded pair query over the whole corpus.
+    // == the one-shot banded per-doc flags over the whole corpus.
     val sig = graft.queries.TextQueries.portableMinhashSig(docs)
     val bands = graft.queries.TextQueries.portableBands(sig)
     val capped = bands.join(
       bands.groupBy("b", "k1", "k2").agg(count(lit(1)).as("occ"))
         .filter(col("occ") > 1 && col("occ") <= 100).select("b", "k1", "k2"),
       Seq("b", "k1", "k2"))
-    val batchPairs = capped.toDF("b", "k1", "k2", "id_a")
+    val pk = lit(10000000000L)
+    val batchFlags = capped.toDF("b", "k1", "k2", "id_a")
       .join(capped.toDF("b", "k1", "k2", "id_b"), Seq("b", "k1", "k2"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -372,13 +373,20 @@ class StreamingSpec extends AnyFunSuite {
       .withColumn("n_eq",
         size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
           p => p)).cast("long"))
-      .select("id_a", "id_b", "n_eq")
-      .orderBy("id_a", "id_b").collect().toSeq
-    assert(first == batchPairs)
-    // The gate genuinely crossed the batch boundary: some pair straddles
-    // the doc_id split (else the test verifies two independent runs).
-    assert(first.exists(r => r.getLong(0) <= m && r.getLong(1) > m),
-      "no cross-batch pair — vacuous gate")
+      .filter(col("n_eq") >= 16)
+      .groupBy(col("id_b").as("id"))
+      .agg(count(lit(1)).as("n_matches"),
+        max(col("n_eq") * pk + col("id_a")).as("best"))
+      .select(col("id"), col("n_matches"),
+        pmod(col("best"), pk).as("best_match"),
+        expr("best DIV 10000000000").as("best_n_eq"))
+      .orderBy("id").collect().toSeq
+    assert(first == batchFlags)
+    // The gate genuinely crossed the batch boundary: some doc's best
+    // partner straddles the doc_id split (else the test verifies two
+    // independent runs).
+    assert(first.exists(r => r.getLong(0) > m && r.getLong(2) <= m),
+      "no cross-batch match — vacuous gate")
   }
 
   test("drift sink: accumulated count increments reproduce the batch TV " +
