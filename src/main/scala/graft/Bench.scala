@@ -47,9 +47,21 @@ object Bench {
     // ContextCleaner, so heavy dedup queries were polluting whichever
     // query ran next (x_gopher_filter: 2.0 s in-bench vs 0.7 s isolated).
     // Unpersist them explicitly between queries.
+    // SPARK_GRAFT_RESET_GC=1 additionally forces a JVM GC between
+    // queries: shuffle files and broadcasts are reclaimed by
+    // ContextCleaner only when their driver-side references are GC'd,
+    // and on a big heap a 241-query board can run many heavy queries
+    // before any natural full GC — the accumulated shuffle dirs +
+    // block-manager metadata were the prime suspect for in-board times
+    // running 2-10× the same-day isolated floors (r13 verdict). The
+    // brief sleep lets the (async) cleaner drain before the next query
+    // starts. Off by default: the A/B knob for the board-pressure
+    // investigation.
+    val resetGc = sys.env.get("SPARK_GRAFT_RESET_GC").contains("1")
     def reset(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      if (resetGc) { System.gc(); Thread.sleep(200) }
     }
     // SPARK_GRAFT_WARMUP=0 skips the warmup pass — for large-SF scale
     // runs where per-query runtime dwarfs one-time codegen cost and a

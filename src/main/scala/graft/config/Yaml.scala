@@ -5,16 +5,22 @@ import org.json4s._
 /** Minimal YAML-subset parser covering the reference's `configs YAML files`
   * (the reference loads them with PyYAML safe_load —
   * etl/yaml_config_loader.py:36): block mappings and sequences by
-  * indentation, flow sequences `[a, b]` and mappings `{k: v}`,
-  * single/double-quoted and plain scalars with the safe_load typing
-  * rules (null/bool/int/float), `#` comments. Not covered (the
-  * reference configs use none of them): anchors/aliases, multi-doc
-  * streams, block scalars (`|`/`>`), tags, tab indentation. Produces a
-  * json4s JValue so [[ConfigLoader]]'s JSON extraction applies
-  * unchanged — YAML and JSON configs are one code path from the parse
-  * boundary on.
+  * indentation (including the common zero-indent form `key:` followed by
+  * `- item` at the KEY's indent), flow sequences `[a, b]` and mappings
+  * `{k: v}`, single/double-quoted and plain scalars with the safe_load
+  * typing rules (null/bool/int/float — exponent floats require a dot,
+  * matching PyYAML's resolver: `1e3` is a STRING under safe_load), `#`
+  * comments. Not covered (the reference configs use none of them):
+  * anchors/aliases, multi-doc streams, block scalars (`|`/`>`), tags,
+  * tab indentation. Known typing divergences from safe_load, likewise
+  * unused by the reference configs: ISO dates resolve to strings here
+  * (safe_load: datetime.date), and escape sequences inside
+  * double-quoted scalars (`\n`, `\"`) are kept verbatim, not unescaped.
+  * Produces a json4s JValue so [[ConfigLoader]]'s JSON extraction
+  * applies unchanged — YAML and JSON configs are one code path from the
+  * parse boundary on.
   */
-private[config] object Yaml {
+private[graft] object Yaml {
 
   private case class Line(indent: Int, text: String, no: Int)
 
@@ -76,12 +82,12 @@ private[config] object Yaml {
       val inline = if (l.text == "-") "" else l.text.drop(2).trim
       val (nested, after) = ls.tail.span(_.indent > at)
       if (inline.isEmpty) {
-        items += (if (nested.isEmpty) JNull else parseBlock(nested)._1)
+        items += (if (nested.isEmpty) JNull else parsedWhole(nested))
         ls = after
       } else if (isMapStart(inline)) {
         // `- key: v` compact mapping: the dash line's remainder is the
         // mapping's first entry, two columns in.
-        items += parseBlock(Line(at + 2, inline, l.no) +: nested)._1
+        items += parsedWhole(Line(at + 2, inline, l.no) +: nested)
         ls = after
       } else {
         require(nested.isEmpty,
@@ -99,19 +105,48 @@ private[config] object Yaml {
     while (ls.nonEmpty) {
       val l = ls.head
       require(l.indent == at, s"yaml: bad indentation at line ${l.no}")
+      require(!isDashLine(l.text),
+        s"yaml: sequence item at mapping indent at line ${l.no} — a block " +
+          "sequence may only follow a key with no inline value")
       val (key, after) = splitKey(l.text, l.no)
       val (nested, restLines) = ls.tail.span(_.indent > at)
       if (after.nonEmpty) {
         require(nested.isEmpty,
           s"yaml: inline value with nested block at line ${l.no}")
         fields += JField(key, scalarOrFlow(after, l.no))
+        ls = restLines
+      } else if (nested.isEmpty && restLines.nonEmpty &&
+          restLines.head.indent == at && isDashLine(restLines.head.text)) {
+        // Zero-indent block sequence (`key:` then `- item` at the KEY's
+        // indent) — PyYAML-valid and common; the dash run (plus any
+        // deeper continuations of its items) is the key's value.
+        val (seqBody, rest2) = restLines.span(x =>
+          x.indent > at || (x.indent == at && isDashLine(x.text)))
+        fields += JField(key, parseSeq(seqBody, at))
+        ls = rest2
       } else {
         fields += JField(key,
-          if (nested.isEmpty) JNull else parseBlock(nested)._1)
+          if (nested.isEmpty) JNull else parsedWhole(nested))
+        ls = restLines
       }
-      ls = restLines
     }
     JObject(fields.result().toList)
+  }
+
+  private def isDashLine(t: String): Boolean = t == "-" || t.startsWith("- ")
+
+  /** Parse `lines` as ONE complete block node: a nested block's later
+    * lines dedenting below its first line but not below the parent
+    * (e.g. `key:` then `    a: 1` then `  b: 2`) are malformed — PyYAML
+    * rejects them, and silently dropping them would vanish config
+    * entries from a loader that otherwise fails loudly.
+    */
+  private def parsedWhole(lines: Vector[Line]): JValue = {
+    val (v, rest) = parseBlock(lines)
+    require(rest.isEmpty,
+      s"yaml: misaligned indentation at line ${rest.head.no} — line is " +
+        s"dedented below its block's first entry (indent ${lines.head.indent})")
+    v
   }
 
   /** Does a dash line's remainder start a compact mapping (`key: v`)? */
@@ -216,7 +251,9 @@ private[config] object Yaml {
   }
 
   private val IntRe = "^[-+]?[0-9]+$".r
-  private val FloatRe = "^[-+]?(\\.[0-9]+|[0-9]+(\\.[0-9]*)?)([eE][-+]?[0-9]+)?$".r
+  // A dot is REQUIRED before an exponent form may resolve as float:
+  // PyYAML's safe_load resolver rejects `1e3` (string), accepts `1.0e3`.
+  private val FloatRe = "^[-+]?(\\.[0-9]+|[0-9]+\\.[0-9]*)([eE][-+]?[0-9]+)?$".r
 
   /** Plain-scalar typing (PyYAML safe_load resolution subset). */
   private def scalar(raw: String): JValue = {

@@ -157,6 +157,45 @@ object Graphs {
       .select("u", "v")
   }
 
+  /** `rounds` nested [[peel]] rounds with the iterative-loop block
+    * discipline: each round's input frame checkpoints as SERIALIZED
+    * blocks (deserialized row caches of 3-4 live rounds were pure GC
+    * surface — the 36-165 s q_kcore swing band across identical
+    * binaries) and the PREVIOUS round's blocks are freed as soon as the
+    * next round has materialized, instead of lingering until the
+    * ContextCleaner's next GC-driven sweep. Nested `peel(peel(...))`
+    * keeps working (each call materializes its own input); this is the
+    * loop owner that can also free the dead rounds.
+    */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = Materialize(edges,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
+      val next = Materialize(
+        e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+          .select("u", "v"),
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      freeBlocks(e)
+      e = next
+    }
+    e
+  }
+
+  /** Free a localCheckpoint'd frame's blocks NOW (the checkpointed RDD
+    * behind its LogicalRDD leaf), rather than waiting for a GC to reach
+    * the ContextCleaner. Only safe for frames whose consumers have all
+    * completed — the loop-owner case. No-op when the plan isn't a
+    * checkpoint leaf.
+    */
+  private def freeBlocks(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Synchronous min-label propagation over an undirected edge frame
     * (u, v), `rounds` rounds: every node starts labeled with itself and
     * each round takes the minimum of its own label and its neighbors'.
@@ -175,17 +214,26 @@ object Graphs {
     // its own left join; unmaterialized, the final plan re-executes
     // round r-1's lineage per reference — the iterative-loop
     // checkpoint cadence DedupResolve's contraction already uses).
+    // Serialized round blocks + eager free of the dead round (see
+    // [[kcore]]): the label frames are node-cardinality but a round's
+    // deserialized row cache still outlives its last read by a full GC
+    // cycle without the explicit unpersist.
+    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val sym = Materialize(edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"))))
+      .union(edges.select(col("v").as("u"), col("u").as("v"))), ser)
     val nodes = sym.select(col("u").as("node")).distinct()
-    var lab = Materialize(nodes.withColumn("label", col("node")))
+    var lab = Materialize(nodes.withColumn("label", col("node")), ser)
     for (_ <- 1 to rounds) {
       val nb = sym.join(lab.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("nl"))
-      lab = Materialize(lab.join(nb, Seq("node"), "left")
+      val next = Materialize(lab.join(nb, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
+        ser)
+      freeBlocks(lab)
+      lab = next
     }
+    freeBlocks(sym)
     lab
   }
 }

@@ -18,4 +18,18 @@ import org.apache.spark.sql.DataFrame
   */
 object Materialize {
   def apply(df: DataFrame): DataFrame = df.localCheckpoint()
+
+  /** [[apply]] with an explicit block storage level. Iterative operators
+    * (k-core peel, label propagation) checkpoint a frame per ROUND; at
+    * probe scale the default deserialized MEMORY_AND_DISK blocks of
+    * still-referenced rounds stack up in the unified pool and turn the
+    * whole loop into GC churn (the 36-165 s q_kcore swing band across
+    * identical binaries). Serialized blocks cost one encode/decode per
+    * consumer but shrink the heap footprint several-fold (and compress
+    * via spark.rdd.compress) — the right trade for a frame written once
+    * and read once-or-twice the next round.
+    */
+  def apply(df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    df.localCheckpoint(eager = true, storageLevel = level)
 }

@@ -622,8 +622,11 @@ object AnalyticsQueries {
           .agg(min(col("w")).as("wc"))
         val edges = pw.crossJoin(broadcast(wcut))
           .filter(col("w") >= col("wc")).select("u", "v")
-        val k = 10
-        val core = Graphs.peel(Graphs.peel(Graphs.peel(edges, k), k), k)
+        // Loop-owned rounds (serialized blocks, dead rounds freed
+        // eagerly) — the nested peel(peel(peel(...))) plan left 3-4
+        // deserialized round caches live across the whole query, the
+        // GC surface behind the 36-165 s swing band (r13 verdict).
+        val core = Graphs.kcore(edges, k = 10, rounds = 3)
         Graphs.degrees(core)
           .select(col("node").as("suppkey"), col("deg"))
           .orderBy(col("suppkey"))

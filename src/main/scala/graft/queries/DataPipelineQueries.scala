@@ -50,6 +50,17 @@ object DataPipelineQueries {
     root
   }
 
+  /** Per-JVM scratch slot for the incremental STATE→EXTRACT→LOAD spine
+    * (the [[wetScratch]] discipline).
+    */
+  private lazy val ingestStateScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-ingest-e2e-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
   private val EnStop = TextStats.stopwords("en")
 
   /** Leakage-safe split from an arbitrary near-dup EDGE frame
@@ -1021,6 +1032,151 @@ object DataPipelineQueries {
                CASE WHEN (doc_id % nf.n) % 3 = 2 THEN NULL
                     ELSE doc_id * 37 % 10000 END AS monto_cents
         FROM documents, nf ORDER BY codigo
+      """)),
+
+    // ------------------------------------------------------------------
+    // Incremental STATE→EXTRACT→LOAD spine END-TO-END — the reference's
+    // core weekly loop (get_status.py state watermark + extract.py
+    // new/changed-only extraction + load.py upsert/audit/state-promote)
+    // driven through the REAL library stack across TWO ingest rounds
+    // over a parquet landing zone: round 1 lands resources res_0+res_1
+    // and loads them (initial stamped load); round 2 REWRITES res_1
+    // (changed values) and adds res_2, and the Ingest mtime/path
+    // watermark must pick exactly those two — re-reading untouched
+    // res_0 would restamp its rows and emit a spurious audit row, both
+    // oracle-caught. Each round: extractUpdated → keep-latest dedup
+    // (each resource carries poison duplicate rows that must lose) →
+    // stamped upsert merge (inserted_at survives the res_1 rewrite —
+    // the upsertStamped provenance rule — while updated_at moves to
+    // run 2) → etl_runs/etl_run_resources appended → state promoted
+    // LAST (the reference's promote-after-load-OK rule). Output = the
+    // final target per-row JOINED to both runs' per-resource audit
+    // counts; every cell derives from doc_id, so DuckDB re-derives the
+    // loaded table AND the audit history analytically. Scale shape:
+    // each round's cost is O(fresh files) — the landing zone is never
+    // rescanned; the merge is the full-swap upsert (the reference's
+    // whole-table load unit; a 100 TB target would pass buckets= to
+    // confine the merge to touched key-hash buckets, same API).
+    Q("x_ingest_state_e2e",
+      (s, dir) => {
+        import graft.operators.Audit
+        import graft.sources.Ingest
+        ingestStateScratch.synchronized {
+          deleteRec(ingestStateScratch)
+          val root = java.nio.file.Files.createDirectories(ingestStateScratch)
+          val landing = java.nio.file.Files
+            .createDirectories(root.resolve("landing")).toString
+          val statePath = s"$root/state.properties"
+          val target = s"$root/target"
+          val auditDir = s"$root/audit"
+          val docs = Tables.documents(s, dir).select(col("doc_id"))
+          // A resource drop: rows keyed C<doc_id>, values a pure doc_id
+          // formula (+10000 marks the round-2 rewrite), plus one STALE
+          // duplicate row per doc_id % 13 key (poison valor, lower seq)
+          // the keep-latest dedup must drop. Spark's overwrite gives the
+          // rewrite fresh part-file names, which is exactly what the
+          // path/mtime watermark keys on — no mtime pinning needed.
+          def writeRes(rid: Int, runSeq: Int, rewrite: Boolean = false): Unit = {
+            val base = docs.filter(pmod(col("doc_id"), lit(3L)) === rid)
+              .select(col("doc_id"),
+                concat(lit("C"), lpad(col("doc_id").cast("string"), 12, "0"))
+                  .as("codigo"),
+                (col("doc_id") * 7 % 1000 +
+                  lit(if (rewrite) 10000L else 0L)).as("valor"),
+                lit(runSeq * 10L + 1L).as("seq"),
+                lit(s"res_$rid").as("resource"))
+            base.unionByName(base.filter(col("doc_id") % 13 === 0)
+                .withColumn("valor", lit(999999L))
+                .withColumn("seq", lit(runSeq * 10L)))
+              .write.mode("overwrite").parquet(s"$landing/res_$rid")
+          }
+          def round(runSeq: Int): Unit = {
+            val runId = s"r$runSeq"
+            val cfg = Ingest.SourceCfg("parquet", landing, "res_*/part-*")
+            val (raw, advanced) = Ingest.extractUpdated(s, cfg, statePath)
+              .getOrElse(throw new IllegalStateException(
+                s"$runId: watermark surfaced no new resources"))
+            // Per-resource audit metrics in ONE distributed agg
+            // (resource count is config-bounded — the reference loops a
+            // handful of CKAN resources); each poison duplicate is one
+            // extra row on one key, so dup keys == rows_in - rows_out.
+            val m = raw.groupBy(col("resource"))
+              .agg(count(lit(1)).as("rows_in"),
+                countDistinct(col("codigo")).as("rows_out"))
+              .collect().sortBy(_.getString(0))
+            val resRows = m.toIndexedSeq.map { r =>
+              Audit.ResourceRow(runId, r.getString(0), r.getLong(1),
+                r.getLong(2), r.getLong(1) - r.getLong(2),
+                r.getLong(1) - r.getLong(2), 0, 0)
+            }
+            graft.streaming.StreamOps.upsertIntoParquet(
+              raw.drop("doc_id"), target, keys = Seq("codigo"),
+              latestBy = Some("seq"), stamp = Some(lit(runSeq.toLong)))
+            Audit.appendResources(s, auditDir, resRows)
+            Audit.appendRun(s, auditDir, Audit.RunRow(runId,
+              new java.sql.Timestamp(runSeq * 1000L),
+              new java.sql.Timestamp(runSeq * 1000L + 500L), "ok",
+              resRows.size, resRows.map(_.rows_in).sum,
+              resRows.map(_.rows_out).sum, ""))
+            // State promotion LAST — a failed load must leave the
+            // watermark untouched so the next run re-extracts.
+            Ingest.saveState(s, statePath, advanced)
+          }
+          writeRes(0, 1); writeRes(1, 1)
+          round(1)
+          writeRes(1, 2, rewrite = true); writeRes(2, 2)
+          round(2)
+          val res = Audit.readResources(s, auditDir)
+          def runCols(runId: String, p: String) = res
+            .filter(col("run_id") === runId)
+            .select(col("resource"), col("rows_in").as(s"${p}_rows_in"),
+              col("rows_out").as(s"${p}_rows_out"),
+              col("duplicates_key").as(s"${p}_dup_keys"))
+          // -1 sentinel (not NULL) for "resource absent from that run":
+          // an all-null long column downgrades to float in the pandas
+          // compare and the dtype-kind gate would flag it.
+          def sent(c: String) = coalesce(col(c), lit(-1L)).as(c)
+          s.read.parquet(target)
+            .join(broadcast(runCols("r1", "r1")), Seq("resource"), "left")
+            .join(broadcast(runCols("r2", "r2")), Seq("resource"), "left")
+            .select(col("codigo"), col("valor"), col("resource"),
+              col("inserted_at").as("run_inserted"),
+              col("updated_at").as("run_updated"),
+              sent("r1_rows_in"), sent("r1_rows_out"), sent("r1_dup_keys"),
+              sent("r2_rows_in"), sent("r2_rows_out"), sent("r2_dup_keys"))
+            .orderBy(col("codigo"))
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS rid
+                   FROM documents),
+        per AS (SELECT rid, COUNT(*) AS n,
+                       CAST(SUM(CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS dups
+                FROM d GROUP BY rid)
+        SELECT 'C' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS codigo,
+               CAST(d.doc_id * 7 % 1000
+                    + CASE WHEN d.rid = 1 THEN 10000 ELSE 0 END
+                 AS BIGINT) AS valor,
+               'res_' || CAST(d.rid AS VARCHAR) AS resource,
+               CAST(CASE WHEN d.rid = 2 THEN 2 ELSE 1 END AS BIGINT)
+                 AS run_inserted,
+               CAST(CASE WHEN d.rid = 0 THEN 1 ELSE 2 END AS BIGINT)
+                 AS run_updated,
+               CAST(CASE WHEN d.rid = 2 THEN -1 ELSE per.n + per.dups END
+                 AS BIGINT) AS r1_rows_in,
+               CAST(CASE WHEN d.rid = 2 THEN -1 ELSE per.n END AS BIGINT)
+                 AS r1_rows_out,
+               CAST(CASE WHEN d.rid = 2 THEN -1 ELSE per.dups END AS BIGINT)
+                 AS r1_dup_keys,
+               CAST(CASE WHEN d.rid = 0 THEN -1 ELSE per.n + per.dups END
+                 AS BIGINT) AS r2_rows_in,
+               CAST(CASE WHEN d.rid = 0 THEN -1 ELSE per.n END AS BIGINT)
+                 AS r2_rows_out,
+               CAST(CASE WHEN d.rid = 0 THEN -1 ELSE per.dups END AS BIGINT)
+                 AS r2_dup_keys
+        FROM d JOIN per USING (rid) ORDER BY codigo
       """)),
 
     // ------------------------------------------------------------------

@@ -146,8 +146,15 @@ object StreamQueries {
     val firstNames = partFiles().map(_.getName).toSet
     val firstMax = partFiles().map(_.lastModified).max
     second
-    partFiles().filterNot(f => firstNames(f.getName))
-      .foreach(_.setLastModified(firstMax + 60000L))
+    partFiles().filterNot(f => firstNames(f.getName)).foreach { f =>
+      // setLastModified reports failure by RETURNING false; a silently
+      // failed stamp voids the cross-batch ordering precondition the
+      // order-sensitive gates (quota/transitions/substr) rely on.
+      if (!f.setLastModified(firstMax + 60000L))
+        throw new java.io.IOException(
+          s"pinnedSecondDrop: mtime stamp failed for $f — batch boundary " +
+            "cannot be pinned on this filesystem")
+    }
   }
 
   /** Stamp a phase's wall time to stderr and pass the value through. */

@@ -606,6 +606,53 @@ object StreamOps {
         .groupBy(col("source"), col("tok"))
         .agg(sum(col("c_st")).as("c_st")))
 
+  /** Test/ops instrumentation for [[lshPairsSink]]: per (targetDir,
+    * batchId), how many posting ROOTS the probe read — StreamingSpec
+    * asserts this stays ≤ 1 + compactEvery at any stream age (the
+    * compaction contract). A bounded diagnostic map, not state.
+    */
+  private[graft] val lshProbeRoots =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+
+  /** Compacted-root discovery for [[lshPairsSink]]/[[lshPairsRead]]:
+    * the highest batch id folded into the standing `cbands_/csigs_/
+    * cinc_<hi>` roots (gated by the `cdone_<hi>` marker — a fold is
+    * invisible until its marker lands), or -1 when nothing is folded.
+    * A batch-suffixed root `f_<i>` is LIVE iff `i > hi`; anything ≤ hi
+    * is a folded original or a replay stray, deleted by the next
+    * [[lshCleanup]] and ignored by every reader.
+    */
+  private def lshCompactedHi(fs: org.apache.hadoop.fs.FileSystem,
+      targetDir: String): Long = {
+    val dir = new Path(targetDir)
+    if (!fs.exists(dir)) return -1L
+    fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("cdone_") => n.drop(6).toLong }
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Delete superseded roots: older compacted generations and any
+    * batch-suffixed root already covered by `hi` (folded originals plus
+    * replay strays). Re-runnable after any crash window — every step is
+    * exists-then-delete.
+    */
+  private def lshCleanup(fs: org.apache.hadoop.fs.FileSystem,
+      targetDir: String, hi: Long): Unit = {
+    def must(ok: Boolean, what: String): Unit =
+      if (!ok) throw new java.io.IOException(
+        s"lshPairsSink: cleanup $what failed under $targetDir")
+    fs.listStatus(new Path(targetDir)).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val dead =
+        (n.startsWith("cdone_") && n.drop(6).toLong < hi) ||
+        (Seq("cbands_", "csigs_", "cinc_").exists(n.startsWith) &&
+          n.dropWhile(_ != '_').drop(1).toLong < hi) ||
+        (Seq("bands_", "sigs_", "inc_").exists(n.startsWith) &&
+          n.dropWhile(_ != '_').drop(1).toLong <= hi)
+      if (dead) must(fs.delete(p, true), s"delete $n")
+    }
+  }
+
   /** foreachBatch MinHash-LSH candidate-pair sink — the streaming twin
     * of the banded near-dup detector (d_minhash_portable's pair stage),
     * maintaining a persisted band index incrementally the way
@@ -629,13 +676,36 @@ object StreamOps {
     * `HAVING COUNT(*) BETWEEN 2 AND maxBucket`, and drops those pairs
     * either way. In-flight emission is therefore bounded by
     * maxBucket² per bucket lifetime, never duplicate-family².
+    *
+    * LONG-RUN posture: every `compactEvery` batches the per-batch
+    * snapshots FOLD into one standing generation — `cbands_<hi>`
+    * (hive-partitioned by pb, so the pruned probe holds at any stream
+    * age), `csigs_<hi>`, `cinc_<hi>` — gated by a `cdone_<hi>` marker
+    * written only after all three land; the folded per-batch roots are
+    * then deleted. A probe therefore reads AT MOST 1 + compactEvery
+    * roots regardless of batch count (vs O(batchId) without folding —
+    * per-batch probe cost grew linearly and cumulative listing cost
+    * quadratically). Replay stays byte-identical through folding: the
+    * compacted postings carry their origin batch in `src_batch`, so a
+    * replayed batch N ≤ hi probes `cbands.filter(src_batch < N)` —
+    * exactly the prior-corpus rows its first run saw — and its
+    * re-written `bands_N/sigs_N/inc_N` strays are ignored by every
+    * reader (live iff id > hi) and swept by the next cleanup. The fold
+    * itself is crash-safe the versioned-swap way: overwrites of a NEW
+    * generation, marker last, every reader gated on the marker; a
+    * half-written generation is invisible and re-folded on replay.
+    * Amortized fold cost is one standing-index rewrite per
+    * compactEvery batches — size `compactEvery` to the corpus/batch
+    * ratio (a tiered LSM fold is the next step if that rewrite ever
+    * dominates; the probe contract would not change).
     */
   def lshPairsSink(
       docs: DataFrame,
       targetDir: String,
       checkpointDir: String,
       maxBucket: Int = 100,
-      keyBuckets: Int = 64): StreamingQuery =
+      keyBuckets: Int = 64,
+      compactEvery: Int = 8): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -643,8 +713,15 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val bkt = Seq("b", "k1", "k2")
+        val fs = new Path(targetDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val hi = lshCompactedHi(fs, targetDir)
+        if (hi >= 0) lshCleanup(fs, targetDir, hi)
         val sigs = graft.operators.Materialize(
           graft.queries.TextQueries.portableMinhashSig(batch))
+        // A folded batch's replay still overwrites its own snapshots
+        // (idempotent, deterministic) — readers ignore ids ≤ hi, so the
+        // strays are dead weight until the next cleanup, never input.
         sigs.write.mode("overwrite").parquet(s"$targetDir/sigs_$batchId")
         val bands = graft.operators.Materialize(
           graft.queries.TextQueries.portableBands(sigs)
@@ -653,13 +730,60 @@ object StreamOps {
         bands.repartition(col("pb"))
           .write.mode("overwrite").partitionBy("pb")
           .parquet(s"$targetDir/bands_$batchId")
+        // Fold due? Covers batches 0..batchId-1 (never the current batch:
+        // the probe's prior-corpus join excludes own postings, and a
+        // compacted root containing them would self-pair).
+        if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
+            hi < batchId - 1) {
+          val newHi = batchId - 1
+          def tail(prefix: String): Seq[(Long, String)] =
+            ((hi + 1) to newHi).map { i =>
+              val p = new Path(s"$targetDir/$prefix$i")
+              if (!fs.exists(p))
+                throw new IllegalStateException(
+                  s"lshPairsSink: snapshot $p missing while folding at " +
+                    s"batch $batchId — wipe the checkpoint and replay")
+              i -> p.toString
+            }
+          val foldedBands = tail("bands_").map { case (i, p) =>
+              spark.read.parquet(p)
+                .select(col("doc_id"), col("b"), col("k1"), col("k2"),
+                  lit(i).as("src_batch"), col("pb"))
+            }
+            .reduce(_.unionByName(_))
+          val allBands =
+            if (hi < 0) foldedBands
+            else spark.read.parquet(s"$targetDir/cbands_$hi")
+              .select(col("doc_id"), col("b"), col("k1"), col("k2"),
+                col("src_batch"), col("pb"))
+              .unionByName(foldedBands)
+          allBands.repartition(col("pb"))
+            .write.mode("overwrite").partitionBy("pb")
+            .parquet(s"$targetDir/cbands_$newHi")
+          def foldPlain(prefix: String, cname: String): Unit = {
+            val tails = tail(prefix).map { case (_, p) => spark.read.parquet(p) }
+              .reduce(_.unionByName(_))
+            val all =
+              if (hi < 0) tails
+              else spark.read.parquet(s"$targetDir/$cname$hi").unionByName(tails)
+            all.write.mode("overwrite").parquet(s"$targetDir/$cname$newHi")
+          }
+          foldPlain("sigs_", "csigs_")
+          foldPlain("inc_", "cinc_")
+          // Marker LAST: the new generation becomes visible atomically;
+          // then sweep everything it supersedes.
+          fs.create(new Path(s"$targetDir/cdone_$newHi"), true).close()
+          lshCleanup(fs, targetDir, newHi)
+        }
+        val hiNow = lshCompactedHi(fs, targetDir)
         // Standing-corpus postings, partition-pruned to the batch's own
         // band keys (≤ numBands·keyBuckets distinct pb values, collected
-        // as static literals). Missing prior snapshots at batchId > 0 =
-        // lost target dir, not a cold start (the quotaSink discipline).
-        val fs = new Path(targetDir)
-          .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val priorDirs = (0L until batchId).map { i =>
+        // as static literals): the compacted generation (src_batch <
+        // batchId — a no-op filter in forward progress, the exact replay
+        // cut for a re-run of a folded batch) plus the un-folded tails
+        // strictly before this batch. Missing tails = lost target dir,
+        // not a cold start (the quotaSink discipline).
+        val tailDirs = (((hiNow + 1) max 0L) until batchId).map { i =>
           val p = new Path(s"$targetDir/bands_$i")
           if (!fs.exists(p))
             throw new IllegalStateException(
@@ -671,14 +795,26 @@ object StreamOps {
           .map(_.getInt(0)).sorted
         // Per-root reads + union (multiple hive-partitioned roots in one
         // read call break partition inference); the static pb filter
-        // prunes each root's directory listing independently.
-        val prior =
-          if (priorDirs.isEmpty)
-            bands.select(col("doc_id"), col("b"), col("k1"), col("k2")).limit(0)
-          else priorDirs.map(spark.read.parquet(_)
+        // prunes each root's directory listing independently. The
+        // src_batch < batchId cut is a no-op in forward progress and the
+        // exact prior-corpus reconstruction when a FOLDED batch replays
+        // (hiNow ≥ batchId: fresh checkpoint over an intact folded
+        // target — the generation holds more than this batch's past).
+        val priorParts =
+          (if (hiNow >= 0)
+            Seq(spark.read.parquet(s"$targetDir/cbands_$hiNow")
               .filter(col("pb").isin(pbs.map(Int.box): _*))
+              .filter(col("src_batch") < batchId)
               .select("doc_id", "b", "k1", "k2"))
-            .reduce(_.unionByName(_))
+          else Nil) ++
+          tailDirs.map(spark.read.parquet(_)
+            .filter(col("pb").isin(pbs.map(Int.box): _*))
+            .select("doc_id", "b", "k1", "k2"))
+        lshProbeRoots((targetDir, batchId)) = priorParts.size
+        val prior =
+          if (priorParts.isEmpty)
+            bands.select(col("doc_id"), col("b"), col("k1"), col("k2")).limit(0)
+          else priorParts.reduce(_.unionByName(_))
         val bn = bands.select("doc_id", "b", "k1", "k2")
         val occOk = bn.unionByName(prior)
           .groupBy(bkt.map(col): _*).agg(count(lit(1)).as("occ"))
@@ -719,16 +855,31 @@ object StreamOps {
   def lshPairsRead(spark: SparkSession, targetDir: String,
       maxBucket: Int = 100, minAgree: Int = 16): DataFrame = {
     val bkt = Seq("b", "k1", "k2")
-    val occOk = increments(spark, targetDir, "bands_")
+    val fs = new Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hi = lshCompactedHi(fs, targetDir)
+    // Compacted generation + live tails (id > hi) per family — constant
+    // root count at any stream age, and replay strays (re-written
+    // snapshots of folded batches) are invisible by the same cut.
+    def family(prefix: String, cname: String): Seq[String] = {
+      val tails = increments(spark, targetDir, prefix)
+        .filter(_.split('_').last.toLong > hi)
+      (if (hi >= 0) Seq(s"$targetDir/$cname$hi") else Nil) ++ tails
+    }
+    val occOk = family("bands_", "cbands_")
       .map(spark.read.parquet(_).select(bkt.map(col): _*))
       .reduce(_.unionByName(_))
       .groupBy(bkt.map(col): _*).agg(count(lit(1)).as("occ"))
       .filter(col("occ") <= maxBucket)
       .select(bkt.map(col): _*)
-    val pairs = spark.read.parquet(increments(spark, targetDir, "inc_"): _*)
+    val pairs = family("inc_", "cinc_")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
       .join(occOk, bkt)
       .select("id_a", "id_b").distinct()
-    val sigs = spark.read.parquet(increments(spark, targetDir, "sigs_"): _*)
+    val sigs = family("sigs_", "csigs_")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
     val pk = lit(10000000000L)
     pairs
       .join(sigs.toDF("id_a", "sa"), "id_a")

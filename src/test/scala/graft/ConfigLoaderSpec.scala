@@ -222,6 +222,42 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(cfg.numericRules("lat") == NumericRule(Some(-5.5), Some(2.5)))
   }
 
+  test("YAML front-end: zero-indent block sequences, misaligned nesting " +
+      "rejected, PyYAML float typing") {
+    import org.json4s._
+    // `key:` followed by `- item` at the KEY's indent — PyYAML-valid and
+    // common; the dash run is the key's value.
+    assert(graft.config.Yaml.parse(
+      "types:\n- a\n- b\nnext: 1\nnested:\n  inner:\n  - x\n  k: 2\n") ==
+      JObject(List(
+        "types" -> JArray(List(JString("a"), JString("b"))),
+        "next" -> JInt(1),
+        "nested" -> JObject(List(
+          "inner" -> JArray(List(JString("x"))),
+          "k" -> JInt(2))))))
+    // A nested block whose later line dedents below its first entry used
+    // to be silently DROPPED; PyYAML rejects it — so do we, loudly.
+    val e = intercept[IllegalArgumentException] {
+      graft.config.Yaml.parse("key:\n    a: 1\n  b: 2\n")
+    }
+    assert(e.getMessage.contains("line 3"))
+    // A sequence may not follow a key that already has an inline value.
+    intercept[IllegalArgumentException] {
+      graft.config.Yaml.parse("key: v\n- item\n")
+    }
+    // safe_load float resolution requires a dot: `1e3` is a STRING.
+    assert(graft.config.Yaml.parse("v: 1e3") ==
+      JObject(List("v" -> JString("1e3"))))
+    assert(graft.config.Yaml.parse("v: 1.0e3") ==
+      JObject(List("v" -> JDouble(1000.0))))
+    assert(graft.config.Yaml.parse("v: -2.5") ==
+      JObject(List("v" -> JDouble(-2.5))))
+    // And the config path accepts the zero-indent style end-to-end.
+    val cfg = ConfigLoader.fromYamlString(
+      "dataset: d0\nrecommended:\n- obs\n- [a, b]\n")
+    assert(cfg.recommended == Seq(Seq("obs"), Seq("a", "b")))
+  }
+
   test("ingest blacklist skips matching resources") {
     val dir = Files.createTempDirectory("graft-bl").toString
     Seq((1, "a")).toDF("id", "v").coalesce(1).write.parquet(dir + "/keep_data")

@@ -41,8 +41,9 @@ class StreamingSpec extends AnyFunSuite {
     val firstNames = partFiles().map(_.getName).toSet
     val firstMax = partFiles().map(_.lastModified).max
     second
-    partFiles().filterNot(f => firstNames(f.getName))
-      .foreach(_.setLastModified(firstMax + 60000L))
+    partFiles().filterNot(f => firstNames(f.getName)).foreach { f =>
+      require(f.setLastModified(firstMax + 60000L), s"mtime stamp failed: $f")
+    }
   }
 
   test("streaming Count-Min sketch equals the batch sketch over all drops") {
@@ -357,6 +358,20 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(first == second && first.nonEmpty)
     // == the one-shot banded per-doc flags over the whole corpus.
+    assert(first == oneShotLshFlags(docs))
+    // The gate genuinely crossed the batch boundary: some doc's best
+    // partner straddles the doc_id split (else the test verifies two
+    // independent runs).
+    assert(first.exists(r => r.getLong(0) > m && r.getLong(2) <= m),
+      "no cross-batch match — vacuous gate")
+  }
+
+  /** The one-shot banded per-doc dedup flags over a corpus — the batch
+    * ground truth both LSH-gate tests compare the accumulated stream
+    * output against.
+    */
+  private def oneShotLshFlags(
+      docs: org.apache.spark.sql.DataFrame): Seq[org.apache.spark.sql.Row] = {
     val sig = graft.queries.TextQueries.portableMinhashSig(docs)
     val bands = graft.queries.TextQueries.portableBands(sig)
     val capped = bands.join(
@@ -364,7 +379,7 @@ class StreamingSpec extends AnyFunSuite {
         .filter(col("occ") > 1 && col("occ") <= 100).select("b", "k1", "k2"),
       Seq("b", "k1", "k2"))
     val pk = lit(10000000000L)
-    val batchFlags = capped.toDF("b", "k1", "k2", "id_a")
+    capped.toDF("b", "k1", "k2", "id_a")
       .join(capped.toDF("b", "k1", "k2", "id_b"), Seq("b", "k1", "k2"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -381,12 +396,59 @@ class StreamingSpec extends AnyFunSuite {
         pmod(col("best"), pk).as("best_match"),
         expr("best DIV 10000000000").as("best_n_eq"))
       .orderBy("id").collect().toSeq
-    assert(first == batchFlags)
-    // The gate genuinely crossed the batch boundary: some doc's best
-    // partner straddles the doc_id split (else the test verifies two
-    // independent runs).
-    assert(first.exists(r => r.getLong(0) > m && r.getLong(2) <= m),
-      "no cross-batch match — vacuous gate")
+  }
+
+  test("LSH gate folding: probe reads a constant-bounded root count at N " +
+      "batches; folded per-batch snapshots are swept; publish and a full " +
+      "replay over the folded target stay byte-identical") {
+    val dir = Files.createTempDirectory("graft-lshfold").toString
+    val out = s"$dir/out"; val dropD = s"$dir/drop"
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val n = 7; val compactEvery = 3
+    // n mtime-ordered single-file drops (the gate is order-insensitive —
+    // explicit stamps only pin the batch count and order).
+    val seen = scala.collection.mutable.Set.empty[String]
+    (0 until n).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(n.toLong)) === i)
+        .coalesce(1).write.mode("append").parquet(dropD)
+      new java.io.File(dropD).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"mtime stamp failed for $f")
+          seen += f.getName
+        }
+    }
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dropD)
+      StreamOps.lshPairsSink(src, out, ckpt, compactEvery = compactEvery)
+        .awaitTermination()
+    }
+    StreamOps.lshProbeRoots.filterInPlace { case ((t, _), _) => t != out }
+    runStream(s"$dir/ckpt1")
+    // THE compaction contract: the probe never reads more than
+    // compactEvery roots (1 standing generation + < compactEvery tails),
+    // however many batches the stream has seen — vs O(batchId) before.
+    val rootCounts = (0L until n).map(b => StreamOps.lshProbeRoots((out, b)))
+    assert(rootCounts.size == n && rootCounts.max <= compactEvery,
+      s"probe root counts $rootCounts exceed compactEvery=$compactEvery")
+    // Layout after folds at batch 3 (hi=2) and 6 (hi=5): one generation,
+    // only the un-folded tail snapshots remain.
+    def names = new java.io.File(out).listFiles().map(_.getName).toSet
+    assert(names.count(_.startsWith("cdone_")) == 1 && names("cdone_5"))
+    assert(names("cbands_5") && names("csigs_5") && names("cinc_5"))
+    assert(names.filter(_.startsWith("bands_")) == Set("bands_6"),
+      s"folded band snapshots not swept: $names")
+    val first = StreamOps.lshPairsRead(spark, out).orderBy("id").collect().toSeq
+    assert(first == oneShotLshFlags(docs) && first.nonEmpty)
+    // Full replay over the intact FOLDED target (fresh checkpoint): each
+    // replayed batch reconstructs its prior corpus via the src_batch cut
+    // of the standing generation; re-written snapshots of folded batches
+    // are ignored by every reader. Byte-identical publish.
+    runStream(s"$dir/ckpt2")
+    val second = StreamOps.lshPairsRead(spark, out).orderBy("id").collect().toSeq
+    assert(first == second)
   }
 
   test("drift sink: accumulated count increments reproduce the batch TV " +

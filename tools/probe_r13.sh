@@ -1,7 +1,9 @@
 #!/bin/bash
 # r13 probe suite:
 #  - verdict item 2 "done" check: q_geo_nearest_grid at sf10 with NO env
-#    override (input-sized initialPartitionNum is the default now) must
+#    override (the operator-side input-sized repartition in
+#    Geo.nearestFacilityGrid is the default now — the global
+#    initialPartitionNum variants were A/B-measured and REJECTED) must
 #    land within 2x of its 9.63 s sized floor;
 #  - verdict item 3: re-floor the r12 provisional stamps (q_kcore,
 #    q_label_prop, q_peak_concurrency_global, q_interval_union,
