@@ -727,9 +727,17 @@ object StreamOps {
           graft.queries.TextQueries.portableBands(sigs)
             .withColumn("pb", (col("b").cast("long") * keyBuckets +
               pmod(col("k1"), lit(keyBuckets.toLong))).cast("int")))
-        bands.repartition(col("pb"))
-          .write.mode("overwrite").partitionBy("pb")
-          .parquet(s"$targetDir/bands_$batchId")
+        // Per-batch tail snapshot: ONE parquet dir, range-partitioned and
+        // sorted on pb, so the probe's static `pb IN (...)` prunes at ROW
+        // GROUP granularity from the footers. The hive-partitioned
+        // `pb=...` layout here cost ~1024 directory creates + commits PER
+        // BATCH and as many listings per probe/publish — measured as the
+        // bulk of the gate's sf-independent ~34 s stream constant; the
+        // long-lived pruning layout belongs to the folded generation
+        // (cbands_, still hive-partitioned), not the short-lived tails.
+        bands.repartitionByRange(col("pb"))
+          .sortWithinPartitions(col("pb"))
+          .write.mode("overwrite").parquet(s"$targetDir/bands_$batchId")
         // Fold due? Covers batches 0..batchId-1 (never the current batch:
         // the probe's prior-corpus join excludes own postings, and a
         // compacted root containing them would self-pair).
