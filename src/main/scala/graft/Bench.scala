@@ -27,7 +27,7 @@ object Bench {
     "q_triangle_count", "s_kmeans_lloyd", "m_image_phash", "x_leakage_split",
     "x_leakage_split_banded", "q_geo_density", "x_dedup_eval",
     "q_geo_nearest_grid", "q_basket_affinity", "st_lsh_gate",
-    "x_xlsx_ingest_e2e")
+    "x_xlsx_ingest_e2e", "x_ingest_state_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

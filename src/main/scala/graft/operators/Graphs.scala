@@ -158,25 +158,30 @@ object Graphs {
   }
 
   /** `rounds` nested [[peel]] rounds with the iterative-loop block
-    * discipline: each round's input frame checkpoints as SERIALIZED
-    * blocks (deserialized row caches of 3-4 live rounds were pure GC
-    * surface — the 36-165 s q_kcore swing band across identical
-    * binaries) and the PREVIOUS round's blocks are freed as soon as the
+    * discipline: the PREVIOUS round's blocks are freed as soon as the
     * next round has materialized, instead of lingering until the
     * ContextCleaner's next GC-driven sweep. Nested `peel(peel(...))`
     * keeps working (each call materializes its own input); this is the
     * loop owner that can also free the dead rounds.
+    *
+    * Storage level stays the DEFAULT deserialized MEMORY_AND_DISK —
+    * measured both ways (r14): MEMORY_AND_DISK_SER did NOT tame the
+    * isolated swing band (GC logging shows ≤ 4.6 s total JVM pause on
+    * both fast and slow runs — the variance is I/O-side in the
+    * pair-build shuffle, not heap churn) and regressed the sf100 probe
+    * (q_label_prop 274.5 → 401.1 s: per-round encode/decode on
+    * million-node frames is pure CPU cost once GC is not the
+    * constraint). The eager free is kept — it is cost-free and bounds
+    * live blocks to one round.
     */
   def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = Materialize(edges,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var e = Materialize(edges)
     for (_ <- 1 to rounds) {
       val keep = degrees(e).filter(col("deg") >= k).select(col("node"))
       val next = Materialize(
         e.join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
           .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
-          .select("u", "v"),
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .select("u", "v"))
       freeBlocks(e)
       e = next
     }
@@ -214,22 +219,19 @@ object Graphs {
     // its own left join; unmaterialized, the final plan re-executes
     // round r-1's lineage per reference — the iterative-loop
     // checkpoint cadence DedupResolve's contraction already uses).
-    // Serialized round blocks + eager free of the dead round (see
-    // [[kcore]]): the label frames are node-cardinality but a round's
-    // deserialized row cache still outlives its last read by a full GC
-    // cycle without the explicit unpersist.
-    val ser = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    // Eager free of the dead round (see [[kcore]] — default storage
+    // level kept; SER was measured and rejected): a round's blocks
+    // otherwise outlive their last read by a full GC cycle.
     val sym = Materialize(edges.select(col("u"), col("v"))
-      .union(edges.select(col("v").as("u"), col("u").as("v"))), ser)
+      .union(edges.select(col("v").as("u"), col("u").as("v"))))
     val nodes = sym.select(col("u").as("node")).distinct()
-    var lab = Materialize(nodes.withColumn("label", col("node")), ser)
+    var lab = Materialize(nodes.withColumn("label", col("node")))
     for (_ <- 1 to rounds) {
       val nb = sym.join(lab.select(col("node").as("v"), col("label")), Seq("v"))
         .groupBy(col("u").as("node")).agg(min(col("label")).as("nl"))
       val next = Materialize(lab.join(nb, Seq("node"), "left")
         .select(col("node"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label")),
-        ser)
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label")))
       freeBlocks(lab)
       lab = next
     }

@@ -19,15 +19,15 @@ import org.apache.spark.sql.DataFrame
 object Materialize {
   def apply(df: DataFrame): DataFrame = df.localCheckpoint()
 
-  /** [[apply]] with an explicit block storage level. Iterative operators
-    * (k-core peel, label propagation) checkpoint a frame per ROUND; at
-    * probe scale the default deserialized MEMORY_AND_DISK blocks of
-    * still-referenced rounds stack up in the unified pool and turn the
-    * whole loop into GC churn (the 36-165 s q_kcore swing band across
-    * identical binaries). Serialized blocks cost one encode/decode per
-    * consumer but shrink the heap footprint several-fold (and compress
-    * via spark.rdd.compress) — the right trade for a frame written once
-    * and read once-or-twice the next round.
+  /** [[apply]] with an explicit block storage level — for callers whose
+    * frames are memory-outsized (DISK_ONLY) or rarely re-read
+    * (MEMORY_AND_DISK_SER shrinks heap footprint ~3-5× at one
+    * encode/decode per consumer). Measured caution (r14): switching the
+    * graph loops' per-round frames to SER did NOT tame the q_kcore
+    * isolated swing band (GC logging put total JVM pause ≤ 4.6 s on
+    * fast AND slow runs — the variance is I/O-side) and regressed the
+    * sf100 label-propagation probe 274.5 → 401.1 s; prefer the default
+    * unless the frame demonstrably pressures the unified pool.
     */
   def apply(df: DataFrame,
       level: org.apache.spark.storage.StorageLevel): DataFrame =

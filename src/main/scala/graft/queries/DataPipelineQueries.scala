@@ -61,6 +61,56 @@ object DataPipelineQueries {
     root
   }
 
+  /** Per-JVM scratch slot for the run-log upload round trip (the
+    * [[wetScratch]] discipline).
+    */
+  private lazy val runlogScratch: java.nio.file.Path = {
+    val root = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      "graft-runlog-e2e-" + ProcessHandle.current().pid())
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRec(root)))
+    root
+  }
+
+  /** Record-level sink for the run-log e2e: each batch lands as ONE
+    * file named by the sha256 of its serialized payload, so a retried
+    * batch overwrites itself — the idempotence [[graft.sources.Load
+    * .BatchWriter]] requires. Batches carrying a marker row (line_id ≡
+    * 0 mod `failEvery`) throw on their FIRST attempt per JVM, driving
+    * the retry envelope deterministically without changing what lands.
+    */
+  private final case class LandedSink(dir: String, failEvery: Long)
+      extends graft.sources.Load.BatchWriter {
+    def write(rows: Seq[org.apache.spark.sql.Row]): Unit = {
+      def js(r: org.apache.spark.sql.Row): String = {
+        def f(name: String): String = r.getAs[Any](name) match {
+          case null => "null"
+          case v: String =>
+            "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case v => v.toString
+        }
+        "{\"line_id\":" + f("line_id") + ",\"level\":" + f("level") +
+          ",\"resource\":" + f("resource") + ",\"n_rows\":" + f("n_rows") +
+          ",\"raw\":" + f("raw") + "}"
+      }
+      val payload = rows.map(js).mkString("", "\n", "\n")
+      val key = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val marker = rows.exists(r =>
+        Option(r.getAs[java.lang.Long]("line_id")).exists(_ % failEvery == 0))
+      if (marker && LandedSinkState.attempts.putIfAbsent(key, true) == null)
+        throw new java.io.IOException(s"transient sink failure for batch $key")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"$key.json"), payload.getBytes("UTF-8"))
+      ()
+    }
+  }
+
+  private object LandedSinkState {
+    val attempts =
+      new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  }
+
   private val EnStop = TextStats.stopwords("en")
 
   /** Leakage-safe split from an arbitrary near-dup EDGE frame
@@ -1177,6 +1227,73 @@ object DataPipelineQueries {
                CAST(CASE WHEN d.rid = 0 THEN -1 ELSE per.dups END AS BIGINT)
                  AS r2_dup_keys
         FROM d JOIN per USING (rid) ORDER BY codigo
+      """)),
+
+    // ------------------------------------------------------------------
+    // Run-log upload END-TO-END — the reference's upload_log.py driven
+    // through the real library stack: a JSON-lines pipeline log (one
+    // line per doc_id; ids ≡ 0 mod 17 are UNPARSEABLE lines that must
+    // survive whole in the `raw` column — the read_log_to_df fallback)
+    // is written by a distributed text sink, read back through
+    // RunLog.readLogDf (PERMISSIVE + corrupt-record column), and pushed
+    // through the chunked retry loader (reference chunks of 500):
+    // batches carrying a marker row fail their first attempt, so the
+    // retry envelope genuinely fires, and the content-hash-named landing
+    // makes the retried batch idempotent — exactly once per row lands.
+    // Every field derives from doc_id, so DuckDB re-derives the landed
+    // table analytically; a lost/duplicated batch or a dropped corrupt
+    // line is a row-count/hash mismatch. Scale shape: the load loop
+    // runs per PARTITION on executors (no driver funnel); landing is
+    // one bounded file per 500-row chunk, the reference's payload unit.
+    Q("x_runlog_ingest_e2e",
+      (s, dir) => {
+        runlogScratch.synchronized {
+          deleteRec(runlogScratch)
+          val root = java.nio.file.Files.createDirectories(runlogScratch)
+          val logDir = root.resolve("log").toString
+          val landed = java.nio.file.Files
+            .createDirectories(root.resolve("landed")).toString
+          Tables.documents(s, dir).select(col("doc_id"))
+            .select(
+              when(col("doc_id") % 17 === 0,
+                concat(lit("{bad log line "), col("doc_id").cast("string")))
+              .otherwise(concat(
+                lit("{\"line_id\":"), col("doc_id").cast("string"),
+                lit(",\"level\":\""),
+                when(col("doc_id") % 5 === 0, "WARN").otherwise("INFO"),
+                lit("\",\"resource\":\"res_"),
+                (col("doc_id") % 3).cast("string"),
+                lit("\",\"n_rows\":"), (col("doc_id") % 100).cast("string"),
+                lit("}"))).as("value"))
+            .write.mode("overwrite").text(logDir)
+          val res = graft.sources.RunLog.uploadLog(s, logDir,
+            LandedSink(landed, failEvery = 4000L), batchSize = 500,
+            sleeper = _ => ())
+          require(res.failedBatches == 0 && res.rowsFailed == 0,
+            s"run-log load left failures: $res")
+          s.read.schema("line_id LONG, level STRING, resource STRING, " +
+              "n_rows LONG, raw STRING")
+            .json(landed)
+            .select(col("line_id"), col("level"), col("resource"),
+              col("n_rows"), col("raw"))
+            .orderBy(col("line_id").asc_nulls_first, col("raw"))
+            .localCheckpoint() // materialize before the scratch is re-wiped
+        }
+      },
+      Some("""
+        SELECT CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END
+                 AS BIGINT) AS line_id,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 5 = 0 THEN 'WARN' ELSE 'INFO' END AS level,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE 'res_' || CAST(doc_id % 3 AS VARCHAR) END AS resource,
+               CAST(CASE WHEN doc_id % 17 = 0 THEN NULL
+                         ELSE doc_id % 100 END AS BIGINT) AS n_rows,
+               CASE WHEN doc_id % 17 = 0
+                    THEN '{bad log line ' || CAST(doc_id AS VARCHAR)
+                    ELSE NULL END AS raw
+        FROM documents
+        ORDER BY line_id NULLS FIRST, raw
       """)),
 
     // ------------------------------------------------------------------

@@ -24,9 +24,13 @@ object RunLog {
 
   /** Read the log and load it through the batched retry writer. The
     * reference chunks at 500 rows to bound payload size; retries/shrink
-    * come free from [[Load.writeWithRetries]].
+    * come free from [[Load.writeWithRetries]]. `sleeper` passes through
+    * to the retry envelope (injectable for tests and rate shaping, as on
+    * writeWithRetries itself).
     */
   def uploadLog(spark: SparkSession, path: String, writer: Load.BatchWriter,
-      batchSize: Int = 500): Load.LoadResult =
-    Load.writeWithRetries(readLogDf(spark, path), writer, batchSize = batchSize)
+      batchSize: Int = 500,
+      sleeper: Int => Unit = s => Thread.sleep(s * 1000L)): Load.LoadResult =
+    Load.writeWithRetries(readLogDf(spark, path), writer,
+      batchSize = batchSize, sleeper = sleeper)
 }
