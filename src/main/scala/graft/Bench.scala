@@ -58,11 +58,12 @@ object Bench {
     // starts. Off by default: the A/B knob for the board-pressure
     // investigation.
     val resetGc = sys.env.get("SPARK_GRAFT_RESET_GC").contains("1")
-    def reset(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      if (resetGc) { System.gc(); Thread.sleep(200) }
-    }
+    def reset(): Unit =
+      if (resetGc) GraftSession.reclaimScratch(spark)
+      else {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     // SPARK_GRAFT_WARMUP=0 skips the warmup pass — for large-SF scale
     // runs where per-query runtime dwarfs one-time codegen cost and a
     // second full pass would double an already-long wall clock.

@@ -86,4 +86,26 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Long-lived-session hygiene — call between heavy queries when ONE
+    * SparkSession runs many of them (a notebook, a service, a query
+    * board). Shuffle files, broadcasts, and localCheckpoint blocks are
+    * reclaimed by Spark's ContextCleaner only when their driver-side
+    * references are garbage-collected; on a large heap a session can run
+    * dozens of heavy queries before any natural full GC, so shuffle
+    * scratch directories and block-manager metadata accumulate without
+    * bound in the meantime (measured r13/r14: in-board times 2-10× the
+    * isolated floors until Bench adopted exactly this reset). This
+    * drops the SQL cache and stray persisted RDDs, forces a GC so the
+    * cleaner sees the dead references, and gives the (async) cleaner a
+    * beat to drain. Bounded cost: one full GC + `drainMillis`.
+    * SessionHygieneSpec pins the resulting bound — scratch returns to
+    * its baseline after every heavy query instead of growing per-query.
+    */
+  def reclaimScratch(spark: SparkSession, drainMillis: Long = 200): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    System.gc()
+    Thread.sleep(drainMillis)
+  }
 }

@@ -622,10 +622,11 @@ object AnalyticsQueries {
           .agg(min(col("w")).as("wc"))
         val edges = pw.crossJoin(broadcast(wcut))
           .filter(col("w") >= col("wc")).select("u", "v")
-        // Loop-owned rounds (serialized blocks, dead rounds freed
-        // eagerly) — the nested peel(peel(peel(...))) plan left 3-4
-        // deserialized round caches live across the whole query, the
-        // GC surface behind the 36-165 s swing band (r13 verdict).
+        // Loop-owned rounds (dead rounds freed eagerly, default
+        // storage level — MEMORY_AND_DISK_SER was A/B'd and rejected
+        // on its sf100 regression) — the nested peel(peel(peel(...)))
+        // plan left 3-4 round caches live across the whole query, the
+        // memory surface behind the 36-165 s swing band (r13 verdict).
         val core = Graphs.kcore(edges, k = 10, rounds = 3)
         Graphs.degrees(core)
           .select(col("node").as("suppkey"), col("deg"))

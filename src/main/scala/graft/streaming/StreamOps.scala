@@ -608,48 +608,138 @@ object StreamOps {
 
   /** Test/ops instrumentation for [[lshPairsSink]]: per (targetDir,
     * batchId), how many posting ROOTS the probe read — StreamingSpec
-    * asserts this stays ≤ 1 + compactEvery at any stream age (the
-    * compaction contract). A bounded diagnostic map, not state.
+    * asserts this stays within the tiered bound at any stream age (the
+    * compaction contract). BOUNDED: a ring of the most recent
+    * [[lshDiagRing]] batches per targetDir — a long-running sink never
+    * grows driver memory through this map.
     */
+  private[graft] val lshDiagRing = 256
   private[graft] val lshProbeRoots =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), Int]
+    scala.collection.concurrent.TrieMap.empty[String, Vector[(Long, Int)]]
+  private def recordProbeRoots(targetDir: String, batchId: Long,
+      roots: Int): Unit =
+    lshProbeRoots.updateWith(targetDir) { prev =>
+      Some((prev.getOrElse(Vector.empty) :+ (batchId -> roots))
+        .takeRight(lshDiagRing))
+    }
 
-  /** Compacted-root discovery for [[lshPairsSink]]/[[lshPairsRead]]:
-    * the highest batch id folded into the standing `cbands_/csigs_/
-    * cinc_<hi>` roots (gated by the `cdone_<hi>` marker — a fold is
-    * invisible until its marker lands), or -1 when nothing is folded.
-    * A batch-suffixed root `f_<i>` is LIVE iff `i > hi`; anything ≤ hi
-    * is a folded original or a replay stray, deleted by the next
-    * [[lshCleanup]] and ignored by every reader.
+  /** Test/ops instrumentation for the tiered fold: per targetDir, the
+    * cumulative BATCH-SPAN of all fold/merge inputs (an L0 fold of t
+    * tails adds t; a tier merge of runs covering s batches adds s).
+    * Each batch's postings are re-written once per tier they climb, so
+    * this sum is O(N·log N) in stream age N — the quadratic-write fix
+    * StreamingSpec pins. One counter per targetDir, not state.
     */
-  private def lshCompactedHi(fs: org.apache.hadoop.fs.FileSystem,
-      targetDir: String): Long = {
+  private[graft] val lshFoldSpans =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  // Managed-name shapes under an lshPairsSink targetDir. Anything NOT
+  // matching is a stranger (user temp file, `_bak` copy) and is skipped
+  // by discovery and cleanup rather than crashing the stream on a
+  // NumberFormatException from an arbitrary suffix.
+  private val lshTailRx = """^(bands|sigs|inc)_(\d+)$""".r
+  private val lshRunRx = """^(cbands|csigs|cinc)_(\d+)_(\d+)$""".r
+  private val lshDoneRx = """^cdone_(\d+)_(\d+)$""".r
+
+  /** Compacted-run discovery for [[lshPairsSink]]/[[lshPairsRead]]:
+    * marker-gated batch ranges. A run `c*_<lo>_<hi>` is DONE iff its
+    * `cdone_<lo>_<hi>` marker exists (written only after all three
+    * family dirs land — a half-written run is invisible); it is VISIBLE
+    * iff done and not strictly contained in another done run (a tier
+    * merge writes the containing run's marker LAST, so the narrow runs
+    * flip invisible atomically with the wide one appearing). Visible
+    * runs tile `[0, hi]` disjointly; a batch-suffixed tail `f_<i>` is
+    * LIVE iff `i > hi` — anything ≤ hi is a folded original or a replay
+    * stray, swept by [[lshCleanup]] and ignored by every reader.
+    */
+  private def lshVisibleRuns(fs: org.apache.hadoop.fs.FileSystem,
+      targetDir: String): Seq[(Long, Long)] = {
     val dir = new Path(targetDir)
-    if (!fs.exists(dir)) return -1L
-    fs.listStatus(dir).map(_.getPath.getName)
-      .collect { case n if n.startsWith("cdone_") => n.drop(6).toLong }
-      .foldLeft(-1L)(math.max)
+    if (!fs.exists(dir)) return Nil
+    val done = fs.listStatus(dir).map(_.getPath.getName).toSeq
+      .collect { case lshDoneRx(lo, hi) => (lo.toLong, hi.toLong) }
+    done.filterNot { case (lo, hi) =>
+      done.exists { case (l2, h2) =>
+        l2 <= lo && hi <= h2 && (l2, h2) != (lo, hi) }
+    }.sortBy(_._1)
   }
 
-  /** Delete superseded roots: older compacted generations and any
-    * batch-suffixed root already covered by `hi` (folded originals plus
-    * replay strays). Re-runnable after any crash window — every step is
-    * exists-then-delete.
+  /** Delete superseded roots: tier-merged (contained) runs plus their
+    * markers, marker-less compacted dirs (a crashed fold's half-written
+    * garbage — never visible, rewritten on retry), and any
+    * batch-suffixed tail already covered by `hi` (folded originals plus
+    * replay strays). Unrecognized names are left alone. Re-runnable
+    * after any crash window — every step is exists-then-delete.
     */
   private def lshCleanup(fs: org.apache.hadoop.fs.FileSystem,
-      targetDir: String, hi: Long): Unit = {
+      targetDir: String, visible: Seq[(Long, Long)], hi: Long): Unit = {
     def must(ok: Boolean, what: String): Unit =
       if (!ok) throw new java.io.IOException(
         s"lshPairsSink: cleanup $what failed under $targetDir")
+    val keep = visible.toSet
     fs.listStatus(new Path(targetDir)).map(_.getPath).foreach { p =>
-      val n = p.getName
-      val dead =
-        (n.startsWith("cdone_") && n.drop(6).toLong < hi) ||
-        (Seq("cbands_", "csigs_", "cinc_").exists(n.startsWith) &&
-          n.dropWhile(_ != '_').drop(1).toLong < hi) ||
-        (Seq("bands_", "sigs_", "inc_").exists(n.startsWith) &&
-          n.dropWhile(_ != '_').drop(1).toLong <= hi)
-      if (dead) must(fs.delete(p, true), s"delete $n")
+      val dead = p.getName match {
+        case lshDoneRx(lo, h) => !keep((lo.toLong, h.toLong))
+        case lshRunRx(_, lo, h) => !keep((lo.toLong, h.toLong))
+        case lshTailRx(_, i) => i.toLong <= hi
+        case _ => false
+      }
+      if (dead) must(fs.delete(p, true), s"delete ${p.getName}")
+    }
+  }
+
+  /** One tier-merge sweep for [[lshPairsSink]]'s LSM-shaped fold: while
+    * `fanout` adjacent visible runs share a size class (size classes are
+    * geometric — class t covers spans in [u·fanout^t, u·fanout^(t+1))
+    * for L0 unit u = compactEvery), merge the OLDEST such window into
+    * one run of the next class. Each batch's postings therefore climb
+    * at most log_fanout(N/u) tiers over the stream's life — cumulative
+    * fold write volume O(N·log N), vs the O(N²) of re-writing one
+    * standing generation every compactEvery batches — while the probe
+    * reads ≤ (fanout-1)·tiers + compactEvery roots. Runs idempotently
+    * OUTSIDE the `batchId % compactEvery` window too, so a crash
+    * between an L0 fold's marker and its carry merges heals on the next
+    * batch instead of leaving an over-full tier forever. Crash-safe the
+    * same versioned-swap way as the L0 fold: overwrite the wide run's
+    * three dirs, marker LAST, sweep the narrow runs after.
+    */
+  private def lshMergeTiers(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, targetDir: String,
+      compactEvery: Int, fanout: Int): Unit = {
+    def sizeClass(r: (Long, Long)): Int = {
+      var span = (r._2 - r._1 + 1) / math.max(1, compactEvery)
+      var t = 0
+      while (span >= fanout) { span /= fanout; t += 1 }
+      t
+    }
+    var progressed = true
+    while (progressed) {
+      progressed = false
+      val visible = lshVisibleRuns(fs, targetDir)
+      visible.sliding(fanout).find(w =>
+          w.size == fanout && w.map(sizeClass).distinct.size == 1)
+        .foreach { w =>
+          val (lo, hi) = (w.head._1, w.last._2)
+          def merge(prefix: String): Unit = {
+            val all = w.map { case (l, h) =>
+                spark.read.parquet(s"$targetDir/$prefix${l}_$h") }
+              .reduce(_.unionByName(_))
+            if (prefix == "cbands_")
+              all.repartition(col("pb"))
+                .write.mode("overwrite").partitionBy("pb")
+                .parquet(s"$targetDir/$prefix${lo}_$hi")
+            else all.write.mode("overwrite")
+              .parquet(s"$targetDir/$prefix${lo}_$hi")
+          }
+          merge("cbands_"); merge("csigs_"); merge("cinc_")
+          fs.create(new Path(s"$targetDir/cdone_${lo}_$hi"), true).close()
+          lshFoldSpans.updateWith(targetDir)(p =>
+            Some(p.getOrElse(0L) + (hi - lo + 1)))
+          val vis = lshVisibleRuns(fs, targetDir)
+          lshCleanup(fs, targetDir, vis,
+            vis.map(_._2).foldLeft(-1L)(math.max))
+          progressed = true
+        }
     }
   }
 
@@ -677,27 +767,32 @@ object StreamOps {
     * either way. In-flight emission is therefore bounded by
     * maxBucket² per bucket lifetime, never duplicate-family².
     *
-    * LONG-RUN posture: every `compactEvery` batches the per-batch
-    * snapshots FOLD into one standing generation — `cbands_<hi>`
-    * (hive-partitioned by pb, so the pruned probe holds at any stream
-    * age), `csigs_<hi>`, `cinc_<hi>` — gated by a `cdone_<hi>` marker
-    * written only after all three land; the folded per-batch roots are
-    * then deleted. A probe therefore reads AT MOST 1 + compactEvery
-    * roots regardless of batch count (vs O(batchId) without folding —
-    * per-batch probe cost grew linearly and cumulative listing cost
-    * quadratically). Replay stays byte-identical through folding: the
-    * compacted postings carry their origin batch in `src_batch`, so a
-    * replayed batch N ≤ hi probes `cbands.filter(src_batch < N)` —
+    * LONG-RUN posture — a TIERED (LSM-shaped) fold: every
+    * `compactEvery` batches the per-batch snapshots fold into a NEW L0
+    * run `cbands_<lo>_<hi>` (hive-partitioned by pb, so the pruned
+    * probe holds at any stream age) + `csigs_/cinc_<lo>_<hi>`, gated by
+    * a `cdone_<lo>_<hi>` marker written only after all three land; the
+    * folded tails are then deleted. When `tierFanout` adjacent runs
+    * share a geometric size class, [[lshMergeTiers]] merges them into
+    * one run of the next class (marker last, narrow runs swept after) —
+    * so each batch's postings are re-written at most
+    * log_fanout(N/compactEvery) times over the stream's life.
+    * Cumulative fold write volume is O(N·log N) in stream age N; the
+    * r14 single-standing-generation fold re-wrote the FULL corpus every
+    * compactEvery batches (quadratic cumulative volume, and each fold
+    * stalled the stream for a corpus-sized rewrite — the r14 verdict's
+    * scale-killer). A probe reads ≤ (tierFanout-1)·tiers + compactEvery
+    * roots — logarithmic, vs O(batchId) without folding. Replay stays
+    * byte-identical through folding and merging: compacted postings
+    * carry their origin batch in `src_batch`, so a replayed batch
+    * N ≤ hi probes `filter(src_batch < N)` over the visible runs —
     * exactly the prior-corpus rows its first run saw — and its
     * re-written `bands_N/sigs_N/inc_N` strays are ignored by every
-    * reader (live iff id > hi) and swept by the next cleanup. The fold
-    * itself is crash-safe the versioned-swap way: overwrites of a NEW
-    * generation, marker last, every reader gated on the marker; a
-    * half-written generation is invisible and re-folded on replay.
-    * Amortized fold cost is one standing-index rewrite per
-    * compactEvery batches — size `compactEvery` to the corpus/batch
-    * ratio (a tiered LSM fold is the next step if that rewrite ever
-    * dominates; the probe contract would not change).
+    * reader (live iff id > hi) and swept by the next cleanup. Folds and
+    * merges are crash-safe the versioned-swap way: overwrites of NEW
+    * run dirs, marker last, every reader gated on markers; a
+    * half-written run is invisible, its garbage swept, and the merge
+    * pass re-runs idempotently on the next batch.
     */
   def lshPairsSink(
       docs: DataFrame,
@@ -705,7 +800,8 @@ object StreamOps {
       checkpointDir: String,
       maxBucket: Int = 100,
       keyBuckets: Int = 64,
-      compactEvery: Int = 8): StreamingQuery =
+      compactEvery: Int = 8,
+      tierFanout: Int = 4): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -715,8 +811,10 @@ object StreamOps {
         val bkt = Seq("b", "k1", "k2")
         val fs = new Path(targetDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val hi = lshCompactedHi(fs, targetDir)
-        if (hi >= 0) lshCleanup(fs, targetDir, hi)
+        val visible0 = lshVisibleRuns(fs, targetDir)
+        val hi = visible0.map(_._2).foldLeft(-1L)(math.max)
+        if (fs.exists(new Path(targetDir)))
+          lshCleanup(fs, targetDir, visible0, hi)
         val sigs = graft.operators.Materialize(
           graft.queries.TextQueries.portableMinhashSig(batch))
         // A folded batch's replay still overwrites its own snapshots
@@ -738,14 +836,14 @@ object StreamOps {
         bands.repartitionByRange(col("pb"))
           .sortWithinPartitions(col("pb"))
           .write.mode("overwrite").parquet(s"$targetDir/bands_$batchId")
-        // Fold due? Covers batches 0..batchId-1 (never the current batch:
-        // the probe's prior-corpus join excludes own postings, and a
-        // compacted root containing them would self-pair).
+        // L0 fold due? Covers batches hi+1..batchId-1 (never the current
+        // batch: the probe's prior-corpus join excludes own postings, and
+        // a compacted run containing them would self-pair).
         if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0 &&
             hi < batchId - 1) {
-          val newHi = batchId - 1
+          val lo = hi + 1; val newHi = batchId - 1
           def tail(prefix: String): Seq[(Long, String)] =
-            ((hi + 1) to newHi).map { i =>
+            (lo to newHi).map { i =>
               val p = new Path(s"$targetDir/$prefix$i")
               if (!fs.exists(p))
                 throw new IllegalStateException(
@@ -753,37 +851,40 @@ object StreamOps {
                     s"batch $batchId — wipe the checkpoint and replay")
               i -> p.toString
             }
-          val foldedBands = tail("bands_").map { case (i, p) =>
+          // An L0 run folds ONLY the tails — never the standing runs;
+          // standing-run rewrites happen one tier at a time in
+          // lshMergeTiers (the O(N log N) contract).
+          tail("bands_").map { case (i, p) =>
               spark.read.parquet(p)
                 .select(col("doc_id"), col("b"), col("k1"), col("k2"),
                   lit(i).as("src_batch"), col("pb"))
             }
             .reduce(_.unionByName(_))
-          val allBands =
-            if (hi < 0) foldedBands
-            else spark.read.parquet(s"$targetDir/cbands_$hi")
-              .select(col("doc_id"), col("b"), col("k1"), col("k2"),
-                col("src_batch"), col("pb"))
-              .unionByName(foldedBands)
-          allBands.repartition(col("pb"))
+            .repartition(col("pb"))
             .write.mode("overwrite").partitionBy("pb")
-            .parquet(s"$targetDir/cbands_$newHi")
-          def foldPlain(prefix: String, cname: String): Unit = {
-            val tails = tail(prefix).map { case (_, p) => spark.read.parquet(p) }
+            .parquet(s"$targetDir/cbands_${lo}_$newHi")
+          def foldPlain(prefix: String, cname: String): Unit =
+            tail(prefix).map { case (_, p) => spark.read.parquet(p) }
               .reduce(_.unionByName(_))
-            val all =
-              if (hi < 0) tails
-              else spark.read.parquet(s"$targetDir/$cname$hi").unionByName(tails)
-            all.write.mode("overwrite").parquet(s"$targetDir/$cname$newHi")
-          }
+              .write.mode("overwrite")
+              .parquet(s"$targetDir/$cname${lo}_$newHi")
           foldPlain("sigs_", "csigs_")
           foldPlain("inc_", "cinc_")
-          // Marker LAST: the new generation becomes visible atomically;
-          // then sweep everything it supersedes.
-          fs.create(new Path(s"$targetDir/cdone_$newHi"), true).close()
-          lshCleanup(fs, targetDir, newHi)
+          // Marker LAST: the new run becomes visible atomically; then
+          // sweep the folded tails.
+          fs.create(new Path(s"$targetDir/cdone_${lo}_$newHi"), true).close()
+          lshFoldSpans.updateWith(targetDir)(p =>
+            Some(p.getOrElse(0L) + (newHi - lo + 1)))
+          val vis = lshVisibleRuns(fs, targetDir)
+          lshCleanup(fs, targetDir, vis, newHi)
         }
-        val hiNow = lshCompactedHi(fs, targetDir)
+        // Carry pass — also heals a crash window between an L0 fold's
+        // marker and its tier merges (idempotent no-op when nothing is
+        // due).
+        if (compactEvery > 0 && tierFanout > 1)
+          lshMergeTiers(spark, fs, targetDir, compactEvery, tierFanout)
+        val runsNow = lshVisibleRuns(fs, targetDir)
+        val hiNow = runsNow.map(_._2).foldLeft(-1L)(math.max)
         // Standing-corpus postings, partition-pruned to the batch's own
         // band keys (≤ numBands·keyBuckets distinct pb values, collected
         // as static literals): the compacted generation (src_batch <
@@ -807,18 +908,19 @@ object StreamOps {
         // src_batch < batchId cut is a no-op in forward progress and the
         // exact prior-corpus reconstruction when a FOLDED batch replays
         // (hiNow ≥ batchId: fresh checkpoint over an intact folded
-        // target — the generation holds more than this batch's past).
+        // target — the standing runs hold more than this batch's past;
+        // runs entirely at/after this batch are skipped outright).
         val priorParts =
-          (if (hiNow >= 0)
-            Seq(spark.read.parquet(s"$targetDir/cbands_$hiNow")
+          runsNow.filter(_._1 < batchId).map { case (lo, h) =>
+            spark.read.parquet(s"$targetDir/cbands_${lo}_$h")
               .filter(col("pb").isin(pbs.map(Int.box): _*))
               .filter(col("src_batch") < batchId)
-              .select("doc_id", "b", "k1", "k2"))
-          else Nil) ++
+              .select("doc_id", "b", "k1", "k2")
+          } ++
           tailDirs.map(spark.read.parquet(_)
             .filter(col("pb").isin(pbs.map(Int.box): _*))
             .select("doc_id", "b", "k1", "k2"))
-        lshProbeRoots((targetDir, batchId)) = priorParts.size
+        recordProbeRoots(targetDir, batchId, priorParts.size)
         val prior =
           if (priorParts.isEmpty)
             bands.select(col("doc_id"), col("b"), col("k1"), col("k2")).limit(0)
@@ -859,20 +961,33 @@ object StreamOps {
     * OOM'd the sf100 single-JVM probe; the pair volume still flows
     * through the scoring join (the exact tier's cost), but it
     * aggregates away immediately instead of materializing.
+    *
+    * CONCURRENCY: do not run against a targetDir with an ACTIVE sink —
+    * a fold/merge sweeps superseded runs after its marker lands, so a
+    * reader that resolved the visible-run set just before a fold can
+    * hit FileNotFoundException on the swept paths mid-scan. Publish
+    * between stream stops (the AvailableNow discipline every caller
+    * here uses), or retry on a fresh listing.
     */
   def lshPairsRead(spark: SparkSession, targetDir: String,
       maxBucket: Int = 100, minAgree: Int = 16): DataFrame = {
     val bkt = Seq("b", "k1", "k2")
     val fs = new Path(targetDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hi = lshCompactedHi(fs, targetDir)
-    // Compacted generation + live tails (id > hi) per family — constant
-    // root count at any stream age, and replay strays (re-written
-    // snapshots of folded batches) are invisible by the same cut.
+    val runs = lshVisibleRuns(fs, targetDir)
+    val hi = runs.map(_._2).foldLeft(-1L)(math.max)
+    // Visible tiered runs + live tails (id > hi) per family —
+    // log-bounded root count at any stream age, and replay strays
+    // (re-written snapshots of folded batches) are invisible by the
+    // same cut. Non-managed names under targetDir are skipped, not
+    // parsed.
     def family(prefix: String, cname: String): Seq[String] = {
-      val tails = increments(spark, targetDir, prefix)
-        .filter(_.split('_').last.toLong > hi)
-      (if (hi >= 0) Seq(s"$targetDir/$cname$hi") else Nil) ++ tails
+      val tails = fs.listStatus(new Path(targetDir)).map(_.getPath).toSeq
+        .filter(p => p.getName match {
+          case lshTailRx(f, i) => f + "_" == prefix && i.toLong > hi
+          case _ => false
+        }).map(_.toString)
+      runs.map { case (lo, h) => s"$targetDir/$cname${lo}_$h" } ++ tails
     }
     val occOk = family("bands_", "cbands_")
       .map(spark.read.parquet(_).select(bkt.map(col): _*))

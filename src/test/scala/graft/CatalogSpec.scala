@@ -278,4 +278,114 @@ class CatalogSpec extends AnyFunSuite {
     assert(LoadSinks.landed.size() == 1203)
     assert(LoadSinks.maxSeenBatch.get() <= 500, "reference chunk bound respected")
   }
+
+  // ------------------------------------------------------------------
+  // Loopback HTTP fixture: the REAL client stack, zero egress
+  // ------------------------------------------------------------------
+
+  /** In-JVM HTTP server on 127.0.0.1 — drives the PRODUCTION
+    * [[Catalog.HttpFetcher]] (JDK HttpClient: real sockets, redirects,
+    * timeouts) plus the retry wrapper end-to-end without leaving
+    * loopback. The scripted-fetcher tests above pin the protocol logic;
+    * this pins the transport the reference hits on day one
+    * (extract.py:51-70 session + :258-276 download).
+    */
+  test("loopback HTTP: real HttpFetcher syncs end-to-end — 5xx retried, " +
+      "redirect followed, unchanged skipped, mid-download failure leaves " +
+      "the state file byte-identical") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Int]()
+    def count(path: String): Int =
+      hits.merge(path, 1, (a, b) => a + b)
+    def handle(path: String)(f: (HttpExchange, Int) => Unit): Unit =
+      server.createContext(path, (ex: HttpExchange) => {
+        try f(ex, count(path)) finally ex.close()
+      })
+    def respond(ex: HttpExchange, status: Int, body: Array[Byte]): Unit = {
+      ex.sendResponseHeaders(status, if (body.isEmpty) -1 else body.length)
+      if (body.nonEmpty) ex.getResponseBody.write(body)
+    }
+    try {
+      server.start()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      def pkg(aLm: String, withPoison: Boolean) = {
+        val poison = if (withPoison)
+          s""",{"id": "rp", "name": "poison", "url": "$base/dl/poison.csv",
+             |  "format": "CSV", "last_modified": "2024-03-01T00:00:00", "size": 3}""".stripMargin
+        else ""
+        s"""{"success": true, "result": {"resources": [
+           |  {"id": "ra", "name": "datos_a", "url": "$base/dl/a.csv",
+           |   "format": "CSV", "last_modified": "$aLm", "size": 10},
+           |  {"id": "rb", "name": "datos_b", "url": "$base/redir/b.csv",
+           |   "format": "CSV", "last_modified": "2024-01-02T00:00:00", "size": 20}
+           |  $poison
+           |]}}""".stripMargin
+      }
+      @volatile var pkgBody = pkg("2024-01-01T00:00:00", withPoison = false)
+      // package_show: FIRST hit 503 — the 2-attempt fetch proves the
+      // retry wrapper drives the real client, not just the scripted one.
+      handle("/api/3/action/package_show") { (ex, n) =>
+        assert(ex.getRequestURI.getQuery == "id=pkg1", "id param encoded")
+        if (n == 1) respond(ex, 503, Array.empty)
+        else respond(ex, 200, pkgBody.getBytes("UTF-8"))
+      }
+      handle("/dl/a.csv")((ex, _) =>
+        respond(ex, 200, "c\n1\n".getBytes("UTF-8")))
+      // rb's catalog URL 302-redirects — allow_redirects=True semantics.
+      handle("/redir/b.csv") { (ex, _) =>
+        ex.getResponseHeaders.add("Location", s"$base/dl/b.csv")
+        respond(ex, 302, Array.empty)
+      }
+      handle("/dl/b.csv")((ex, _) =>
+        respond(ex, 200, "c\n2\n".getBytes("UTF-8")))
+      // Poison: 404 is NOT forcelisted — fails fast, mid-sync.
+      handle("/dl/poison.csv")((ex, _) => respond(ex, 404, Array.empty))
+
+      val dir = java.nio.file.Files.createTempDirectory("graft-loop").toString
+      val statePath = s"$dir/state.json"
+      val fetcher = Catalog.withRetries(new Catalog.HttpFetcher(
+        connectTimeoutSec = 5, readTimeoutSec = 5), sleeper = _ => ())
+      val api = s"$base/api/3/action/package_show"
+
+      // Round 1: both resources staged (one through the redirect).
+      val r1 = Catalog.sync(spark, fetcher, api, "pkg1", "", s"$dir/raw", statePath)
+      assert(r1.downloaded.map(new java.io.File(_).getName).sorted ==
+        Seq("datos_a.csv", "datos_b.csv"))
+      assert(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir/raw/datos_b.csv")), "UTF-8") == "c\n2\n")
+      assert(hits.get("/api/3/action/package_show") == 2, "503 then 200")
+      Catalog.saveCatalogState(spark, statePath, r1.state)
+      val stateBytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(statePath))
+
+      // Round 2: identical metadata — nothing re-downloaded.
+      val dlBefore = (hits.get("/dl/a.csv"), hits.get("/dl/b.csv"))
+      val r2 = Catalog.sync(spark, fetcher, api, "pkg1", "", s"$dir/raw", statePath)
+      assert(r2.downloaded.isEmpty && r2.unchanged == 2)
+      assert((hits.get("/dl/a.csv"), hits.get("/dl/b.csv")) == dlBefore,
+        "unchanged resources never re-fetched")
+
+      // Round 3: a's fingerprint moves AND a poison resource appears; the
+      // download fails mid-sync (a staged before poison raised) and the
+      // caller-gated promotion never runs — the state FILE is untouched,
+      // so the next run re-extracts a: the reference's crash contract.
+      pkgBody = pkg("2024-06-01T00:00:00", withPoison = true)
+      val ex = intercept[java.io.IOException] {
+        Catalog.sync(spark, fetcher, api, "pkg1", "", s"$dir/raw", statePath)
+      }
+      assert(ex.getMessage.contains("404"))
+      assert(java.util.Arrays.equals(stateBytes,
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(statePath))),
+        "state file must be byte-identical after a failed sync")
+      // And the re-run after the failure re-extracts a (the moved
+      // fingerprint was never promoted) — verified against a healed
+      // catalog (poison gone).
+      pkgBody = pkg("2024-06-01T00:00:00", withPoison = false)
+      val r4 = Catalog.sync(spark, fetcher, api, "pkg1", "", s"$dir/raw", statePath)
+      assert(r4.downloaded.map(new java.io.File(_).getName) == Seq("datos_a.csv") &&
+        r4.reasons == Seq(Catalog.DiffReason("ra", "last_modified")))
+    } finally server.stop(0)
+  }
 }

@@ -39,8 +39,9 @@ class GraphsSpec extends AnyFunSuite {
     assert(once == Set((1L, 2L), (1L, 3L), (2L, 3L)))
     // The surviving triangle is a fixed point of further peeling.
     assert(Graphs.peel(Graphs.peel(star, 2), 2).count() == 3L)
-    // The loop-owned variant (serialized rounds, dead rounds freed
-    // eagerly) is the same operator: kcore(e, k, n) == n nested peels.
+    // The loop-owned variant (dead rounds freed eagerly, default
+    // storage level) is the same operator: kcore(e, k, n) == n nested
+    // peels.
     assert(Graphs.kcore(star, 2, 2).as[(Long, Long)].collect().toSet ==
       Set((1L, 2L), (1L, 3L), (2L, 3L)))
     assert(Graphs.kcore(star, 2, 3).count() == 3L)

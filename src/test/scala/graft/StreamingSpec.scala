@@ -425,19 +425,22 @@ class StreamingSpec extends AnyFunSuite {
       StreamOps.lshPairsSink(src, out, ckpt, compactEvery = compactEvery)
         .awaitTermination()
     }
-    StreamOps.lshProbeRoots.filterInPlace { case ((t, _), _) => t != out }
+    StreamOps.lshProbeRoots.remove(out)
     runStream(s"$dir/ckpt1")
     // THE compaction contract: the probe never reads more than
-    // compactEvery roots (1 standing generation + < compactEvery tails),
-    // however many batches the stream has seen — vs O(batchId) before.
-    val rootCounts = (0L until n).map(b => StreamOps.lshProbeRoots((out, b)))
+    // compactEvery roots here (two L0 runs + < compactEvery tails; no
+    // tier merge fires below tierFanout runs), however many batches the
+    // stream has seen — vs O(batchId) before.
+    val rootCounts = StreamOps.lshProbeRoots(out).map(_._2)
     assert(rootCounts.size == n && rootCounts.max <= compactEvery,
       s"probe root counts $rootCounts exceed compactEvery=$compactEvery")
-    // Layout after folds at batch 3 (hi=2) and 6 (hi=5): one generation,
-    // only the un-folded tail snapshots remain.
+    // Layout after L0 folds at batch 3 (run 0..2) and 6 (run 3..5): two
+    // visible runs (below the default tierFanout=4, so no merge), only
+    // the un-folded tail snapshots remain.
     def names = new java.io.File(out).listFiles().map(_.getName).toSet
-    assert(names.count(_.startsWith("cdone_")) == 1 && names("cdone_5"))
-    assert(names("cbands_5") && names("csigs_5") && names("cinc_5"))
+    assert(names.count(_.startsWith("cdone_")) == 2 &&
+      names("cdone_0_2") && names("cdone_3_5"))
+    assert(names("cbands_3_5") && names("csigs_3_5") && names("cinc_3_5"))
     assert(names.filter(_.startsWith("bands_")) == Set("bands_6"),
       s"folded band snapshots not swept: $names")
     val first = StreamOps.lshPairsRead(spark, out).orderBy("id").collect().toSeq
@@ -446,6 +449,77 @@ class StreamingSpec extends AnyFunSuite {
     // replayed batch reconstructs its prior corpus via the src_batch cut
     // of the standing generation; re-written snapshots of folded batches
     // are ignored by every reader. Byte-identical publish.
+    runStream(s"$dir/ckpt2")
+    val second = StreamOps.lshPairsRead(spark, out).orderBy("id").collect().toSeq
+    assert(first == second)
+  }
+
+  test("LSH tiered fold, 24 batches: probe roots stay log-bounded, " +
+      "cumulative fold write volume is O(N log N) not O(N^2), layout is " +
+      "the geometric run set, publish and full replay byte-identical") {
+    val dir = Files.createTempDirectory("graft-lshtier").toString
+    val out = s"$dir/out"; val dropD = s"$dir/drop"
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    // compactEvery=1 / fanout=2 exercises the LSM shape hardest: every
+    // batch folds, every power-of-two fold cascades a carry merge.
+    val n = 24; val compactEvery = 1; val fanout = 2
+    val seen = scala.collection.mutable.Set.empty[String]
+    (0 until n).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(n.toLong)) === i)
+        .coalesce(1).write.mode("append").parquet(dropD)
+      new java.io.File(dropD).listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && !seen(f.getName))
+        .foreach { f =>
+          require(f.setLastModified(1700000000000L + i * 60000L),
+            s"mtime stamp failed for $f")
+          seen += f.getName
+        }
+    }
+    def runStream(ckpt: String): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1).parquet(dropD)
+      StreamOps.lshPairsSink(src, out, ckpt,
+        compactEvery = compactEvery, tierFanout = fanout)
+        .awaitTermination()
+    }
+    StreamOps.lshProbeRoots.remove(out)
+    StreamOps.lshFoldSpans.remove(out)
+    runStream(s"$dir/ckpt1")
+    // (a) Per-batch probe roots: visible runs mirror the base-fanout
+    // digit count of the fold counter — ≤ (fanout-1)·log_f(N) + tails,
+    // NEVER O(batchId).
+    val rootCounts = StreamOps.lshProbeRoots(out).map(_._2)
+    val logBound = (fanout - 1) *
+      math.ceil(math.log(n.toDouble) / math.log(fanout)).toInt + compactEvery
+    assert(rootCounts.size == n && rootCounts.max <= logBound,
+      s"probe root counts $rootCounts exceed log bound $logBound")
+    // (b) Cumulative fold INPUT span (batches re-written across all L0
+    // folds + tier merges): each batch climbs ≤ log_f(N) tiers, so the
+    // sum is ≤ N·(log_f(N)+1) — here 97 counted vs 276 for the r14
+    // full-generation rewrite (Σ k over 23 folds). The quadratic shape
+    // would trip this bound from N≈16 on.
+    val spans = StreamOps.lshFoldSpans(out)
+    val nlogn = n.toLong *
+      (math.ceil(math.log(n.toDouble) / math.log(fanout)).toLong + 1)
+    val quadratic = (1 until n).map(_.toLong).sum * compactEvery
+    assert(spans <= nlogn && spans < quadratic / 2,
+      s"fold spans $spans exceed O(N log N) bound $nlogn (quadratic=$quadratic)")
+    // (c) Layout: the visible runs are the binary decomposition of the
+    // 23 folded batches (16+4+2+1), each marker-gated, tails swept.
+    def names = new java.io.File(out).listFiles().map(_.getName).toSet
+    val runs = names.collect { case s if s.startsWith("cdone_") =>
+      val Array(lo, hi) = s.stripPrefix("cdone_").split('_').map(_.toLong)
+      (lo, hi)
+    }.toSeq.sortBy(_._1)
+    assert(runs == Seq((0L, 15L), (16L, 19L), (20L, 21L), (22L, 22L)),
+      s"unexpected run set $runs")
+    assert(names.filter(_.startsWith("bands_")) == Set("bands_23"),
+      s"folded band snapshots not swept: $names")
+    // (d) Publish == one-shot batch twin; full replay over the tiered
+    // target byte-identical (each replayed batch reconstructs its prior
+    // corpus via the src_batch cut across the visible runs).
+    val first = StreamOps.lshPairsRead(spark, out).orderBy("id").collect().toSeq
+    assert(first == oneShotLshFlags(docs) && first.nonEmpty)
     runStream(s"$dir/ckpt2")
     val second = StreamOps.lshPairsRead(spark, out).orderBy("id").collect().toSeq
     assert(first == second)
