@@ -16,7 +16,7 @@ cd /root/repo
 run_one() { # run_one <query> <sfdir> [extra]
   echo "[r15] $1 @$2 begin $(date +%T)" | tee -a "$OUT"
   SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
-    timeout 3600 sbt -batch "runMain graft.RunOne $1 $2 ${3:-}" 2>&1 \
+    timeout 3600 tools/runjava.sh graft.RunOne $1 $2 ${3:-} 2>&1 \
     | grep -E '^\[runone\]|^\[phase\]|Exception|Error' | head -10 | tee -a "$OUT"
   echo "[r15] $1 end $(date +%T)" | tee -a "$OUT"
 }
@@ -36,6 +36,6 @@ for i in 1 2 3; do run_one q_label_prop "$SF10"; done
 run_one st_lsh_gate "$SF10"
 echo "[r15] lshflat sf10 begin $(date +%T)" | tee -a "$OUT"
 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-64g} \
-  timeout 7200 sbt -batch "runMain graft.LshFlatnessProbe $SF10 24 4 2" 2>&1 \
+  timeout 7200 tools/runjava.sh graft.LshFlatnessProbe $SF10 24 4 2 2>&1 \
   | grep -E '^\[lshflat\]|Exception|Error' | head -40 | tee -a "$OUT"
 echo "[r15] all done $(date +%T)" | tee -a "$OUT"
