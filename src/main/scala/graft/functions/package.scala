@@ -56,6 +56,18 @@ package object functions {
   /** 16-hex-char content fingerprint (sha256 prefix) — stable across engines. */
   def fingerprint(c: Column): Column = substring(sha2(c, 256), 1, 16)
 
+  /** All 8 unsigned-32-bit lanes of sha256(c) as array<long> — value-
+    * identical to `conv(substring(sha2(c, 256), 1+8j, 8), 16, 10)::long`
+    * per lane j, minus the hex round-trip (see [[Sha256Lanes]]). */
+  def sha256Lanes(c: Column): Column =
+    GraftBridge.column(Sha256Lanes(GraftBridge.expression(c)))
+
+  /** Lane 0 of sha256(c) as a long — the single-lane portable hash
+    * `conv(substring(sha2(c, 256), 1, 8), 16, 10)::long` without the
+    * hex round-trip. */
+  def sha256Lane(c: Column): Column =
+    GraftBridge.column(Sha256Lane(GraftBridge.expression(c)))
+
   /** SpaceSaving heavy-hitters summary of a string column: array of
     * (item, count_hi, count_lo) sorted by count_hi desc — approximate
     * top frequent items with a constant-size mergeable sketch (see

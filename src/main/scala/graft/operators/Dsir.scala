@@ -50,9 +50,12 @@ object Dsir {
           (a, b) => concat(a, lit(" "), b))).as("ng"))
       .filter(col("ng").isNotNull)
     uni.unionAll(bi)
+      // Direct digest-byte lane (graft.functions.sha256Lane) — value-
+      // identical to conv(substr(sha2-hex))::long, no hex round-trip in
+      // the per-ngram-occurrence hot path (x_dsir_features oracle
+      // unchanged).
       .withColumn("bucket",
-        conv(substring(sha2(col("ng"), 256), 1, 8), 16, 10).cast("long")
-          % numBuckets)
+        graft.functions.sha256Lane(col("ng")) % numBuckets)
       .groupBy(col("id"), col("bucket")).agg(count(lit(1)).as("cnt"))
   }
 
@@ -111,7 +114,7 @@ object Dsir {
       .flatMap { case (b, r) => Seq(lit(b), lit(r)) }
     val m = map(kvs: _*)
     def bucketOf(ng: Column): Column =
-      conv(substring(sha2(ng, 256), 1, 8), 16, 10).cast("long") % numBuckets
+      graft.functions.sha256Lane(ng) % numBuckets // == features' bucket
     val ts = filter(split(lower(col(textCol)), "\\s+"), t => t =!= "")
     // Shifted-zip bigrams (null tail skipped in the fold) — see
     // features() for why the lambda must not reference the __ts alias.

@@ -67,7 +67,22 @@ object Graphs {
     */
   private def groupPairs(df: DataFrame, groupCol: String,
       memberCol: String): DataFrame = {
-    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m")).distinct()
+    // ONE exchange for distinct + self-join (r15, measured): hash-
+    // repartition by g alone, then let both the (g, m) distinct and the
+    // g-keyed self-join run on that partitioning — HashPartitioning(g)
+    // satisfies ClusteredDistribution(g, m), and the join keys are
+    // exactly g, so EnsureRequirements inserts no further exchange and
+    // ReuseExchange shares the one shuffle between the join's two
+    // sides. The previous shape (distinct first) shuffled the member
+    // frame twice: once by (g, m) for the distinct, once by g for the
+    // join. Cost shifted: the distinct's map-side partial agg no longer
+    // runs below the shuffle — on (order, supplier)-like inputs with
+    // few duplicate memberships that partial removed almost nothing, so
+    // trading it for a whole exchange of the frame is the right side of
+    // the ledger (interleaved sf10 A/B on q_kcore/q_label_prop/
+    // q_triangle_count: see OPTIMIZATION_r15.md).
+    val m = df.select(col(groupCol).as("g"), col(memberCol).as("m"))
+      .repartition(col("g")).distinct()
     m.as("a").join(m.as("b"), Seq("g"))
       .filter(col("a.m") < col("b.m"))
       .select(col("a.m").as("u"), col("b.m").as("v"))

@@ -83,13 +83,18 @@ object SubstrIndex {
     * distinct bucket list is ≤ numBuckets values (bounded collect) and
     * lands as a static IN partition filter — untouched bucket dirs are
     * never listed. */
-  private def touched(spark: SparkSession, path: String, wins: DataFrame,
-      numBuckets: Int): DataFrame = {
-    val ids = wins.select(bucketCol(numBuckets).as("bucket"))
+  private def touchedIds(wins: DataFrame, numBuckets: Int): Array[Int] =
+    wins.select(bucketCol(numBuckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).sorted
+
+  private def touched(spark: SparkSession, path: String, wins: DataFrame,
+      numBuckets: Int): DataFrame =
+    touchedFrom(spark, path, touchedIds(wins, numBuckets))
+
+  private def touchedFrom(spark: SparkSession, path: String,
+      ids: Array[Int]): DataFrame =
     spark.read.parquet(s"$path/grams")
       .filter(col("bucket").isin(ids.map(Int.box): _*))
-  }
 
   /** Dedup a new batch against the standing corpus: every batch window
     * whose gram the INDEX already owns is cut (the corpus holds its
@@ -108,6 +113,17 @@ object SubstrIndex {
       idCol: String, textCol: String): DataFrame = {
     val (minTokens, numBuckets) = meta(spark, path)
     val wins = Materialize(windows(batch, idCol, textCol, minTokens))
+    dedupCut(batch, idCol, textCol, wins,
+      touched(spark, path, wins, numBuckets), minTokens)
+  }
+
+  /** [[dedupBatch]] body over a PRE-materialized window frame and a
+    * pre-pruned touched-postings frame — shared with [[dedupAndAppend]]
+    * so the sink path hashes/checkpoints the batch's grams and collects
+    * the touched-bucket list once, not once per phase. */
+  private def dedupCut(batch: DataFrame,
+      idCol: String, textCol: String, wins: DataFrame,
+      tch: DataFrame, minTokens: Int): DataFrame = {
     // REPLAY GUARD: postings whose doc_id is one of the batch's own ids
     // can only exist if a crashed run already appended this batch (doc
     // ids are globally unique across drops). Probing against them would
@@ -118,7 +134,7 @@ object SubstrIndex {
     // sink's documented at-least-once double-append, which a
     // batchId-keyed committer can heal because the content now agrees).
     val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
-    val idx = touched(spark, path, wins, numBuckets)
+    val idx = tch
       .join(batchIds, Seq("doc_id"), "left_anti")
       .select(col("h"), col("h2"))
     val hit = wins.join(idx, Seq("h", "h2"), "left_semi")
@@ -148,11 +164,41 @@ object SubstrIndex {
     val spark = newDocs.sparkSession
     val (minTokens, numBuckets) = meta(spark, path)
     val wins = Materialize(windows(newDocs, idCol, textCol, minTokens))
-    val idx = touched(spark, path, wins, numBuckets)
-      .select(col("h"), col("h2"))
-    firstOcc(wins.join(idx, Seq("h", "h2"), "left_anti"))
+    appendGrams(path, wins,
+      touched(spark, path, wins, numBuckets), numBuckets)
+  }
+
+  /** [[append]] body over a PRE-materialized window frame and a
+    * pre-pruned touched-postings frame. The anti-join probes the FULL
+    * touched postings (no batch-id exclusion): a replayed batch whose
+    * grams a crashed run already appended adds nothing, which is what
+    * makes append idempotent. */
+  private def appendGrams(path: String, wins: DataFrame,
+      tch: DataFrame, numBuckets: Int): Unit = {
+    firstOcc(wins.join(tch.select(col("h"), col("h2")),
+        Seq("h", "h2"), "left_anti"))
       .withColumn("bucket", bucketCol(numBuckets))
       .repartition(col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(s"$path/grams")
+  }
+
+  /** The sink path's dedup-then-grow sequence over ONE shared window
+    * materialization: [[dedupBatch]] and [[append]] back to back each
+    * re-hashed every batch window into a fresh localCheckpoint and
+    * re-collected the touched-bucket list — all pure duplication, since
+    * append is defined over the same RAW batch windows the dedup probed
+    * (the raw-union first-occurrence semantics). Emits the cleaned batch
+    * to `outPath` BEFORE growing the index — the crash-replay contract
+    * ([[dedupBatch]]'s guard heals the append-landed case). Output is
+    * byte-identical to the two-call sequence (spec'd in SubstrIndexSpec).
+    */
+  def dedupAndAppend(spark: SparkSession, path: String, batch: DataFrame,
+      idCol: String, textCol: String, outPath: String): Unit = {
+    val (minTokens, numBuckets) = meta(spark, path)
+    val wins = Materialize(windows(batch, idCol, textCol, minTokens))
+    val tch = touchedFrom(spark, path, touchedIds(wins, numBuckets))
+    dedupCut(batch, idCol, textCol, wins, tch, minTokens)
+      .write.mode("append").parquet(outPath)
+    appendGrams(path, wins, tch, numBuckets)
   }
 }

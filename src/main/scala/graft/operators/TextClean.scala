@@ -100,7 +100,13 @@ object TextClean {
     * row (n_bigrams=0, score null) via the left join on the spine.
     */
   def charLmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val counts = charBigramCounts(df, textCol)
+    // Materialized (r15): the count table is consumed twice — the
+    // driver-side totals row below and the broadcast probe — and each
+    // consumer otherwise re-executes the FULL corpus bigram explode +
+    // aggregate. The frame itself is vocabulary-bounded (≤ |charset|²
+    // rows), so the checkpoint is bytes while the saved pass is a
+    // corpus scan (3 corpus passes → 2).
+    val counts = Materialize(charBigramCounts(df, textCol))
     val totals = counts.agg(
       sum(col("cnt")).as("total"), count(lit(1)).as("vocab")).head()
     val total = totals.getLong(0)

@@ -72,7 +72,8 @@ object Winnow {
       .withColumn("st", zip_with(col("grams"),
         sequence(lit(0), size(col("grams")) - 1),
         (g, i) => struct(
-          conv(substring(sha2(g, 256), 1, 8), 16, 10).cast("long").as("fp"),
+          // digest-byte lane == conv(substr(sha2-hex))::long, hex-free
+          graft.functions.sha256Lane(g).as("fp"),
           (-i).cast("long").as("np"))))
       .withColumn("sel", slice(windowMin(col("st"), w), lit(1),
         greatest(size(col("st")) - (w - 1), lit(1))))

@@ -164,11 +164,16 @@ object TextQueries {
     */
   private[graft] def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) = {
     import graft.operators.Materialize
-    val hs = flatten(transform(
-      array((0 until 4).map(g =>
-        sha2(concat(lit(s"$g|"), col("shingle")), 256)): _*),
-      hex => transform(sequence(lit(0), lit(7)),
-        j => conv(hex.substr(j * 8 + 1, lit(8)), 16, 10).cast("long"))))
+    // sha256 digest bytes read as 8 unsigned-int lanes directly
+    // (graft.functions.sha256Lanes) — value-identical to the previous
+    // conv(substr(sha2-hex))-per-lane formula (Sha256LanesSpec pins it;
+    // the oracle SQL is unchanged), minus 9 string allocations + 8 hex
+    // parses per digest in THE per-shingle-occurrence hot path of the
+    // whole portable family (this sig feeds d_minhash_portable,
+    // x_dedup_eval, s_ann_lsh_portable scoring and the streaming
+    // lshPairsSink).
+    val hs = flatten(array((0 until 4).map(g =>
+      graft.functions.sha256Lanes(concat(lit(s"$g|"), col("shingle")))): _*))
     // Explicit count: a bare repartition(col) is AQE-coalescible and the
     // compact doc frame coalesces to 1-2 partitions, serializing the
     // CPU-dominant shingle/sha256 stage (see synthMedia's note).

@@ -174,13 +174,21 @@ object TpchRestQueries {
       (s, dir) => {
         val li = Tables.lineitem(s, dir)
         val perPart = li.groupBy(col("l_partkey"))
-          .agg(sum(dec18(col("l_extendedprice"))).cast("double").as("value"))
-        // Scale-invariant threshold: 1.5× the mean per-part value (total
-        // and part count are decimal/count-exact, so the double compare is
-        // identical on both engines at any SF).
-        val total = li.agg(sum(dec18(col("l_extendedprice"))).cast("double").as("total"),
-          countDistinct(col("l_partkey")).as("n_parts"))
-        perPart.crossJoin(broadcast(total))
+          .agg(sum(dec18(col("l_extendedprice"))).as("value_dec"))
+        // Scale-invariant threshold: 1.5× the mean per-part value.
+        // BOTH the total and the part count derive from the per-part
+        // aggregation (r15): decimal addition is associative, so the
+        // sum of per-part decimal sums equals the direct decimal total
+        // bit-for-bit, and the group count equals countDistinct — which
+        // removes the second full lineitem scan AND its count-distinct
+        // expand; ReuseExchange shares the one per-part exchange between
+        // the filter stream and the threshold subquery (2 lineitem
+        // scans + 3 exchanges → 1 scan + 1 shared exchange).
+        val total = perPart.agg(sum(col("value_dec")).cast("double").as("total"),
+          count(lit(1)).as("n_parts"))
+        perPart
+          .select(col("l_partkey"), col("value_dec").cast("double").as("value"))
+          .crossJoin(broadcast(total))
           .filter(col("value") > col("total") / col("n_parts") * 1.5)
           .select(col("l_partkey"), col("value"))
           .orderBy(col("value").desc, col("l_partkey"))

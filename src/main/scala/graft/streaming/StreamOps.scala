@@ -207,22 +207,21 @@ object StreamOps {
         val meta = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
         val fs = meta.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val exists = fs.exists(meta)
-        val cleaned =
-          if (exists)
-            graft.operators.SubstrIndex.dedupBatch(
-              spark, indexPath, b, idCol, textCol)
-          else // first drop: no standing corpus — batch-internal dedup
-            graft.operators.TextDedup.substringDedup(
-              b, idCol, textCol, minTokens)
-        cleaned.write.mode("append").parquet(outPath)
-        // Grow the index AFTER emitting (dedupBatch must not see the
-        // batch's own grams). RAW batch grams, preserving the raw-union
-        // first-occurrence semantics.
         if (exists)
-          graft.operators.SubstrIndex.append(b, idCol, textCol, indexPath)
-        else
+          // One shared gram pass for dedup + index growth (emit before
+          // grow — the crash-replay contract): the dedupBatch-then-
+          // append sequence hashed and checkpointed every batch window
+          // twice and collected the touched-bucket list twice.
+          graft.operators.SubstrIndex.dedupAndAppend(
+            spark, indexPath, b, idCol, textCol, outPath)
+        else {
+          // first drop: no standing corpus — batch-internal dedup
+          graft.operators.TextDedup.substringDedup(
+              b, idCol, textCol, minTokens)
+            .write.mode("append").parquet(outPath)
           graft.operators.SubstrIndex.build(
             b, idCol, textCol, indexPath, minTokens, numBuckets)
+        }
         ()
       }
       .start()

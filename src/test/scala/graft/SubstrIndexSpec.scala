@@ -153,6 +153,29 @@ class SubstrIndexSpec extends AnyFunSuite {
     assert(got.count { case (_, _, n) => n > 0 } == 2) // both high docs cut
   }
 
+  test("dedupAndAppend == dedupBatch then append (output and index)") {
+    val batch = Seq(
+      10L -> "fresh start gamma delta epsilon zeta eta done",
+      11L -> "micro kilo mega giga tera peta exa cool",
+      12L -> "micro kilo mega giga tera peta exa cool",
+      13L -> "nothing here repeats at all trust me")
+    // Arm A: the two-call sequence the sink used before the shared pass.
+    val pathA = tmp(); val outA = s"${tmp()}/out"
+    SubstrIndex.build(df(corpus), "doc_id", "text", pathA, minTokens = 4)
+    SubstrIndex.dedupBatch(spark, pathA, df(batch), "doc_id", "text")
+      .write.mode("append").parquet(outA)
+    SubstrIndex.append(df(batch), "doc_id", "text", pathA)
+    // Arm B: the one-pass sink path.
+    val pathB = tmp(); val outB = s"${tmp()}/out"
+    SubstrIndex.build(df(corpus), "doc_id", "text", pathB, minTokens = 4)
+    SubstrIndex.dedupAndAppend(spark, pathB, df(batch), "doc_id", "text", outB)
+    assert(collect(spark.read.parquet(outB)) == collect(spark.read.parquet(outA)))
+    val ix = (p: String) => spark.read.parquet(s"$p/grams")
+      .select("h", "h2", "doc_id", "pos", "bucket")
+      .as[(Long, Long, Long, Int, Int)].collect().toSet
+    assert(ix(pathB) == ix(pathA))
+  }
+
   test("untouched batch docs pass through whole") {
     val path = tmp()
     SubstrIndex.build(df(corpus), "doc_id", "text", path, minTokens = 4)
