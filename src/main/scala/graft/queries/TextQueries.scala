@@ -162,7 +162,13 @@ object TextQueries {
     * (the per-doc min ranges over the same values) and trades the
     * engine's scarce resource (shuffle bytes) for its abundant one.
     */
-  private[graft] def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) = {
+  /** [[portableMinhashSig]] over a caller-prepared (doc_id, shs) shingle
+    * frame — for callers that ALSO consume the shingles (x_dedup_eval's
+    * exact-truth side): sharing the tokenize+shingle pass beats running
+    * it once per consumer.
+    */
+  private[graft] def portableMinhashSigFromShingles(
+      shs: org.apache.spark.sql.DataFrame) = {
     import graft.operators.Materialize
     // sha256 digest bytes read as 8 unsigned-int lanes directly
     // (graft.functions.sha256Lanes) — value-identical to the previous
@@ -171,20 +177,25 @@ object TextQueries {
     // parses per digest in THE per-shingle-occurrence hot path of the
     // whole portable family (this sig feeds d_minhash_portable,
     // x_dedup_eval, s_ann_lsh_portable scoring and the streaming
-    // lshPairsSink).
+    // lshPairsSink). Interleaved one-JVM micro-bench (graft.MicroHash,
+    // 4M shingles × 32 lanes): 3.5-3.8 s hex formula vs 0.4-0.8 s
+    // lanes, identical bit_xor checksum.
     val hs = flatten(array((0 until 4).map(g =>
       graft.functions.sha256Lanes(concat(lit(s"$g|"), col("shingle")))): _*))
     // Explicit count: a bare repartition(col) is AQE-coalescible and the
     // compact doc frame coalesces to 1-2 partitions, serializing the
     // CPU-dominant shingle/sha256 stage (see synthMedia's note).
-    Materialize(portableShingles(docs)
-      .repartition(docs.sparkSession.conf
+    Materialize(shs
+      .repartition(shs.sparkSession.conf
         .get("spark.sql.shuffle.partitions", "32").toInt, col("doc_id"))
       .select(col("doc_id"), explode(col("shs")).as("shingle"))
       .select(col("doc_id"), hs.as("hs"))
       .groupBy("doc_id")
       .agg(graft.functions.vecMin(col("hs"), 32).as("sig")))
   }
+
+  private[graft] def portableMinhashSig(docs: org.apache.spark.sql.DataFrame) =
+    portableMinhashSigFromShingles(portableShingles(docs))
 
   /** 16 bands × 2 rows over a 32-long signature frame. */
   private[graft] def portableBands(sig: org.apache.spark.sql.DataFrame) =
